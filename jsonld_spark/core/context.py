@@ -1,0 +1,381 @@
+"""JSON-LD active-context processing.
+
+Pure-Python implementation of the JSON-LD 1.0 Context Processing /
+Create Term Definition / IRI Expansion / Value Expansion algorithms
+(https://www.w3.org/TR/json-ld-api/). Behavioral parity target:
+jsonld-java ``core/Context.java`` (parse :146-306, createTermDefinition
+:317-495, expandIri :510-565, expandValue :1115-1152).
+
+The ``Context`` object is immutable-in-spirit and picklable, so a parsed
+context can be broadcast to Spark executors; no network I/O happens on
+executors (remote contexts must be pre-resolved into the document loader's
+cache driver-side).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from .errors import JsonLdError
+from .url import is_absolute_iri, parse_iri, resolve_iri
+
+KEYWORDS = frozenset({
+    "@base", "@context", "@container", "@default", "@embed", "@explicit",
+    "@graph", "@id", "@index", "@language", "@list", "@omitDefault",
+    "@reverse", "@preserve", "@set", "@type", "@value", "@vocab",
+    "@requireAll",
+})
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+
+
+def is_keyword(value: Any) -> bool:
+    return isinstance(value, str) and value in KEYWORDS
+
+
+def is_relative_iri(value: str) -> bool:
+    return not (is_keyword(value) or is_absolute_iri(value))
+
+
+def is_bnode_id(value: Any) -> bool:
+    return isinstance(value, str) and value.startswith("_:")
+
+
+class JsonLdOptions:
+    """Processing options (reference: core/JsonLdOptions.java:13-303)."""
+
+    def __init__(
+        self,
+        base: str | None = None,
+        expand_context: Any = None,
+        compact_arrays: bool = True,
+        processing_mode: str = "json-ld-1.0",
+        document_loader: Callable[[str], Any] | None = None,
+        use_native_types: bool = False,
+        use_rdf_type: bool = False,
+        produce_generalized_rdf: bool = False,
+        embed: str = "@last",
+        explicit: bool = False,
+        omit_default: bool = False,
+        omit_graph: bool = False,
+    ):
+        self.base = base
+        self.expand_context = expand_context
+        self.compact_arrays = compact_arrays
+        self.processing_mode = processing_mode
+        self.document_loader = document_loader
+        self.use_native_types = use_native_types
+        self.use_rdf_type = use_rdf_type
+        self.produce_generalized_rdf = produce_generalized_rdf
+        self.embed = embed
+        self.explicit = explicit
+        self.omit_default = omit_default
+        self.omit_graph = omit_graph
+
+    def load_document(self, url: str) -> Any:
+        if self.document_loader is None:
+            raise JsonLdError(
+                JsonLdError.LOADING_REMOTE_CONTEXT_FAILED,
+                f"no document loader configured (executors never fetch): {url}",
+            )
+        try:
+            return self.document_loader(url)
+        except JsonLdError:
+            raise
+        except Exception as e:  # noqa: BLE001 - wrap as typed error
+            raise JsonLdError(JsonLdError.LOADING_REMOTE_CONTEXT_FAILED, str(e)) from e
+
+
+class Context:
+    """Active context: base/vocab/default-language + term definitions.
+
+    Term definition shape (plain dict, picklable):
+      {"@id": str, "@reverse": bool, "@type": str?, "@container": str?,
+       "@language": str|None?}  # "@language" key present-with-None = no-language override
+    """
+
+    __slots__ = ("options", "base", "vocab", "language", "term_definitions", "_inverse")
+
+    def __init__(self, options: JsonLdOptions | None = None):
+        self.options = options or JsonLdOptions()
+        self.base: str | None = self.options.base
+        self.vocab: str | None = None
+        self.language: str | None = None
+        self.term_definitions: dict[str, dict | None] = {}
+        self._inverse: dict | None = None
+
+    def clone(self) -> "Context":
+        c = Context(self.options)
+        c.base = self.base
+        c.vocab = self.vocab
+        c.language = self.language
+        c.term_definitions = {k: (dict(v) if v is not None else None)
+                              for k, v in self.term_definitions.items()}
+        return c
+
+    # ------------------------------------------------------------------
+    # Context Processing Algorithm (Context.java:146-306)
+    # ------------------------------------------------------------------
+    def parse(self, local_context: Any, remote_contexts: list[str] | None = None,
+              parsing_a_remote_context: bool = False) -> "Context":
+        if remote_contexts is None:
+            remote_contexts = []
+        result = self.clone()
+        contexts = local_context if isinstance(local_context, list) else [local_context]
+        for context in contexts:
+            if context is None:
+                result = Context(self.options)
+                continue
+            if isinstance(context, Context):
+                result = context.clone()
+                continue
+            if isinstance(context, str):
+                # resolve relative remote-context URLs against the current
+                # @base; already-absolute URLs pass through
+                # (Context.java:191-196, issue #304: @base ignored for
+                # remote contexts)
+                if parse_iri(context).scheme is not None:
+                    uri = context
+                else:
+                    uri = resolve_iri(result.base, context)
+                if uri in remote_contexts:
+                    raise JsonLdError(JsonLdError.RECURSIVE_CONTEXT_INCLUSION, uri)
+                next_remote = list(remote_contexts) + [uri]
+                remote_doc = self.options.load_document(uri)
+                if not isinstance(remote_doc, dict) or "@context" not in remote_doc:
+                    raise JsonLdError(JsonLdError.INVALID_REMOTE_CONTEXT, str(context))
+                result = result.parse(remote_doc["@context"], next_remote, True)
+                continue
+            if not isinstance(context, dict):
+                raise JsonLdError(JsonLdError.INVALID_LOCAL_CONTEXT, str(context))
+            if "" in context:
+                raise JsonLdError(JsonLdError.INVALID_TERM_DEFINITION,
+                                  "empty key in context")
+            if not parsing_a_remote_context and "@base" in context:
+                value = context["@base"]
+                if value is None:
+                    result.base = None
+                elif isinstance(value, str):
+                    if is_absolute_iri(value):
+                        result.base = value
+                    else:
+                        if result.base is None or not is_absolute_iri(result.base):
+                            raise JsonLdError(JsonLdError.INVALID_BASE_IRI,
+                                              str(result.base))
+                        result.base = resolve_iri(result.base, value)
+                else:
+                    raise JsonLdError(JsonLdError.INVALID_BASE_IRI,
+                                      "@base must be a string")
+            if "@vocab" in context:
+                value = context["@vocab"]
+                if value is None:
+                    result.vocab = None
+                elif isinstance(value, str):
+                    if is_absolute_iri(value):
+                        result.vocab = value
+                    else:
+                        raise JsonLdError(JsonLdError.INVALID_VOCAB_MAPPING,
+                                          "@vocab must be an absolute IRI")
+                else:
+                    raise JsonLdError(JsonLdError.INVALID_VOCAB_MAPPING,
+                                      "@vocab must be a string or null")
+            if "@language" in context:
+                value = context["@language"]
+                if value is None:
+                    result.language = None
+                elif isinstance(value, str):
+                    result.language = value.lower()
+                else:
+                    raise JsonLdError(JsonLdError.INVALID_DEFAULT_LANGUAGE, str(value))
+            defined: dict[str, bool] = {}
+            for key in context.keys():
+                if key in ("@base", "@vocab", "@language"):
+                    continue
+                result.create_term_definition(context, key, defined)
+        return result
+
+    # ------------------------------------------------------------------
+    # Create Term Definition (Context.java:317-495)
+    # ------------------------------------------------------------------
+    def create_term_definition(self, context: dict, term: str,
+                               defined: dict[str, bool]) -> None:
+        if term in defined:
+            if defined[term]:
+                return
+            raise JsonLdError(JsonLdError.CYCLIC_IRI_MAPPING, term)
+        defined[term] = False
+        if is_keyword(term):
+            raise JsonLdError(JsonLdError.KEYWORD_REDEFINITION, term)
+        self.term_definitions.pop(term, None)
+        value = context.get(term)
+        if value is None or (isinstance(value, dict) and "@id" in value
+                             and value["@id"] is None):
+            self.term_definitions[term] = None
+            defined[term] = True
+            return
+        if isinstance(value, str):
+            value = {"@id": value}
+        if not isinstance(value, dict):
+            raise JsonLdError(JsonLdError.INVALID_TERM_DEFINITION, str(value))
+        definition: dict[str, Any] = {}
+        if "@type" in value:
+            t = value["@type"]
+            if not isinstance(t, str):
+                raise JsonLdError(JsonLdError.INVALID_TYPE_MAPPING, str(t))
+            try:
+                t = self.expand_iri(t, False, True, context, defined)
+            except JsonLdError as e:
+                if e.code != JsonLdError.INVALID_IRI_MAPPING:
+                    raise
+                raise JsonLdError(JsonLdError.INVALID_TYPE_MAPPING, t) from e
+            if t in ("@id", "@vocab") or (not t.startswith("_:") and is_absolute_iri(t)):
+                definition["@type"] = t
+            else:
+                raise JsonLdError(JsonLdError.INVALID_TYPE_MAPPING, t)
+        if "@reverse" in value:
+            if "@id" in value:
+                raise JsonLdError(JsonLdError.INVALID_REVERSE_PROPERTY, term)
+            rev = value["@reverse"]
+            if not isinstance(rev, str):
+                raise JsonLdError(JsonLdError.INVALID_IRI_MAPPING,
+                                  "expected string for @reverse value")
+            reverse = self.expand_iri(rev, False, True, context, defined)
+            if not is_absolute_iri(reverse):
+                raise JsonLdError(JsonLdError.INVALID_IRI_MAPPING,
+                                  f"non-absolute @reverse IRI: {reverse}")
+            definition["@id"] = reverse
+            if "@container" in value:
+                container = value["@container"]
+                if container is None or container in ("@set", "@index"):
+                    definition["@container"] = container
+                else:
+                    raise JsonLdError(
+                        JsonLdError.INVALID_REVERSE_PROPERTY,
+                        "reverse properties only support set- and index-containers")
+            definition["@reverse"] = True
+            self.term_definitions[term] = definition
+            defined[term] = True
+            return
+        definition["@reverse"] = False
+        if value.get("@id") is not None and value["@id"] != term:
+            vid = value["@id"]
+            if not isinstance(vid, str):
+                raise JsonLdError(JsonLdError.INVALID_IRI_MAPPING,
+                                  "expected value of @id to be a string")
+            res = self.expand_iri(vid, False, True, context, defined)
+            if is_keyword(res) or is_absolute_iri(res):
+                if res == "@context":
+                    raise JsonLdError(JsonLdError.INVALID_KEYWORD_ALIAS,
+                                      "cannot alias @context")
+                definition["@id"] = res
+            else:
+                raise JsonLdError(
+                    JsonLdError.INVALID_IRI_MAPPING,
+                    "resulting IRI mapping should be a keyword, absolute IRI "
+                    "or blank node")
+        elif ":" in term:
+            col = term.index(":")
+            prefix, suffix = term[:col], term[col + 1:]
+            if prefix in context:
+                self.create_term_definition(context, prefix, defined)
+            if prefix in self.term_definitions:
+                td = self.term_definitions[prefix]
+                definition["@id"] = (td["@id"] if td else "") + suffix
+            else:
+                definition["@id"] = term
+        elif self.vocab is not None:
+            definition["@id"] = self.vocab + term
+        else:
+            raise JsonLdError(JsonLdError.INVALID_IRI_MAPPING,
+                              "relative term definition without vocab mapping")
+        if "@container" in value:
+            container = value["@container"]
+            if container not in ("@list", "@set", "@index", "@language"):
+                raise JsonLdError(
+                    JsonLdError.INVALID_CONTAINER_MAPPING,
+                    "@container must be either @list, @set, @index, or @language")
+            definition["@container"] = container
+        if "@language" in value and "@type" not in value:
+            lang = value["@language"]
+            if lang is None or isinstance(lang, str):
+                definition["@language"] = lang.lower() if lang else None
+            else:
+                raise JsonLdError(JsonLdError.INVALID_LANGUAGE_MAPPING,
+                                  "@language must be a string or null")
+        self.term_definitions[term] = definition
+        defined[term] = True
+
+    # ------------------------------------------------------------------
+    # IRI Expansion (Context.java:510-565)
+    # ------------------------------------------------------------------
+    def expand_iri(self, value: str | None, relative: bool, vocab: bool,
+                   context: dict | None = None,
+                   defined: dict[str, bool] | None = None) -> str | None:
+        if value is None or is_keyword(value):
+            return value
+        if context is not None and value in context and defined is not None \
+                and defined.get(value) is not True:
+            self.create_term_definition(context, value, defined)
+        if vocab and value in self.term_definitions:
+            td = self.term_definitions[value]
+            return td["@id"] if td is not None else None
+        col = value.find(":")
+        if col >= 0:
+            prefix, suffix = value[:col], value[col + 1:]
+            if prefix == "_" or suffix.startswith("//"):
+                return value
+            if context is not None and prefix in context and defined is not None \
+                    and defined.get(prefix) is not True:
+                self.create_term_definition(context, prefix, defined)
+            td = self.term_definitions.get(prefix)
+            if prefix in self.term_definitions and td is not None:
+                return td["@id"] + suffix
+            return value
+        if vocab and self.vocab is not None:
+            return self.vocab + value
+        if relative:
+            return resolve_iri(self.base, value)
+        if context is not None and is_relative_iri(value):
+            raise JsonLdError(JsonLdError.INVALID_IRI_MAPPING,
+                              f"not an absolute IRI: {value}")
+        return value
+
+    # ------------------------------------------------------------------
+    # Value Expansion (Context.java:1115-1152)
+    # ------------------------------------------------------------------
+    def expand_value(self, active_property: str | None, value: Any) -> dict:
+        td = self.term_definitions.get(active_property) if active_property else None
+        type_mapping = td.get("@type") if td else None
+        if type_mapping == "@id" and isinstance(value, str):
+            return {"@id": self.expand_iri(value, True, False)}
+        if type_mapping == "@vocab" and isinstance(value, str):
+            return {"@id": self.expand_iri(value, True, True)}
+        rval: dict[str, Any] = {"@value": value}
+        if type_mapping not in (None, "@id", "@vocab"):
+            rval["@type"] = type_mapping
+        elif isinstance(value, str):
+            if td is not None and "@language" in td:
+                lang = td["@language"]
+                if lang is not None:
+                    rval["@language"] = lang
+            elif self.language is not None:
+                rval["@language"] = self.language
+        return rval
+
+    # convenience accessors --------------------------------------------
+    def get_container(self, prop: str | None) -> str | None:
+        td = self.term_definitions.get(prop) if prop else None
+        return td.get("@container") if td else None
+
+    def is_reverse_property(self, prop: str | None) -> bool:
+        td = self.term_definitions.get(prop) if prop else None
+        return bool(td and td.get("@reverse"))
