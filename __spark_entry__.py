@@ -1,38 +1,388 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` runs on (spark, sf_dir) and must match
+``oracle_sql()[name]`` executed by DuckDB on the same parquet tables.
+Column names and types are aligned on both sides (aggregates cast
+through exact DECIMAL then to DOUBLE so partial-agg summation order
+can't perturb the hash).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_SMALL = "/root/testdata/sf0.001"
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved text+media docs → JSON-LD expansion → RDF
+    triples DataFrame (SURVEY.md §3.2)."""
+    return q_jsonld_doc_triples(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_jsonld_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.pipeline import docs_to_triples
+    from jsonld_spark.sources.interleaved import interleaved_from_documents
+    interleaved = interleaved_from_documents(spark, sf_dir)
+    return docs_to_triples(interleaved).select(
+        "doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+        "obj_datatype", "obj_lang")
+
+
+def q_nquads_media_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media triples serialized to N-Quads lines (vectorized serializer),
+    then length-checked — exercises the serializer distributed path."""
+    from jsonld_spark.functions.nquads_udf import triples_to_nquads
+    from jsonld_spark.operators.pipeline import docs_to_triples
+    from jsonld_spark.sources.interleaved import interleaved_from_documents
+    triples = docs_to_triples(interleaved_from_documents(spark, sf_dir))
+    media = triples.where(F.col("pred") == "http://schema.org/associatedMedia")
+    return triples_to_nquads(media).select("doc_id", "nq")
+
+
+def q_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize ALL doc triples to N-Quads and parse them back —
+    round-trip must reproduce the quad columns exactly."""
+    from jsonld_spark.functions.nquads_udf import (nquads_lines_to_triples,
+                                                   triples_to_nquads)
+    from jsonld_spark.operators.pipeline import docs_to_triples
+    from jsonld_spark.sources.interleaved import interleaved_from_documents
+    triples = docs_to_triples(interleaved_from_documents(spark, sf_dir))
+    lines = triples_to_nquads(triples)
+    parsed = nquads_lines_to_triples(lines)
+    return parsed.select("graph", "subj", "pred", "obj_kind", "obj_value",
+                         "obj_datatype", "obj_lang")
+
+
+# ---------------------------------------------------------------------------
+# training-data operators over `documents`
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.dedup import exact_dedup
+    return exact_dedup(_read(spark, sf_dir, "documents")) \
+        .select("text_hash", F.col("keep_id").cast("long").alias("keep_id"),
+                F.col("n_dupes").cast("long").alias("n_dupes"))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.textstats import doc_stats
+    df = doc_stats(_read(spark, sf_dir, "documents"))
+    return df.select("doc_id",
+                     F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+                     "n_tokens",
+                     F.col("mean_token_len").cast("double").alias("mean_token_len"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.textstats import lang_id
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.textstats import fingerprint
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity + linking over `embeddings`
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.similarity import cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("sim").cast("double").alias("sim"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic chain-edge graph
+    (i—i+1 unless i%7==6 → components are groups of 7 consecutive ids):
+    exercises the iterative min-label-propagation operator used for
+    entity linking. Oracle is the closed form 7*floor(id/7)."""
+    from jsonld_spark.operators.linking import connected_components
+    ids = _read(spark, sf_dir, "embeddings").select("vec_id")
+    a = ids.select(F.col("vec_id").alias("src"))
+    edges = (a.where(F.col("src") % 7 != 6)
+             .join(ids.select(F.col("vec_id").alias("dst")),
+                   F.col("dst") == F.col("src") + 1))
+    cc = connected_components(edges)
+    return (ids.join(cc, ids.vec_id == cc.node, "left")
+            .select(F.col("vec_id").cast("long").alias("node"),
+                    F.coalesce(F.col("component"), F.col("vec_id"))
+                     .cast("long").alias("component")))
+
+
+# ---------------------------------------------------------------------------
+# relational-operator checklist (SURVEY.md §2.3) over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1995-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)"))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    rev = (li.groupBy("l_orderkey")
+           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")).alias("rev_d")))
+    j = orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+    w = Window.orderBy(F.desc("rev_d"), F.asc("o_orderkey"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.col("rev_d").cast("double").alias("revenue"),
+                    F.col("rn").cast("long").alias("rn")))
+
+
+def q_region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrichment: customer → nation → region rollup."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (cust
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("total_acctbal")))
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+         .cast("double").alias("running_value"))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) — set-op checklist entry."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    "c_name"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "jsonld_doc_triples": q_jsonld_doc_triples,
+        "nquads_media_lines": q_nquads_media_lines,
+        "nquads_roundtrip": q_nquads_roundtrip,
+        "dedup_exact": q_dedup_exact,
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "cc_components": q_cc_components,
+        "lineitem_agg": q_lineitem_agg,
+        "top_orders": q_top_orders,
+        "region_customer_counts": q_region_customer_counts,
+        "window_running": q_window_running,
+        "customers_without_orders": q_customers_without_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DOC_TRIPLES_ORACLE = f"""
+WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents)
+SELECT 'doc-'||doc_id AS doc_id, '@default' AS graph,
+       'http://example.org/doc/'||doc_id AS subj,
+       'http://schema.org/text' AS pred, 'literal' AS obj_kind,
+       text AS obj_value, '{XSD}string' AS obj_datatype,
+       NULL AS obj_lang
+FROM base WHERE text IS NOT NULL
+UNION ALL
+SELECT 'doc-'||doc_id, '@default', 'http://example.org/doc/'||doc_id,
+       'http://schema.org/inLanguage', 'literal', lang, '{XSD}string', NULL
+FROM base WHERE lang IS NOT NULL
+UNION ALL
+SELECT 'doc-'||doc_id, '@default', 'http://example.org/doc/'||doc_id,
+       'http://purl.org/dc/terms/source', 'literal', source, '{XSD}string', NULL
+FROM base WHERE source IS NOT NULL
+UNION ALL
+SELECT 'doc-'||doc_id, '@default', 'http://example.org/doc/'||doc_id,
+       'http://example.org/nChars', 'literal', CAST(n_chars AS VARCHAR),
+       '{XSD}integer', NULL
+FROM base WHERE n_chars IS NOT NULL
+UNION ALL
+SELECT 'doc-'||doc_id, '@default', 'http://example.org/doc/'||doc_id,
+       'http://schema.org/associatedMedia', 'iri',
+       'https://media.example/img/'||doc_id||'.jpg', NULL, NULL
+FROM base
+"""
+
+_NQ_MEDIA_ORACLE = """
+SELECT 'doc-'||doc_id AS doc_id,
+       '<http://example.org/doc/'||doc_id||'> '
+       || '<http://schema.org/associatedMedia> '
+       || '<https://media.example/img/'||doc_id||'.jpg> .' AS nq
+FROM documents
+"""
+
+_LANG_SCORE = {
+    lang: " + ".join(
+        f"CAST((length(' '||lower(text)||' ') - "
+        f"length(replace(' '||lower(text)||' ', '{p}', ''))) / {len(p)} AS BIGINT)"
+        for p in probes)
+    for lang, probes in
+    {"en": [" the ", " and ", " of "],
+     "de": [" der ", " und ", " die "],
+     "fr": [" le ", " et ", " les "]}.items()
+}
+
+_LANG_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_LANG_SCORE['de']} AS score_de,
+         {_LANG_SCORE['en']} AS score_en, {_LANG_SCORE['fr']} AS score_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(score_de, score_en, score_fr) = 0 THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_fr) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_fr) THEN 'en'
+            ELSE 'fr' END AS lang_pred,
+       score_de, score_en, score_fr
+FROM s
+"""
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.query_vec::DOUBLE[]), 4) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
+        "nquads_media_lines": _NQ_MEDIA_ORACLE,
+        "nquads_roundtrip": f"""
+            SELECT graph, subj, pred, obj_kind, obj_value, obj_datatype,
+                   obj_lang
+            FROM ({_DOC_TRIPLES_ORACLE}) t
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_stats": """
+            SELECT doc_id, length(text) AS n_chars_actual,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(length(replace(text, ' ', ''))
+                         / len(string_split(text, ' ')), 4) AS mean_token_len
+            FROM documents
+        """,
+        "lang_id": _LANG_ORACLE,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "cosine_topk": _COSINE_ORACLE,
+        "cc_components": """
+            SELECT CAST(vec_id AS BIGINT) AS node,
+                   CAST((vec_id // 7) * 7 AS BIGINT) AS component
+            FROM embeddings
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= '1995-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS rev_d
+              FROM lineitem GROUP BY l_orderkey),
+            j AS (
+              SELECT o.o_orderkey, rev_d,
+                     row_number() OVER (ORDER BY rev_d DESC, o_orderkey ASC)
+                       AS rn
+              FROM orders o JOIN rev ON o.o_orderkey = rev.l_orderkey)
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(rev_d AS DOUBLE) AS revenue, CAST(rn AS BIGINT) AS rn
+            FROM j WHERE rn <= 10
+        """,
+        "region_customer_counts": """
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "window_running": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "customers_without_orders": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+    }

@@ -1,0 +1,138 @@
+"""Triple-extraction pipeline: interleaved docs → columnar quads DataFrame.
+
+Stage layout (SURVEY.md §3.2 Spark trace):
+
+    interleaved(doc_id, spans)
+      → assemble (pure column ops)
+      → mapInPandas(expand + node-map + toRDF per document)   # Arrow batches
+      → union media-ref triples (pure explode)
+      → dropDuplicates                                        # global dedup
+
+Per-document algorithms run inside Arrow batches (vectorization is
+across documents); errors are captured per document into an ``error``
+column instead of failing the job — at 10^12 docs a single malformed
+payload must not kill the stage. Blank-node labels are globally
+uniquified by prefixing a doc-content hash, so output labels are a pure
+function of (doc content, doc_id), never of task scheduling
+(SURVEY.md §4 determinism discipline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.context import JsonLdOptions
+from ..core.rdf import document_to_quads
+from ..sources.interleaved import assemble_documents, media_triples
+
+QUAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("graph", T.StringType()),
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj_kind", T.StringType()),
+    T.StructField("obj_value", T.StringType()),
+    T.StructField("obj_datatype", T.StringType()),
+    T.StructField("obj_lang", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+QUAD_COLS = ["doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+             "obj_datatype", "obj_lang"]
+
+
+def _doc_tag(doc_id: str, doc_json: str) -> str:
+    """Deterministic per-document bnode namespace tag."""
+    return hashlib.sha1(f"{doc_id}\x00{doc_json}".encode()).hexdigest()[:12]
+
+
+def _prefix_bnode(label: str, tag: str) -> str:
+    return f"_:d{tag}{label[2:]}" if label.startswith("_:") else label
+
+
+def make_extract_quads(base: str | None = None,
+                       contexts: dict[str, dict] | None = None,
+                       globalize_bnodes: bool = True):
+    """Build the mapInPandas function. ``contexts`` is the pre-resolved
+    remote-context cache (broadcast by value into the closure — executors
+    never do HTTP; reference role: JarCacheStorage)."""
+    ctx_cache = contexts or {}
+
+    def loader(url: str):
+        if url in ctx_cache:
+            return ctx_cache[url]
+        raise IOError(f"remote context not pre-resolved: {url}")
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+        # deep recursive docs: one recursion frame budget well above default
+        if sys.getrecursionlimit() < 20000:
+            sys.setrecursionlimit(20000)
+        opts = JsonLdOptions(base=base, document_loader=loader)
+        for pdf in batches:
+            out = {c: [] for c in QUAD_SCHEMA.fieldNames()}
+
+            def emit(doc_id, graph, subj, pred, okind, oval, odt, olang, err):
+                out["doc_id"].append(doc_id)
+                out["graph"].append(graph)
+                out["subj"].append(subj)
+                out["pred"].append(pred)
+                out["obj_kind"].append(okind)
+                out["obj_value"].append(oval)
+                out["obj_datatype"].append(odt)
+                out["obj_lang"].append(olang)
+                out["error"].append(err)
+
+            for doc_id, doc_json in zip(pdf["doc_id"], pdf["doc_json"]):
+                try:
+                    doc = json.loads(doc_json)
+                    quads = document_to_quads(doc, opts)
+                    tag = _doc_tag(doc_id, doc_json) if globalize_bnodes else None
+                    for q in quads:
+                        g, s, o = q.graph, q.subj, q.obj_value
+                        if tag is not None:
+                            g = _prefix_bnode(g, tag)
+                            s = _prefix_bnode(s, tag)
+                            if q.obj_kind == "bnode":
+                                o = _prefix_bnode(o, tag)
+                        emit(doc_id, g, s, q.pred, q.obj_kind, o,
+                             q.obj_datatype, q.obj_lang, None)
+                except Exception as e:  # noqa: BLE001 - per-doc isolation
+                    emit(doc_id, None, None, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return extract
+
+
+def extract_quads(assembled: DataFrame, base: str | None = None,
+                  contexts: dict[str, dict] | None = None,
+                  globalize_bnodes: bool = True) -> DataFrame:
+    """(doc_id, doc_json) → quad rows + error rows (error column set)."""
+    fn = make_extract_quads(base, contexts, globalize_bnodes)
+    return assembled.select("doc_id", "doc_json").mapInPandas(fn, QUAD_SCHEMA)
+
+
+def docs_to_triples(interleaved: DataFrame, base: str | None = None,
+                    contexts: dict[str, dict] | None = None,
+                    dedupe: bool = True,
+                    include_media: bool = True) -> DataFrame:
+    """Full stage: interleaved spans table → triples DataFrame
+    (doc_id, graph, subj, pred, obj_kind, obj_value, obj_datatype,
+    obj_lang). Errors are filtered out here; use ``extract_quads``
+    directly to inspect them."""
+    assembled = assemble_documents(interleaved)
+    quads = extract_quads(assembled, base, contexts)
+    triples = quads.where(F.col("error").isNull()).drop("error")
+    if include_media:
+        triples = triples.unionByName(media_triples(assembled))
+    if dedupe:
+        triples = triples.dropDuplicates(QUAD_COLS)
+    return triples

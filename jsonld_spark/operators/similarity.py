@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the correctness baseline (broadcast the
+small query side — the scan side never shuffles), and an LSH-bucketed
+variant as the 100 TB scale path (random-hyperplane signs → bucket
+join; only candidate buckets are scored).
+
+Dot products are built-in ``zip_with``/``aggregate`` expressions in
+double precision — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                  x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x:
+                                          x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int = 4) -> DataFrame:
+    """Brute-force exact top-k neighbors for each query vector.
+
+    queries: (query_id, query_vec). The query side is broadcast —
+    the big scan side streams through without a shuffle; the only
+    shuffle is the final per-query top-k (tiny). Ties broken by
+    neighbor id for determinism.
+    """
+    j = embeddings.crossJoin(F.broadcast(queries)) \
+                  .where(F.col(id_col) != F.col("query_id"))
+    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
+    scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
+                      sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: sign bits of dot products with fixed planes
+    → integer bucket. ``planes`` must be generated driver-side with a
+    fixed seed so bucketing is deterministic."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")) \
+                           .otherwise(F.lit(0).cast("long"))
+    return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def ann_cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                    planes: list[list[float]], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates. Recall
+    depends on plane count; the scale path for 10^9+ vectors where
+    brute force is off the table."""
+    e_b = lsh_buckets(embeddings, planes, id_col, vec_col)
+    q_b = lsh_buckets(queries.withColumnRenamed("query_id", id_col)
+                      .withColumnRenamed("query_vec", vec_col),
+                      planes, id_col, vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"), "bucket")
+    j = e_b.join(F.broadcast(q_b), "bucket") \
+           .where(F.col(id_col) != F.col("query_id"))
+    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), 4)
+    scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
+                      sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
