@@ -80,6 +80,13 @@ class JsonLdOptions:
         self.explicit = explicit
         self.omit_default = omit_default
         self.omit_graph = omit_graph
+        self.prune_blank_node_identifiers = False
+        self.allow_container_set_on_type = False
+        # json-ld-1.1 mode flips (JsonLdOptions.java:248-255)
+        if processing_mode == "json-ld-1.1":
+            self.omit_graph = True
+            self.prune_blank_node_identifiers = True
+            self.allow_container_set_on_type = True
 
     def load_document(self, url: str) -> Any:
         if self.document_loader is None:
@@ -213,7 +220,9 @@ class Context:
                 return
             raise JsonLdError(JsonLdError.CYCLIC_IRI_MAPPING, term)
         defined[term] = False
-        if is_keyword(term):
+        if is_keyword(term) and not (
+                self.options.allow_container_set_on_type and term == "@type"
+                and "@id" not in str(context.get(term))):
             raise JsonLdError(JsonLdError.KEYWORD_REDEFINITION, term)
         self.term_definitions.pop(term, None)
         value = context.get(term)
@@ -294,7 +303,7 @@ class Context:
                 definition["@id"] = term
         elif self.vocab is not None:
             definition["@id"] = self.vocab + term
-        else:
+        elif term != "@type":
             raise JsonLdError(JsonLdError.INVALID_IRI_MAPPING,
                               "relative term definition without vocab mapping")
         if "@container" in value:
@@ -304,6 +313,8 @@ class Context:
                     JsonLdError.INVALID_CONTAINER_MAPPING,
                     "@container must be either @list, @set, @index, or @language")
             definition["@container"] = container
+            if term == "@type":
+                definition["@id"] = "type"  # Context.java:473-476 quirk
         if "@language" in value and "@type" not in value:
             lang = value["@language"]
             if lang is None or isinstance(lang, str):
@@ -373,8 +384,224 @@ class Context:
 
     # convenience accessors --------------------------------------------
     def get_container(self, prop: str | None) -> str | None:
-        td = self.term_definitions.get(prop) if prop else None
+        """Container mapping (Context.java getContainer): @graph → @set,
+        non-@type keywords → themselves, else the term's @container."""
+        if prop is None:
+            return None
+        if prop == "@graph":
+            return "@set"
+        if prop != "@type" and is_keyword(prop):
+            return prop
+        td = self.term_definitions.get(prop)
         return td.get("@container") if td else None
+
+    def get_type_mapping(self, prop: str | None) -> str | None:
+        td = self.term_definitions.get(prop) if prop else None
+        return td.get("@type") if td else None
+
+    def get_language_mapping(self, prop: str | None) -> str | None:
+        td = self.term_definitions.get(prop) if prop else None
+        return td.get("@language") if td else None
+
+    # ------------------------------------------------------------------
+    # Inverse Context Creation (Context.java:909-1016)
+    # ------------------------------------------------------------------
+    def get_inverse(self) -> dict:
+        if self._inverse is not None:
+            return self._inverse
+        inverse: dict[str, dict] = {}
+        terms = sorted(self.term_definitions.keys(),
+                       key=lambda t: (len(t), t))
+        for term in terms:
+            definition = self.term_definitions[term]
+            if definition is None:
+                continue
+            container = definition.get("@container") or "@none"
+            iri = definition["@id"]
+            container_map = inverse.setdefault(iri, {})
+            type_language_map = container_map.setdefault(
+                container, {"@language": {}, "@type": {}})
+            if definition.get("@reverse"):
+                type_language_map["@type"].setdefault("@reverse", term)
+            elif "@type" in definition:
+                type_language_map["@type"].setdefault(definition["@type"], term)
+            elif "@language" in definition:
+                language = definition["@language"]
+                if language is None:
+                    language = "@null"
+                type_language_map["@language"].setdefault(language, term)
+            else:
+                type_language_map["@language"].setdefault("@language", term)
+                type_language_map["@language"].setdefault("@none", term)
+                type_language_map["@type"].setdefault("@none", term)
+        self._inverse = inverse
+        return inverse
+
+    # ------------------------------------------------------------------
+    # Term Selection (Context.java:1031-1060)
+    # ------------------------------------------------------------------
+    def select_term(self, iri: str, containers: list[str], type_language: str,
+                    preferred_values: list[str]) -> str | None:
+        container_map = self.get_inverse().get(iri, {})
+        for container in containers:
+            if container not in container_map:
+                continue
+            value_map = container_map[container][type_language]
+            for item in preferred_values:
+                if item in value_map:
+                    return value_map[item]
+        return None
+
+    # ------------------------------------------------------------------
+    # IRI Compaction (Context.java:587-840)
+    # ------------------------------------------------------------------
+    def compact_iri(self, iri: str | None, value: Any = None,
+                    relative_to_vocab: bool = False,
+                    reverse: bool = False) -> str | None:
+        if iri is None:
+            return None
+        if relative_to_vocab and iri in self.get_inverse():
+            default_language = self.language or "@none"
+            containers: list[str] = []
+            type_language = "@language"
+            type_language_value = "@null"
+            if isinstance(value, dict) and "@index" in value:
+                containers.append("@index")
+            if reverse:
+                type_language = "@type"
+                type_language_value = "@reverse"
+                containers.append("@set")
+            elif isinstance(value, dict) and "@list" in value:
+                if "@index" not in value:
+                    containers.append("@list")
+                lst = value["@list"]
+                common_language = default_language if len(lst) == 0 else None
+                common_type = None
+                for item in lst:
+                    item_language, item_type = "@none", "@none"
+                    if isinstance(item, dict) and "@value" in item:
+                        if "@language" in item:
+                            item_language = item["@language"]
+                        elif "@type" in item:
+                            item_type = item["@type"]
+                        else:
+                            item_language = "@null"
+                    else:
+                        item_type = "@id"
+                    if common_language is None:
+                        common_language = item_language
+                    elif common_language != item_language and \
+                            isinstance(item, dict) and "@value" in item:
+                        common_language = "@none"
+                    if common_type is None:
+                        common_type = item_type
+                    elif common_type != item_type:
+                        common_type = "@none"
+                    if common_language == "@none" and common_type == "@none":
+                        break
+                common_language = common_language or "@none"
+                common_type = common_type or "@none"
+                if common_type != "@none":
+                    type_language = "@type"
+                    type_language_value = common_type
+                else:
+                    type_language_value = common_language
+            else:
+                if isinstance(value, dict) and "@value" in value:
+                    if "@language" in value and "@index" not in value:
+                        containers.append("@language")
+                        type_language_value = value["@language"]
+                    elif "@type" in value:
+                        type_language = "@type"
+                        type_language_value = value["@type"]
+                else:
+                    type_language = "@type"
+                    type_language_value = "@id"
+                containers.append("@set")
+            containers.append("@none")
+            if type_language_value is None:
+                type_language_value = "@null"
+            preferred_values: list[str] = []
+            if type_language_value == "@reverse":
+                preferred_values.append("@reverse")
+            if type_language_value in ("@reverse", "@id") and \
+                    isinstance(value, dict) and "@id" in value:
+                result = self.compact_iri(value["@id"], None, True, True)
+                td = self.term_definitions.get(result)
+                if td is not None and "@id" in td and td["@id"] == value["@id"]:
+                    preferred_values.extend(["@vocab", "@id"])
+                else:
+                    preferred_values.extend(["@id", "@vocab"])
+            else:
+                preferred_values.append(type_language_value)
+            preferred_values.append("@none")
+            term = self.select_term(iri, containers, type_language,
+                                    preferred_values)
+            if term is not None:
+                return term
+        if relative_to_vocab and self.vocab is not None:
+            if iri.startswith(self.vocab) and iri != self.vocab:
+                suffix = iri[len(self.vocab):]
+                if suffix not in self.term_definitions:
+                    return suffix
+        compact_iri_result: str | None = None
+        for term, td in self.term_definitions.items():
+            if ":" in term:
+                continue
+            if td is None or td.get("@id") is None or td["@id"] == iri \
+                    or not iri.startswith(td["@id"]):
+                continue
+            candidate = term + ":" + iri[len(td["@id"]):]
+            # shortest-then-least candidate ranking, existing-term guard
+            # (Context.java _iriCompactionStep5point4 :831-845)
+            cond1 = (compact_iri_result is None
+                     or (len(candidate), candidate)
+                     < (len(compact_iri_result), compact_iri_result))
+            cand_td = self.term_definitions.get(candidate)
+            cond2 = (candidate not in self.term_definitions
+                     or (cand_td is not None and cand_td.get("@id") == iri
+                         and value is None))
+            if cond1 and cond2:
+                compact_iri_result = candidate
+        if compact_iri_result is not None:
+            return compact_iri_result
+        if not relative_to_vocab:
+            from .url import remove_base
+            return remove_base(self.base, iri)
+        return iri
+
+    # ------------------------------------------------------------------
+    # Value Compaction (Context.java:80-131)
+    # ------------------------------------------------------------------
+    def compact_value(self, active_property: str | None, value: dict) -> Any:
+        number_members = len(value)
+        if "@index" in value and self.get_container(active_property) == "@index":
+            number_members -= 1
+        if number_members > 2:
+            return value
+        type_mapping = self.get_type_mapping(active_property)
+        language_mapping = self.get_language_mapping(active_property)
+        if "@id" in value:
+            if number_members == 1 and type_mapping == "@id":
+                return self.compact_iri(value["@id"])
+            if number_members == 1 and type_mapping == "@vocab":
+                return self.compact_iri(value["@id"], None, True, False)
+            return value
+        value_value = value.get("@value")
+        if "@type" in value and value["@type"] == type_mapping:
+            return value_value
+        if "@language" in value:
+            if value["@language"] == language_mapping or \
+                    value["@language"] == self.language:
+                return value_value
+        td = self.term_definitions.get(active_property)
+        if number_members == 1 and (
+                not isinstance(value_value, str)
+                or self.language is None
+                or (td is not None and "@language" in td
+                    and language_mapping is None)):
+            return value_value
+        return value
 
     def is_reverse_property(self, prop: str | None) -> bool:
         td = self.term_definitions.get(prop) if prop else None

@@ -227,6 +227,7 @@ def expand(active_ctx: Context, active_property: str | None, element: Any,
         if "@type" in result and not (
                 isinstance(result["@type"], str)
                 and (":" in result["@type"])
+                and not result["@type"].startswith("_:")
                 and not is_keyword(result["@type"])):
             raise JsonLdError(JsonLdError.INVALID_TYPED_VALUE,
                               "@type of a value object must be an IRI")

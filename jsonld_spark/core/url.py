@@ -137,32 +137,48 @@ def resolve_iri(base: str | None, ref: str | None) -> str:
 
 def remove_base(base: str | None, iri: str) -> str:
     """Make ``iri`` relative to ``base`` when possible (reference:
-    JsonLdUrl.removeBase :161-250). Used by compaction when no vocab/term
-    applies and ``compactToRelative`` is on."""
-    if not base:
+    JsonLdUrl.removeBase :161-250): match root (scheme://authority),
+    strip common leading path segments, '../' per remaining base dir
+    segment, keep query/fragment. Same-document references collapse to
+    '?query'/'#fragment'/'./'."""
+    if base is None:
         return iri
     b = parse_iri(base)
-    i = parse_iri(iri)
-    if b.scheme != i.scheme or b.authority != i.authority:
+    root = ""
+    if base != "":
+        root = f"{b.scheme or ''}://{b.authority or ''}"
+    elif not iri.startswith("//"):
+        root = "//"
+    if not iri.startswith(root):
         return iri
-    base_segs = b.path.split("/")
-    iri_segs = i.path.split("/")
-    # the last base segment is the "file" part unless base ends with /
-    keep_last = 0 if (b.fragment is not None or b.query is not None or base.endswith("/")) else 1
-    while base_segs and iri_segs and len(base_segs) > keep_last:
-        if base_segs[0] != iri_segs[0]:
+    rel = parse_iri(iri[len(root):])
+
+    def segs(p: ParsedIri) -> list[str]:
+        path = p.normalized_path
+        # Java String.split drops trailing empties, then the reference
+        # re-appends one for a trailing '/' — Python split matches that
+        out = path.split("/")
+        while len(out) > 1 and out[-1] == "" and not path.endswith("/"):
+            out.pop()
+        return out
+
+    base_segments = segs(b)
+    iri_segments = segs(rel)
+    while base_segments and iri_segments:
+        if base_segments[0] != iri_segments[0]:
             break
-        base_segs.pop(0)
-        iri_segs.pop(0)
+        base_segments.pop(0)
+        iri_segments.pop(0)
     rval = ""
-    # up-dirs for each remaining base dir segment (excluding final file part)
-    if len(base_segs) > 0:
-        rval += "../" * max(0, len(base_segs) - 1)
-    rval += "/".join(iri_segs)
-    if i.query is not None:
-        rval += "?" + i.query
-    if i.fragment is not None:
-        rval += "#" + i.fragment
+    if base_segments:
+        if not b.normalized_path.endswith("/") or base_segments[0] == "":
+            base_segments.pop()
+        rval += "../" * len(base_segments)
+    rval += "/".join(iri_segments)
+    if rel.query is not None and rel.query != "":
+        rval += "?" + rel.query
+    if rel.fragment is not None and rel.fragment != "":
+        rval += "#" + rel.fragment
     if rval == "":
         rval = "./"
     return rval
