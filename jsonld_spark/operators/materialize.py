@@ -1,0 +1,222 @@
+"""Graph materialization: partitioned triple tables with per-partition
+lineage manifests, metrics, and checkpoint-resume.
+
+north_rule requirements covered here (SURVEY.md §4 items 1 & 4):
+
+* **Salted repartition-by-subject with explicit skew splitting** — hub
+  subjects (a popular IRI with 10^8 triples) would overload a single
+  reducer in any ``groupBy(subj)``. We detect heavy hitters from a
+  sample sketch, append a salt derived from (pred, obj) for those
+  subjects only, and aggregate in two phases (partial per salt, final
+  per subject). AQE splits skewed *joins* but not ``groupBy``/
+  ``applyInPandas`` grouping, so this is explicit.
+* **Per-partition lineage manifests + checkpoint-resume** — triples are
+  hash-bucketed by subject into ``part=N`` directories; after each
+  partition's data is durably written, a manifest row
+  (part, n_rows, fingerprint, run_id, wall_s) is appended. A partition
+  with data but no manifest row is considered incomplete. Resume
+  anti-joins the input's partition set against completed manifests and
+  rewrites only the missing buckets (dynamic partition overwrite), so a
+  killed job redoes only unfinished work.
+
+The fingerprint is an order-independent aggregate (sum of per-row
+xxhash64 in DECIMAL(38,0) — no overflow below 10^19 rows), so it is
+stable under any task scheduling and lets ``verify_manifests`` audit a
+materialized graph without re-running the pipeline.
+
+Reference analogue: none — jsonld-java is single-process in-memory
+(SURVEY.md §4); this layer is pure distribution concern.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRIPLE_COLS = ["doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+               "obj_datatype", "obj_lang"]
+
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("part", T.IntegerType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("fingerprint", T.StringType()),
+    T.StructField("run_id", T.StringType()),
+    T.StructField("wall_s", T.DoubleType()),
+    T.StructField("committed_at", T.DoubleType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# skew: heavy-subject detection + salted two-phase aggregation
+# ---------------------------------------------------------------------------
+
+def detect_heavy_subjects(triples: DataFrame, threshold: int = 1_000_000,
+                          sample_fraction: float = 0.001) -> DataFrame:
+    """Sample-sketch heavy hitters: subjects whose estimated triple count
+    exceeds ``threshold``. The sample keeps the sketch cost O(n·fraction)
+    and its own groupBy un-skewed enough in practice; result is tiny
+    (hub subjects are rare by definition) and meant to be broadcast."""
+    if sample_fraction >= 1.0:
+        counts = triples.groupBy("subj").count()
+        return counts.where(F.col("count") >= threshold).select("subj")
+    scaled = int(max(1.0, threshold * sample_fraction))
+    return (triples.sample(fraction=sample_fraction, seed=42)
+            .groupBy("subj").count()
+            .where(F.col("count") >= scaled)
+            .select("subj"))
+
+
+def salt_by_subject(triples: DataFrame, heavy: DataFrame,
+                    n_salts: int = 16) -> DataFrame:
+    """Append a ``salt`` column: 0 for normal subjects; for heavy
+    subjects a deterministic hash of (pred, obj_value) mod n_salts, so
+    one hub subject spreads over ``n_salts`` reducers. Deterministic —
+    never derived from task ids or randomness."""
+    tagged = triples.join(
+        F.broadcast(heavy.select("subj", F.lit(True).alias("_heavy"))),
+        "subj", "left")
+    salt = (F.when(F.col("_heavy").isNotNull(),
+                   F.pmod(F.xxhash64("pred", "obj_value"), F.lit(n_salts)))
+            .otherwise(F.lit(0))).cast("int")
+    return tagged.withColumn("salt", salt).drop("_heavy")
+
+
+def subject_stats(triples: DataFrame, heavy_threshold: int = 1_000_000,
+                  sample_fraction: float = 0.001,
+                  n_salts: int = 16) -> DataFrame:
+    """Per-subject rollup (triple count, distinct predicates) computed
+    skew-safely in two phases:
+
+      phase 1: groupBy(subj, salt)  — partial counts/sets, ≤ n_salts
+               partial rows per hub subject, each bounded in size;
+      phase 2: groupBy(subj)        — merges ≤ n_salts tiny rows.
+
+    The phase-2 shuffle moves only the partials, never the raw triples
+    of a hub subject through one reducer.
+    """
+    heavy = detect_heavy_subjects(triples, heavy_threshold, sample_fraction)
+    salted = salt_by_subject(triples, heavy, n_salts)
+    partial = (salted.groupBy("subj", "salt")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.collect_set("pred").alias("_preds")))
+    return (partial.groupBy("subj")
+            .agg(F.sum("_n").cast("long").alias("n_triples"),
+                 F.array_sort(F.array_distinct(F.flatten(
+                     F.collect_list("_preds")))).alias("preds")))
+
+
+# ---------------------------------------------------------------------------
+# partitioned materialization + lineage manifests
+# ---------------------------------------------------------------------------
+
+def with_partition(triples: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Deterministic subject hash bucket — co-locates every triple of a
+    subject, so downstream subject-local work (fromRDF grouping, entity
+    merge) reads one bucket without a shuffle."""
+    return triples.withColumn(
+        "part", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int"))
+
+
+def _fingerprints(parted: DataFrame) -> DataFrame:
+    row_hash = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                            for c in TRIPLE_COLS])
+    return (parted.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(row_hash.cast("decimal(38,0)")).cast("string")
+                  .alias("fingerprint")))
+
+
+def _manifest_path(out_dir: str) -> str:
+    return f"{out_dir}/manifests"
+
+
+def _data_path(out_dir: str) -> str:
+    return f"{out_dir}/triples"
+
+
+def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(
+            _manifest_path(out_dir))
+    except Exception:  # first run: no manifest table yet
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def materialize_graph(triples: DataFrame, out_dir: str,
+                      n_buckets: int = 256, run_id: str = "r0",
+                      resume: bool = True) -> dict:
+    """Write the triple table partitioned by subject bucket with a
+    lineage manifest per partition; on re-run, redo only partitions
+    without a committed manifest row (checkpoint-resume).
+
+    Commit protocol per partition: data first (dynamic partition
+    overwrite — atomic per directory), manifest row appended after.
+    Crash between the two ⇒ data present but unmanifested ⇒ redone on
+    resume; manifests are the source of truth.
+
+    Returns metrics: {"pending": int, "skipped": int, "rows": int,
+    "wall_s": float}.
+    """
+    spark = triples.sparkSession
+    parted = with_partition(triples, n_buckets)
+
+    done = read_manifests(spark, out_dir).select("part").distinct()
+    if not resume:
+        done = done.limit(0)
+    n_done = done.count()
+
+    t0 = time.time()
+    pending = parted.join(F.broadcast(done), "part", "left_anti")
+    # one pass computes both the data write and the lineage rows
+    pending = pending.persist()
+    try:
+        stats = _fingerprints(pending).collect()
+        if not stats:
+            return {"pending": 0, "skipped": n_done, "rows": 0, "wall_s": 0.0}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (pending.write.mode("overwrite").partitionBy("part")
+             .parquet(_data_path(out_dir)))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        wall = time.time() - t0
+        manifest_rows = [(int(r["part"]), int(r["n_rows"]),
+                          str(r["fingerprint"]), run_id,
+                          round(wall / len(stats), 6), time.time())
+                         for r in stats]
+        (spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(_manifest_path(out_dir)))
+        n_rows = sum(r["n_rows"] for r in stats)
+    finally:
+        pending.unpersist()
+    return {"pending": len(stats), "skipped": n_done, "rows": int(n_rows),
+            "wall_s": round(wall, 3)}
+
+
+def read_graph(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_data_path(out_dir))
+
+
+def verify_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Audit: recompute per-partition fingerprints from the written data
+    and diff against the manifest table → (part, status) where status ∈
+    ok | missing_data | missing_manifest | mismatch."""
+    data_fp = _fingerprints(read_graph(spark, out_dir)) \
+        .withColumnRenamed("n_rows", "data_rows") \
+        .withColumnRenamed("fingerprint", "data_fp")
+    man = (read_manifests(spark, out_dir)
+           .groupBy("part").agg(F.max_by("n_rows", "committed_at").alias("n_rows"),
+                                F.max_by("fingerprint", "committed_at")
+                                .alias("fingerprint")))
+    j = man.join(data_fp, "part", "full_outer")
+    status = (F.when(F.col("fingerprint").isNull(), "missing_manifest")
+              .when(F.col("data_fp").isNull(), "missing_data")
+              .when((F.col("fingerprint") == F.col("data_fp"))
+                    & (F.col("n_rows") == F.col("data_rows")), "ok")
+              .otherwise("mismatch"))
+    return j.select("part", status.alias("status"))
