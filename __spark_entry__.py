@@ -71,6 +71,25 @@ def q_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "obj_datatype", "obj_lang")
 
 
+def q_canonicalize_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed blank-node canonicalization: documents rendered as
+    anonymous JSON-LD (no @id → one bnode per doc) → triples →
+    c14n labels assigned by component canonical-form hash order.
+    The oracle reproduces the labeling in SQL: rank docs by
+    sha256(sorted canonical lines with the local _:c14n0 label)."""
+    from jsonld_spark.operators.canonicalize import canonicalize_triples
+    from jsonld_spark.operators.pipeline import docs_to_triples
+    from jsonld_spark.sources.interleaved import (interleave_spans,
+                                                  jsonld_payload_from_documents)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = jsonld_payload_from_documents(docs, anonymous=True)
+    triples = docs_to_triples(interleave_spans(payloads),
+                              include_media=False)
+    return canonicalize_triples(triples).select(
+        "graph", "subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+        "obj_lang")
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over `documents`
 # ---------------------------------------------------------------------------
@@ -203,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_doc_triples": q_jsonld_doc_triples,
         "nquads_media_lines": q_nquads_media_lines,
         "nquads_roundtrip": q_nquads_roundtrip,
+        "canonicalize_anon": q_canonicalize_anon,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
@@ -302,9 +322,49 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_CANON_ORACLE = f"""
+WITH lines AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    list_sort(list_filter([
+      CASE WHEN text IS NOT NULL THEN
+        '_:c14n0 <http://schema.org/text> "'||text||'" .' END,
+      CASE WHEN lang IS NOT NULL THEN
+        '_:c14n0 <http://schema.org/inLanguage> "'||lang||'" .' END,
+      CASE WHEN source IS NOT NULL THEN
+        '_:c14n0 <http://purl.org/dc/terms/source> "'||source||'" .' END,
+      CASE WHEN n_chars IS NOT NULL THEN
+        '_:c14n0 <http://example.org/nChars> "'||CAST(n_chars AS VARCHAR)
+        ||'"^^<{XSD}integer> .' END
+    ], x -> x IS NOT NULL)) AS ls
+  FROM documents),
+labeled AS (
+  SELECT *, row_number() OVER (
+    ORDER BY sha256(list_aggregate(
+      list_transform(ls, l -> l||chr(10)), 'string_agg', ''))) - 1 AS lbl
+  FROM lines WHERE len(ls) > 0)
+SELECT '@default' AS graph, '_:c14n'||lbl AS subj,
+       'http://schema.org/text' AS pred, 'literal' AS obj_kind,
+       text AS obj_value, '{XSD}string' AS obj_datatype, NULL AS obj_lang
+FROM labeled WHERE text IS NOT NULL
+UNION ALL
+SELECT '@default', '_:c14n'||lbl, 'http://schema.org/inLanguage', 'literal',
+       lang, '{XSD}string', NULL
+FROM labeled WHERE lang IS NOT NULL
+UNION ALL
+SELECT '@default', '_:c14n'||lbl, 'http://purl.org/dc/terms/source',
+       'literal', source, '{XSD}string', NULL
+FROM labeled WHERE source IS NOT NULL
+UNION ALL
+SELECT '@default', '_:c14n'||lbl, 'http://example.org/nChars', 'literal',
+       CAST(n_chars AS VARCHAR), '{XSD}integer', NULL
+FROM labeled WHERE n_chars IS NOT NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
+        "canonicalize_anon": _CANON_ORACLE,
         "nquads_media_lines": _NQ_MEDIA_ORACLE,
         "nquads_roundtrip": f"""
             SELECT graph, subj, pred, obj_kind, obj_value, obj_datatype,

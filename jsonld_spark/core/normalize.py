@@ -195,10 +195,10 @@ def _hash_paths(bid: str, bnodes: dict, namer: BlankNodeNamer,
     return _HashResult(md.hexdigest(), path_namer)
 
 
-def normalize_quads(quads: list[Quad]) -> list[str]:
-    """Canonicalize: returns the sorted N-Quads lines (newline-terminated)
-    with deterministic ``_:c14n{n}`` blank-node labels
-    (JsonLdApi.normalize + NormalizeUtils.hashBlankNodes)."""
+def canonical_namer(quads: list[Quad]) -> BlankNodeNamer:
+    """Run the hashBlankNodes fixpoint + hashPaths passes and return the
+    namer holding the ``old label → _:c14n{n}`` mapping (the naming core
+    of NormalizeUtils.java:35-203, without serialization)."""
     # index quads by the bnodes they mention (subject, object, graph)
     bnodes: dict[str, list[Quad]] = {}
     for q in quads:
@@ -251,24 +251,31 @@ def normalize_quads(quads: list[Quad]) -> list[str]:
         for r in results:
             for key in r.path_namer.mapping:  # insertion order
                 namer.get(key)
+    return namer
 
-    # rename bnodes and serialize (final pass, normal mode)
+
+def rename_quads(quads: list[Quad], namer: BlankNodeNamer) -> list[Quad]:
+    """Apply a canonical mapping to all bnode positions."""
     def rename(val: str) -> str:
         if val.startswith("_:") and not val.startswith("_:c14n"):
             return namer.get(val)
         return val
 
-    lines = []
-    for q in quads:
-        q2 = Quad(
-            rename(q.graph) if q.graph else q.graph,
-            rename(q.subj),
-            q.pred,
-            q.obj_kind,
-            rename(q.obj_value) if q.obj_kind == "bnode" else q.obj_value,
-            q.obj_datatype, q.obj_lang)
-        lines.append(quad_to_nquad(q2) + "\n")
-    return sorted(lines)
+    return [Quad(
+        rename(q.graph) if q.graph else q.graph,
+        rename(q.subj),
+        q.pred,
+        q.obj_kind,
+        rename(q.obj_value) if q.obj_kind == "bnode" else q.obj_value,
+        q.obj_datatype, q.obj_lang) for q in quads]
+
+
+def normalize_quads(quads: list[Quad]) -> list[str]:
+    """Canonicalize: returns the sorted N-Quads lines (newline-terminated)
+    with deterministic ``_:c14n{n}`` blank-node labels
+    (JsonLdApi.normalize + NormalizeUtils.hashBlankNodes)."""
+    namer = canonical_namer(quads)
+    return sorted(quad_to_nquad(q) + "\n" for q in rename_quads(quads, namer))
 
 
 def normalize_document(input_doc, options=None) -> str:

@@ -1,0 +1,150 @@
+"""Distributed RDF canonicalization (SURVEY.md §2 T14, §3.3 Spark trace).
+
+The reference (``core/NormalizeUtils.java:35-203``) is a sequential
+fixpoint over ALL blank nodes of the dataset. Its hash-first-degree
+values are *component-local* (a bnode's hash depends only on its own
+quads), so the distributed plan is:
+
+1. **bnode components** — blank nodes co-occurring in a quad are
+   connected; connected components via the same iterative min-label
+   propagation used for entity linking (each round one shuffle,
+   ``localCheckpoint`` to cut lineage). In pipeline output bnode labels
+   are doc-prefixed, so components are doc-local and tiny — the fixpoint
+   converges in one or two rounds.
+2. **per-component exact canonicalization** — ``applyInPandas`` per
+   component runs the verbatim pure-core algorithm
+   (``core/normalize.canonical_namer``: URGNA2012-lineage SHA-1
+   hashing + SJT permutation search), embarrassingly parallel.
+3. **deterministic global renumber** — components ordered by their
+   canonical-form hash get disjoint ``_:c14n`` label ranges (window
+   cumulative sum over one tiny row per component). Labels are a pure
+   function of graph content — never of task scheduling.
+
+Output-label note: for a single bnode component (every normalize
+fixture; any single document) labels match the reference exactly. For
+multi-component datasets the reference would interleave label numbers
+across components in global sorted-hash order — a sequential coupling
+that is also quadratic-prone when many documents share identical
+structure (equal first-degree hashes force hashPaths). Our numbering is
+canonical and deterministic (isomorphic inputs → identical output
+multiset) but may permute label *numbers* across components relative to
+a single-node run; per-component canonical forms are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.normalize import canonical_namer, rename_quads
+from ..core.nquads import quad_to_nquad
+from ..core.rdf import Quad
+from .linking import connected_components
+
+QUAD_COLS = ["doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+             "obj_datatype", "obj_lang"]
+
+_CANON_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType()) for c in QUAD_COLS]
+    + [T.StructField("component", T.StringType()),
+       T.StructField("comp_hash", T.StringType()),
+       T.StructField("n_labels", T.LongType())])
+
+
+def _bnode_mentions() -> F.Column:
+    """Distinct blank-node labels mentioned by a quad (subj, obj, graph)."""
+    is_b = [F.when(F.col("subj").startswith("_:"), F.col("subj")),
+            F.when(F.col("obj_kind") == "bnode", F.col("obj_value")),
+            F.when(F.col("graph").startswith("_:"), F.col("graph"))]
+    arr = F.array_compact(F.array(*is_b))
+    return F.array_distinct(arr)
+
+
+def bnode_components(triples: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(bnode, component) for every blank node in the dataset; bnodes
+    co-occurring in a quad share a component. Star edges to the first
+    mention keep the edge list linear in quad count."""
+    mentions = triples.select(_bnode_mentions().alias("bs")) \
+                      .where(F.size("bs") > 0)
+    multi = mentions.where(F.size("bs") > 1)
+    edges = multi.select(F.element_at("bs", 1).alias("src"),
+                         F.explode(F.slice("bs", 2, 1 << 30)).alias("dst"))
+    cc = connected_components(edges, max_iter=max_iter)
+    singles = (mentions.select(F.explode("bs").alias("node")).distinct()
+               .join(cc, "node", "left_anti")
+               .withColumn("component", F.col("node")))
+    return cc.unionByName(singles)
+
+
+def _canonize_component(pdf: pd.DataFrame) -> pd.DataFrame:
+    quads = [Quad(r.graph, r.subj, r.pred, r.obj_kind, r.obj_value,
+                  r.obj_datatype, r.obj_lang)
+             for r in pdf.itertuples()]
+    namer = canonical_namer(quads)
+    renamed = rename_quads(quads, namer)
+    import hashlib
+    # sha256 (not the algorithm's SHA-1): this hash only orders components
+    # for the global renumber, and sha256 is reproducible in SQL oracles
+    comp_hash = hashlib.sha256("".join(
+        sorted(quad_to_nquad(q) + "\n" for q in renamed)).encode()).hexdigest()
+    out = pd.DataFrame({
+        "doc_id": pdf["doc_id"].values,
+        "graph": [q.graph for q in renamed],
+        "subj": [q.subj for q in renamed],
+        "pred": [q.pred for q in renamed],
+        "obj_kind": [q.obj_kind for q in renamed],
+        "obj_value": [q.obj_value for q in renamed],
+        "obj_datatype": [q.obj_datatype for q in renamed],
+        "obj_lang": [q.obj_lang for q in renamed],
+    })
+    out["component"] = pdf["component"].iloc[0]
+    out["comp_hash"] = comp_hash
+    out["n_labels"] = namer.counter
+    return out
+
+
+def _shift_label(col: F.Column, offset: F.Column) -> F.Column:
+    return F.when(
+        col.startswith("_:c14n"),
+        F.concat(F.lit("_:c14n"),
+                 F.substring(col, 7, 1000).cast("long") + offset)
+    ).otherwise(col)
+
+
+def canonicalize_triples(triples: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """Triples → canonical triples: every blank-node label replaced by a
+    deterministic ``_:c14n{n}`` label, unique across the whole dataset.
+    Quads without blank nodes pass through untouched (no shuffle)."""
+    has_b = F.size(_bnode_mentions()) > 0
+    plain = triples.where(~has_b)
+    bquads = triples.where(has_b)
+
+    comps = bnode_components(bquads, max_iter=max_iter)
+    # every bnode of a quad maps to the same component — join on the first
+    keyed = (bquads.withColumn("_b0", F.element_at(_bnode_mentions(), 1))
+             .join(comps.withColumnRenamed("node", "_b0"), "_b0")
+             .drop("_b0"))
+
+    canon = keyed.groupBy("component").applyInPandas(
+        _canonize_component, _CANON_SCHEMA)
+
+    # deterministic disjoint label ranges: order components by canonical
+    # hash; one row per component → the window is over tiny data
+    per_comp = (canon.select("component", "comp_hash", "n_labels").distinct())
+    w = Window.orderBy("comp_hash", "component") \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_comp.select(
+        "component",
+        F.coalesce(F.sum("n_labels").over(w), F.lit(0)).alias("_offset"))
+
+    shifted = canon.join(F.broadcast(offsets), "component")
+    for c in ("graph", "subj", "obj_value"):
+        shifted = shifted.withColumn(c, _shift_label(F.col(c),
+                                                     F.col("_offset")))
+    return (shifted.select(*QUAD_COLS)
+            .unionByName(plain.select(*QUAD_COLS)))

@@ -25,22 +25,27 @@ MEDIA_REF_PREFIX = "https://media.example/img/"
 ASSOCIATED_MEDIA = "http://schema.org/associatedMedia"
 
 
-def jsonld_payload_from_documents(docs: DataFrame) -> DataFrame:
+def jsonld_payload_from_documents(docs: DataFrame,
+                                  anonymous: bool = False) -> DataFrame:
     """documents(doc_id,text,lang,source,n_chars) → (doc_id, doc_json).
 
     Builds one JSON-LD document per row with absolute-IRI keys (no remote
     context needed), deterministic key order via to_json of a struct.
+    ``anonymous=True`` omits ``@id`` — each document becomes a single
+    blank node (the canonicalization exercise path).
     """
+    fields = [
+        F.col("text").alias("http://schema.org/text"),
+        F.col("lang").alias("http://schema.org/inLanguage"),
+        F.col("source").alias("http://purl.org/dc/terms/source"),
+        F.col("n_chars").alias("http://example.org/nChars"),
+    ]
+    if not anonymous:
+        fields.insert(0, F.concat(F.lit(DOC_IRI_PREFIX),
+                                  F.col("doc_id").cast("string")).alias("@id"))
     return docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
-        F.to_json(F.struct(
-            F.concat(F.lit(DOC_IRI_PREFIX), F.col("doc_id").cast("string"))
-             .alias("@id"),
-            F.col("text").alias("http://schema.org/text"),
-            F.col("lang").alias("http://schema.org/inLanguage"),
-            F.col("source").alias("http://purl.org/dc/terms/source"),
-            F.col("n_chars").alias("http://example.org/nChars"),
-        )).alias("doc_json"),
+        F.to_json(F.struct(*fields)).alias("doc_json"),
     )
 
 

@@ -1,0 +1,122 @@
+"""Distributed canonicalization vs the pure-core reference algorithm."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_spark.core import JsonLdOptions
+from jsonld_spark.core.normalize import normalize_quads
+from jsonld_spark.core.nquads import quad_to_nquad
+from jsonld_spark.core.rdf import Quad, document_to_quads
+from jsonld_spark.operators.canonicalize import (QUAD_COLS, bnode_components,
+                                                 canonicalize_triples)
+
+SCHEMA = ", ".join(f"{c}: string" for c in QUAD_COLS)
+
+
+def _doc_quads(doc, doc_id="d0", prefix=""):
+    quads = document_to_quads(doc, JsonLdOptions())
+    if prefix:
+        def pre(v):
+            return f"_:{prefix}{v[2:]}" if v and v.startswith("_:") else v
+        quads = [Quad(pre(q.graph), pre(q.subj), q.pred, q.obj_kind,
+                      pre(q.obj_value) if q.obj_kind == "bnode" else q.obj_value,
+                      q.obj_datatype, q.obj_lang) for q in quads]
+    return [(doc_id, q.graph or "@default", q.subj, q.pred, q.obj_kind,
+             q.obj_value, q.obj_datatype, q.obj_lang) for q in quads]
+
+
+def _lines(df):
+    rows = df.collect()
+    return sorted(
+        quad_to_nquad(Quad(r.graph, r.subj, r.pred, r.obj_kind, r.obj_value,
+                           r.obj_datatype, r.obj_lang)) + "\n" for r in rows)
+
+
+CYCLE_DOC = {  # two mutually-referencing bnodes: forces hashPaths
+    "@context": {"knows": "http://xmlns.com/foaf/0.1/knows"},
+    "@graph": [
+        {"@id": "_:x", "knows": {"@id": "_:y"}},
+        {"@id": "_:y", "knows": {"@id": "_:x"}},
+    ],
+}
+
+TREE_DOC = {  # asymmetric bnode tree: unique first-degree hashes
+    "@context": {"p": "http://ex.org/p", "q": "http://ex.org/q"},
+    "p": {"q": {"p": "leaf"}},
+}
+
+
+@pytest.mark.parametrize("doc", [CYCLE_DOC, TREE_DOC],
+                         ids=["cycle", "tree"])
+def test_single_component_matches_pure_core_exactly(spark, doc):
+    rows = _doc_quads(doc)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = _lines(canonicalize_triples(df))
+    expect = normalize_quads(document_to_quads(doc, JsonLdOptions()))
+    assert got == expect
+
+
+def test_multi_component_deterministic_and_locally_exact(spark):
+    """Three docs (two structurally identical) — each one bnode component.
+    Distributed labels must be globally unique, the output independent of
+    partitioning, and each doc's quads equal to its pure-core
+    canonicalization up to a constant per-component label offset."""
+    rows = (_doc_quads(CYCLE_DOC, "a", prefix="da") +
+            _doc_quads(CYCLE_DOC, "b", prefix="db") +
+            _doc_quads(TREE_DOC, "c", prefix="dc"))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    out1 = _lines(canonicalize_triples(df.repartition(1)))
+    out2 = _lines(canonicalize_triples(df.repartition(7, "pred")))
+    assert out1 == out2  # pure function of content, not of partitioning
+
+    canon = canonicalize_triples(df).persist()
+    try:
+        labels = (canon.select(F.explode(F.array("subj", "obj_value"))
+                               .alias("v"))
+                  .where(F.col("v").startswith("_:c14n"))
+                  .select("v").distinct().collect())
+        nums = sorted(int(r.v[6:]) for r in labels)
+        assert nums == list(range(len(nums)))  # contiguous, globally unique
+
+        # per-doc: distributed labels == pure-core labels + constant offset
+        for doc_id, doc in (("a", CYCLE_DOC), ("b", CYCLE_DOC),
+                            ("c", TREE_DOC)):
+            doc_rows = canon.where(F.col("doc_id") == doc_id)
+            got = _lines(doc_rows)
+            offsets = {int(m) for line in got
+                       for m in re.findall(r"_:c14n(\d+)", line)}
+            base = min(offsets)
+            shifted = [re.sub(r"_:c14n(\d+)",
+                              lambda m: f"_:c14n{int(m.group(1)) - base}",
+                              line) for line in got]
+            expect = normalize_quads(document_to_quads(doc, JsonLdOptions()))
+            assert sorted(shifted) == expect
+    finally:
+        canon.unpersist()
+
+
+def test_bnode_components_grouping(spark):
+    rows = (_doc_quads(CYCLE_DOC, "a", prefix="da") +
+            _doc_quads(TREE_DOC, "c", prefix="dc"))
+    df = spark.createDataFrame(rows, SCHEMA)
+    comps = bnode_components(df).collect()
+    by_comp = {}
+    for r in comps:
+        by_comp.setdefault(r.component, set()).add(r.node)
+    groups = sorted(sorted(g) for g in by_comp.values())
+    # cycle doc: {x,y} one component; tree doc: 3-bnode chain together
+    assert len(groups) == 2
+    assert sorted(len(g) for g in groups) == [2, 3]
+
+
+def test_plain_triples_pass_through(spark):
+    rows = [("d", "@default", "http://s", "http://p", "iri", "http://o",
+             None, None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = canonicalize_triples(df).collect()
+    assert len(out) == 1 and out[0].subj == "http://s"
