@@ -101,6 +101,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dupes").cast("long").alias("n_dupes"))
 
 
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (md5 hash variant so the exact
+    banding is reproducible in the DuckDB oracle)."""
+    from jsonld_spark.operators.dedup import minhash_candidate_pairs
+    return minhash_candidate_pairs(
+        _read(spark, sf_dir, "documents"), shingle_len=5, num_hashes=16,
+        bands=4, hash_fn="md5") \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.dedup import simhash32
+    return simhash32(_read(spark, sf_dir, "documents")) \
+        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard of a small query set vs the corpus."""
+    from jsonld_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_jaccard_pairs(queries, docs, n=3) \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                F.col("jaccard").cast("double").alias("jaccard"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.similarity import embedding_neardup
+    return embedding_neardup(_read(spark, sf_dir, "embeddings"),
+                             threshold=0.4) \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                F.col("sim").cast("double").alias("sim"))
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.textstats import doc_stats
     df = doc_stats(_read(spark, sf_dir, "documents"))
@@ -224,6 +261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
         "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -361,6 +402,71 @@ FROM labeled WHERE n_chars IS NOT NULL
 """
 
 
+# cross-engine 32-bit hash (jsonld_spark.operators.dedup.h32)
+def _hx(expr: str, seed: int) -> str:
+    return f"('0x'||substr(md5({expr}||'#{seed}'),1,8))::BIGINT"
+
+
+_MINHASH_MINS = [
+    ("m%d" % k,
+     "list_min(list_transform(range(1, greatest(length(text)-4,1)+1), "
+     f"i -> {_hx('substr(text,i,5)', k)}))")
+    for k in range(16)]
+
+_MINHASH_BANDS = [
+    "md5(" + "||','||".join(f"CAST(m{k} AS VARCHAR)"
+                            for k in range(b * 4, b * 4 + 4)) + ")"
+    for b in range(4)]
+
+_MINHASH_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in _MINHASH_MINS)}
+  FROM documents),
+banded AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig"
+                      for b, bh in enumerate(_MINHASH_BANDS))})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {_hx('t', 0)}) AS hs
+  FROM documents),
+bits AS (
+  SELECT doc_id, b.i,
+    CASE WHEN list_sum(list_transform(hs,
+           h -> CASE WHEN (h & (1::BIGINT << b.i)) <> 0
+                THEN 1 ELSE -1 END)) > 0
+    THEN (1::BIGINT << b.i) ELSE 0 END AS bit
+  FROM th, (SELECT unnest(range(0, 32)) AS i) b)
+SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+"""
+
+_NGRAM_JACCARD_ORACLE = """
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks)-2, 1)+1),
+           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+SELECT q.doc_id AS id_a, c.doc_id AS id_b,
+       len(list_intersect(q.grams, c.grams))
+         / len(list_distinct(list_concat(q.grams, c.grams))) AS jaccard
+FROM g q JOIN g c ON q.doc_id < c.doc_id
+WHERE q.doc_id % 97 = 0
+"""
+
+_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
@@ -376,6 +482,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dupes
             FROM documents GROUP BY md5(text)
         """,
+        "minhash_pairs": _MINHASH_ORACLE,
+        "simhash": _SIMHASH_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "embedding_neardup": _NEARDUP_ORACLE,
         "doc_stats": """
             SELECT doc_id, length(text) AS n_chars_actual,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -51,6 +51,25 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_to: int = 4) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
+
+    Correctness baseline is the full self-join; at 10^9+ vectors swap the
+    candidate generator for ``lsh_buckets`` (join on bucket instead of
+    the cross product) — same verify step, sub-quadratic candidates.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("v_b"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
+    return (j.select("id_a", "id_b", sim.alias("sim"))
+            .where(F.col("sim") >= threshold))
+
+
 def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH: sign bits of dot products with fixed planes
