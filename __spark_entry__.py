@@ -189,6 +189,73 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("long").alias("component")))
 
 
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Fixed-seed hyperplanes, rounded so the same literals embed in both
+    the Spark plan and the SQL oracle."""
+    import numpy as np
+    rs = np.random.RandomState(7)
+    return [[round(float(x), 6) for x in row]
+            for row in rs.normal(size=(n_planes, dim))]
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (the 10^9-vector scale
+    path; brute-force cosine_topk is the exact baseline)."""
+    from jsonld_spark.operators.similarity import ann_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return ann_cosine_topk(emb, queries, _lsh_planes(), k=10).select(
+        "query_id", "neighbor_id", F.col("sim").cast("double").alias("sim"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → Arrow-batched feature
+    extraction (decode stubbed deterministically; see
+    operators/multimodal.py)."""
+    from jsonld_spark.operators.multimodal import (
+        extract_media_features, synth_media_from_documents)
+    media = synth_media_from_documents(_read(spark, sf_dir, "documents"))
+    feats = extract_media_features(media)
+    return feats.select(
+        "doc_id", "media_ref", "n_bytes", "content_hex",
+        *[F.round(F.element_at("feature", i + 1), 9).alias(f"f{i}")
+          for i in range(4)])
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.textstats import token_count_bpe
+    return token_count_bpe(_read(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_spark.operators.textstats import quality_score
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking over doc triples: sameAs chain edges group docs in
+    runs of 5 consecutive ids; subjects rewritten to the component
+    canonical IRI. Oracle is the closed form 5*floor(id/5)."""
+    from jsonld_spark.operators.linking import (connected_components,
+                                                link_triples)
+    from jsonld_spark.sources.interleaved import DOC_IRI_PREFIX
+    triples = q_jsonld_doc_triples(spark, sf_dir)
+    ids = (_read(spark, sf_dir, "documents")
+           .select(F.col("doc_id").cast("long").alias("id")))
+    iri = lambda c: F.concat(F.lit(DOC_IRI_PREFIX), c.cast("string"))  # noqa: E731
+    edges = (ids.where(F.col("id") % 5 != 4)
+             .join(ids.select(F.col("id").alias("id2")),
+                   F.col("id2") == F.col("id") + 1)
+             .select(iri(F.col("id")).alias("src"),
+                     iri(F.col("id2")).alias("dst")))
+    comps = connected_components(edges)
+    linked = link_triples(triples, comps)
+    return (linked.where(F.col("pred") == "http://schema.org/text")
+            .select("doc_id", "subj"))
+
+
 # ---------------------------------------------------------------------------
 # relational-operator checklist (SURVEY.md §2.3) over TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -269,6 +336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "media_features": q_media_features,
+        "token_count_bpe": q_token_count_bpe,
+        "quality_score": q_quality_score,
+        "entity_link": q_entity_link,
         "cc_components": q_cc_components,
         "lineitem_agg": q_lineitem_agg,
         "top_orders": q_top_orders,
@@ -467,10 +539,90 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
 """
 
 
+def _ann_oracle() -> str:
+    planes = _lsh_planes()
+    lits = ["[" + ",".join(repr(x) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lit}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)" for i, lit in enumerate(lits))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(b.v, q.qv), 4) AS sim
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+_MEDIA_FEATURES_ORACLE = """
+WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS content_hex,
+                  md5(md5(CAST(doc_id AS VARCHAR))) AS fh
+           FROM documents)
+SELECT doc_id,
+       'https://media.example/img/'||doc_id||'.jpg' AS media_ref,
+       CAST(16 AS BIGINT) AS n_bytes, content_hex,
+       round(('0x'||substr(fh,1,2))::INT / 255.0, 9) AS f0,
+       round(('0x'||substr(fh,3,2))::INT / 255.0, 9) AS f1,
+       round(('0x'||substr(fh,5,2))::INT / 255.0, 9) AS f2,
+       round(('0x'||substr(fh,7,2))::INT / 255.0, 9) AS f3
+FROM h
+"""
+
+_TOKEN_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+_QUALITY_ORACLE = """
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alnum,
+         ' '||lower(text)||' ' AS padded
+  FROM documents),
+t AS (
+  SELECT doc_id, n_chars, n_tokens, non_alnum,
+         CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+              + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+              + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+              + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+              AS BIGINT) AS stop_hits
+  FROM s)
+SELECT doc_id,
+       0.4 * least(n_chars / 500.0, 1.0)
+         + 0.3 * (1.0 - non_alnum / CAST(n_chars AS DOUBLE))
+         + 0.3 * least(stop_hits / n_tokens * 5.0, 1.0) AS quality
+FROM t
+"""
+
+_ENTITY_LINK_ORACLE = """
+SELECT 'doc-'||doc_id AS doc_id,
+       'http://example.org/doc/'||CAST((doc_id // 5) * 5 AS VARCHAR) AS subj
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
         "canonicalize_anon": _CANON_ORACLE,
+        "ann_topk": _ann_oracle(),
+        "media_features": _MEDIA_FEATURES_ORACLE,
+        "token_count_bpe": _TOKEN_BPE_ORACLE,
+        "quality_score": _QUALITY_ORACLE,
+        "entity_link": _ENTITY_LINK_ORACLE,
         "nquads_media_lines": _NQ_MEDIA_ORACLE,
         "nquads_roundtrip": f"""
             SELECT graph, subj, pred, obj_kind, obj_value, obj_datatype,

@@ -56,6 +56,41 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(*sel)
 
 
+# simplified GPT-2-style token classes: letter runs, digit runs,
+# punctuation runs (whitespace separates, contributes no token)
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting via a single vectorized regex — the cheap
+    proxy for tokenizer-cost estimation over a training corpus."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+         .cast("long").alias("n_bpe_tokens"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, alphanumeric
+    cleanliness, stopword presence. Every term is a plain column
+    expression with an exact SQL equivalent."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(t, " ")).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    non_alnum = F.length(F.regexp_replace(t, r"[a-z0-9 ]", ""))
+    clean_score = F.lit(1.0) - non_alnum / n_chars.cast("double")
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum((occurrences(padded, f" {w} ")
+                     for w in ("the", "a", "and", "of")),
+                    F.lit(0).cast("long"))
+    stop_score = F.least(stop_hits / n_tokens * 5.0, F.lit(1.0))
+    q = 0.4 * len_score + 0.3 * clean_score + 0.3 * stop_score
+    # no explicit rounding: the expression is the same IEEE op sequence as
+    # the SQL oracle, so raw doubles already agree bit-for-bit
+    return docs.select("doc_id", q.alias("quality"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized lowercase MD5 fingerprint — the exact-dedup
     key that survives formatting noise."""
