@@ -1,0 +1,70 @@
+"""Structured Streaming ingest: stream == batch, checkpoint-resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonld_spark.operators.pipeline import QUAD_COLS, docs_to_triples
+from jsonld_spark.sources.interleaved import interleaved_from_documents
+from jsonld_spark.streaming.ingest import (start_triple_ingest,
+                                           windowed_event_counts)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.select(*QUAD_COLS).collect())
+
+
+def test_stream_equals_batch_and_resumes(spark, tmp_path):
+    docs = interleaved_from_documents(spark, SF_DIR).persist()
+    first = docs.where(F.regexp_replace("doc_id", "^doc-", "")
+                       .cast("long") < 300)
+    second = docs.where(F.regexp_replace("doc_id", "^doc-", "")
+                        .cast("long") >= 300)
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first.write.mode("append").parquet(input_dir)
+
+    q = start_triple_ingest(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir)
+    want1 = docs_to_triples(first, dedupe=False)
+    assert _sorted_rows(got1) == _sorted_rows(want1)
+
+    # resume: add more files, restart with the SAME checkpoint — only the
+    # new files are processed, nothing is reprocessed or lost
+    second.write.mode("append").parquet(input_dir)
+    q2 = start_triple_ingest(spark, input_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    want2 = docs_to_triples(docs, dedupe=False)
+    assert _sorted_rows(got2) == _sorted_rows(want2)
+    docs.unpersist()
+
+
+def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    input_dir = str(tmp_path / "ev")
+    events.write.mode("append").parquet(input_dir)
+
+    stream = (spark.readStream.schema(events.schema).parquet(input_dir))
+    agg = windowed_event_counts(stream)
+    out_dir = str(tmp_path / "agg")
+    q = (agg.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "aggckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = windowed_event_counts(events)  # watermark is a no-op on batch
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    # append mode emits only windows closed by the watermark; on a finite
+    # file stream the final windows may be withheld — got ⊆ want, and all
+    # emitted rows must match exactly
+    assert set(a) <= set(b)
+    assert len(a) >= len(b) - 4  # at most the tail windows withheld
