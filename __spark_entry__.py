@@ -20,7 +20,10 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from jsonld_spark.session import spread_partitions
+    # test parquet is one small file = one split; spread so operators use
+    # all cores (real warehouse scans already have enough splits — no-op)
+    return spread_partitions(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -479,10 +482,13 @@ def _hx(expr: str, seed: int) -> str:
     return f"('0x'||substr(md5({expr}||'#{seed}'),1,8))::BIGINT"
 
 
+# mirrors jsonld_spark.operators.dedup: base h32 per shingle, k affine
+# rehashes (A_k·h + B_k) mod P, min per k
+_MH_P = 4294967311
 _MINHASH_MINS = [
     ("m%d" % k,
-     "list_min(list_transform(range(1, greatest(length(text)-4,1)+1), "
-     f"i -> {_hx('substr(text,i,5)', k)}))")
+     f"list_min(list_transform(hs, h -> (h*{2 * k + 1} + {k * k + 7})"
+     f" % {_MH_P}))")
     for k in range(16)]
 
 _MINHASH_BANDS = [
@@ -491,9 +497,14 @@ _MINHASH_BANDS = [
     for b in range(4)]
 
 _MINHASH_ORACLE = f"""
-WITH sig AS (
-  SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in _MINHASH_MINS)}
+WITH bh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text)-4,1)+1),
+                        i -> {_hx('substr(text,i,5)', 0)}) AS hs
   FROM documents),
+sig AS (
+  SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in _MINHASH_MINS)}
+  FROM bh),
 banded AS (
   {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig"
                       for b, bh in enumerate(_MINHASH_BANDS))})

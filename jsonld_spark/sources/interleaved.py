@@ -84,7 +84,8 @@ def interleave_spans(payloads: DataFrame, n_text_spans: int = 3,
 def interleaved_from_documents(spark: SparkSession, sf_dir: str,
                                n_text_spans: int = 3) -> DataFrame:
     """Full synthesis: driver documents parquet → interleaved-spans table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..session import spread_partitions
+    docs = spread_partitions(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return interleave_spans(jsonld_payload_from_documents(docs), n_text_spans)
 
 
