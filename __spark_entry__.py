@@ -93,6 +93,33 @@ def q_canonicalize_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_lang")
 
 
+_COMPACT_CTX = {
+    "text": "http://schema.org/text",
+    "lang": "http://schema.org/inLanguage",
+    "source": "http://purl.org/dc/terms/source",
+    "nChars": "http://example.org/nChars",
+}
+
+
+def q_compact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output stage T10: expand + compact per document with a broadcast
+    context; canonical-JSON output column."""
+    from jsonld_spark.operators.outputs import compact_docs
+    from jsonld_spark.sources.interleaved import (assemble_documents,
+                                                  interleaved_from_documents)
+    assembled = assemble_documents(interleaved_from_documents(spark, sf_dir))
+    return compact_docs(assembled, _COMPACT_CTX).select("doc_id", "out_json")
+
+
+def q_fromrdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output stage T9 (fromRDF): the triples DataFrame reassembled into
+    expanded JSON-LD per document (groupBy doc, local list/graph
+    reconstruction)."""
+    from jsonld_spark.operators.outputs import jsonld_from_triples
+    triples = q_jsonld_doc_triples(spark, sf_dir)
+    return jsonld_from_triples(triples).select("doc_id", "out_json")
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over `documents`
 # ---------------------------------------------------------------------------
@@ -330,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_media_lines": q_nquads_media_lines,
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
+        "compact_docs": q_compact_docs,
+        "fromrdf_docs": q_fromrdf_docs,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -618,6 +647,31 @@ SELECT doc_id,
 FROM t
 """
 
+# canonical-JSON reconstructions (documents table has no NULL fields at
+# the driver SFs; conditional-field CASEs omitted deliberately)
+_COMPACT_ORACLE = """
+SELECT 'doc-'||doc_id AS doc_id,
+  '{"@context":{"lang":"http://schema.org/inLanguage",'
+  ||'"nChars":"http://example.org/nChars",'
+  ||'"source":"http://purl.org/dc/terms/source",'
+  ||'"text":"http://schema.org/text"},'
+  ||'"@id":"http://example.org/doc/'||doc_id||'",'
+  ||'"lang":"'||lang||'","nChars":'||n_chars||','
+  ||'"source":"'||source||'","text":"'||text||'"}' AS out_json
+FROM documents
+"""
+
+_FROMRDF_ORACLE = """
+SELECT 'doc-'||doc_id AS doc_id,
+  '[{"@id":"http://example.org/doc/'||doc_id||'",'
+  ||'"http://example.org/nChars":[{"@type":"http://www.w3.org/2001/XMLSchema#integer","@value":"'||n_chars||'"}],'
+  ||'"http://purl.org/dc/terms/source":[{"@value":"'||source||'"}],'
+  ||'"http://schema.org/associatedMedia":[{"@id":"https://media.example/img/'||doc_id||'.jpg"}],'
+  ||'"http://schema.org/inLanguage":[{"@value":"'||lang||'"}],'
+  ||'"http://schema.org/text":[{"@value":"'||text||'"}]}]' AS out_json
+FROM documents
+"""
+
 _ENTITY_LINK_ORACLE = """
 SELECT 'doc-'||doc_id AS doc_id,
        'http://example.org/doc/'||CAST((doc_id // 5) * 5 AS VARCHAR) AS subj
@@ -629,6 +683,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
         "canonicalize_anon": _CANON_ORACLE,
+        "compact_docs": _COMPACT_ORACLE,
+        "fromrdf_docs": _FROMRDF_ORACLE,
         "ann_topk": _ann_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
         "token_count_bpe": _TOKEN_BPE_ORACLE,

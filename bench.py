@@ -94,34 +94,84 @@ def run_once() -> dict:
     return result
 
 
+def run_throughput() -> dict:
+    """Compute-bound flagship throughput: the sf corpus replicated REPL×
+    (deterministic crossJoin — same input at every parallelism level) →
+    docs_to_triples → count. At sf0.1 the raw corpus finishes in ~2 s of
+    mostly fixed overhead, which can't show scaling; the replicated run
+    keeps every core busy for tens of seconds, the regime a 100 TB scan
+    actually operates in."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__  # noqa: F401  (CWD import check)
+    from jsonld_spark.operators.pipeline import docs_to_triples
+    from jsonld_spark.session import get_spark
+    from jsonld_spark.sources.interleaved import (
+        interleave_spans, jsonld_payload_from_documents)
+
+    repl = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "64"))
+    spark = get_spark("bench-throughput", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .crossJoin(spark.range(repl).select(F.col("id").alias("_r")))
+            .withColumn("doc_id",
+                        F.col("doc_id") * repl + F.col("_r")).drop("_r")
+            .repartition(int(CPUS) * 4))
+    triples = docs_to_triples(
+        interleave_spans(jsonld_payload_from_documents(docs)))
+    n = triples.count()  # warm: JIT + UDF worker pool
+    dt = None
+    for _ in range(3):  # best-of-3: the sandbox is shared, loadavg varies
+        t0 = time.perf_counter()
+        n = triples.count()
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
+    out = {"cpus": int(CPUS), "n_triples": n, "sec": round(dt, 3),
+           "triples_per_sec": round(n / dt, 1), "repl": repl,
+           "sf": sf_of(SF_DIR),
+           "loadavg_1m": round(os.getloadavg()[0], 1)}
+    spark.stop()
+    return out
+
+
 def run_scaling() -> None:
     results = {}
     for cpus in ("8", "32"):
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True)
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        out = subprocess.run([sys.executable, __file__, "--throughput"],
+                             env=env, capture_output=True, text=True,
+                             check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    # headline per-query numbers at the full parallelism for the record
+    out = subprocess.run([sys.executable, __file__],
+                         env=dict(os.environ, SPARK_GRAFT_CPUS="32"),
+                         capture_output=True, text=True, check=True)
+    headline = json.loads(out.stdout.strip().splitlines()[-1])
     tp8 = results["8"]["triples_per_sec"]
     tp32 = results["32"]["triples_per_sec"]
     eff = tp32 / (4 * tp8) if tp8 else 0.0
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("# BENCH results — scaling protocol (BASELINE.md)\n\n")
-        f.write(f"Corpus: `{SF_DIR}` (sf={sf_of(SF_DIR)}), identical input "
-                f"at both parallelism levels.\n\n")
-        f.write("| parallelism | headline total (s) | flagship triples/sec |\n")
-        f.write("|---|---|---|\n")
+        f.write(
+            f"Scaling job: flagship pipeline (interleaved docs → expand → "
+            f"toRDF → triples, global dedup) over `{SF_DIR}` documents "
+            f"replicated ×{results['32']['repl']} "
+            f"({results['32']['n_triples']} triples) — identical input at "
+            f"both parallelism levels; local[8] vs local[32] is the "
+            f"sandbox proxy for N → 4N executors.\n\n")
+        f.write("| parallelism | wall (s) | triples/sec |\n|---|---|---|\n")
         for cpus in ("8", "32"):
             r = results[cpus]
-            f.write(f"| local[{cpus}] | {r['value']} | "
+            f.write(f"| local[{cpus}] | {r['sec']} | "
                     f"{r['triples_per_sec']} |\n")
-        f.write(f"\nScaling efficiency local[8]→local[32] "
+        f.write(f"\nScaling efficiency N→4N "
                 f"(throughput@4N / (4 × throughput@N)): **{eff:.3f}** "
                 f"(target ≥ 0.8 per BASELINE.json)\n\n")
-        f.write("Per-query seconds:\n\n```json\n")
-        f.write(json.dumps({c: results[c]["queries"] for c in results},
-                           indent=2))
+        f.write(f"Headline queries at local[32], sf={headline['sf']} "
+                f"(best-of-2 seconds):\n\n```json\n")
+        f.write(json.dumps(headline["queries"], indent=2))
         f.write("\n```\n")
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "tp8": tp8, "tp32": tp32}))
@@ -130,5 +180,7 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--throughput" in sys.argv:
+        print(json.dumps(run_throughput()))
     else:
         print(json.dumps(run_once()))
