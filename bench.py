@@ -109,7 +109,7 @@ def run_throughput() -> dict:
     from jsonld_spark.sources.interleaved import (
         interleave_spans, jsonld_payload_from_documents)
 
-    repl = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "64"))
+    repl = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "512"))
     spark = get_spark("bench-throughput", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
@@ -122,7 +122,7 @@ def run_throughput() -> dict:
         interleave_spans(jsonld_payload_from_documents(docs)))
     n = triples.count()  # warm: JIT + UDF worker pool
     dt = None
-    for _ in range(3):  # best-of-3: the sandbox is shared, loadavg varies
+    for _ in range(2):  # best-of-2: the sandbox is shared, loadavg varies
         t0 = time.perf_counter()
         n = triples.count()
         d = time.perf_counter() - t0
@@ -135,46 +135,66 @@ def run_throughput() -> dict:
     return out
 
 
+# (N, 4N, corpus replication) — each pair compares identical input at
+# its two levels. The 2→8 pair stays meaningful when the shared sandbox
+# carries external load (needs only 8 free cores); 8→32 needs a quiet box.
+SCALING_PAIRS = [("2", "8", "128"), ("8", "32", "512")]
+
+
+def _throughput_at(cpus: str, repl: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+               SPARK_GRAFT_SCALING_REPL=repl)
+    out = subprocess.run([sys.executable, __file__, "--throughput"],
+                         env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_scaling() -> None:
-    results = {}
-    for cpus in ("8", "32"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
-        out = subprocess.run([sys.executable, __file__, "--throughput"],
-                             env=env, capture_output=True, text=True,
-                             check=True)
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    pairs = []
+    for n, n4, repl in SCALING_PAIRS:
+        a = _throughput_at(n, repl)
+        b = _throughput_at(n4, repl)
+        eff = b["triples_per_sec"] / (4 * a["triples_per_sec"])
+        pairs.append({"n": n, "n4": n4, "lo": a, "hi": b,
+                      "efficiency": round(eff, 3)})
     # headline per-query numbers at the full parallelism for the record
     out = subprocess.run([sys.executable, __file__],
                          env=dict(os.environ, SPARK_GRAFT_CPUS="32"),
                          capture_output=True, text=True, check=True)
     headline = json.loads(out.stdout.strip().splitlines()[-1])
-    tp8 = results["8"]["triples_per_sec"]
-    tp32 = results["32"]["triples_per_sec"]
-    eff = tp32 / (4 * tp8) if tp8 else 0.0
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("# BENCH results — scaling protocol (BASELINE.md)\n\n")
         f.write(
-            f"Scaling job: flagship pipeline (interleaved docs → expand → "
-            f"toRDF → triples, global dedup) over `{SF_DIR}` documents "
-            f"replicated ×{results['32']['repl']} "
-            f"({results['32']['n_triples']} triples) — identical input at "
-            f"both parallelism levels; local[8] vs local[32] is the "
-            f"sandbox proxy for N → 4N executors.\n\n")
-        f.write("| parallelism | wall (s) | triples/sec |\n|---|---|---|\n")
-        for cpus in ("8", "32"):
-            r = results[cpus]
-            f.write(f"| local[{cpus}] | {r['sec']} | "
-                    f"{r['triples_per_sec']} |\n")
-        f.write(f"\nScaling efficiency N→4N "
-                f"(throughput@4N / (4 × throughput@N)): **{eff:.3f}** "
-                f"(target ≥ 0.8 per BASELINE.json)\n\n")
+            "Scaling job: flagship pipeline (interleaved docs → expand → "
+            f"toRDF → triples + media links, global dedup) over `{SF_DIR}` "
+            "documents deterministically replicated — identical input at "
+            "both levels of each pair; local[N] vs local[4N] is the "
+            "sandbox proxy for N → 4N executors (no real cluster here). "
+            "The box is shared: loadavg_1m records external load at "
+            "measurement time; the 2→8 pair is robust to it, the 8→32 "
+            "pair needs a quiet machine.\n\n")
+        f.write("| pair | input triples | wall N (s) | wall 4N (s) | "
+                "tps N | tps 4N | efficiency | loadavg (N / 4N) |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for p in pairs:
+            f.write(f"| local[{p['n']}]→local[{p['n4']}] "
+                    f"| {p['hi']['n_triples']} "
+                    f"| {p['lo']['sec']} | {p['hi']['sec']} "
+                    f"| {p['lo']['triples_per_sec']} "
+                    f"| {p['hi']['triples_per_sec']} "
+                    f"| **{p['efficiency']}** "
+                    f"| {p['lo']['loadavg_1m']} / {p['hi']['loadavg_1m']} |\n")
+        f.write("\nTarget ≥ 0.8 per BASELINE.json "
+                "(throughput@4N / (4 × throughput@N)).\n\n")
         f.write(f"Headline queries at local[32], sf={headline['sf']} "
                 f"(best-of-2 seconds):\n\n```json\n")
         f.write(json.dumps(headline["queries"], indent=2))
         f.write("\n```\n")
-    print(json.dumps({"scaling_efficiency": round(eff, 3),
-                      "tp8": tp8, "tp32": tp32}))
+    print(json.dumps({"pairs": [{k: p[k] for k in ("n", "n4", "efficiency")}
+                                | {"tpN": p["lo"]["triples_per_sec"],
+                                   "tp4N": p["hi"]["triples_per_sec"]}
+                                for p in pairs]}))
 
 
 if __name__ == "__main__":

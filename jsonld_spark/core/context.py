@@ -603,6 +603,60 @@ class Context:
             return value_value
         return value
 
+    def get_prefixes(self, only_common_prefixes: bool) -> dict[str, str]:
+        """Term defs → prefix map (Context.java:857-880). With
+        ``only_common_prefixes`` keep only ids ending in '/' or '#'
+        (namespace-shaped); driver-side metadata for useNamespaces
+        output (SURVEY.md §2.2 T18)."""
+        prefixes: dict[str, str] = {}
+        for term, definition in self.term_definitions.items():
+            if ":" in term or definition is None:
+                continue
+            iri = definition.get("@id")
+            if iri is None or term.startswith("@") or iri.startswith("@"):
+                continue
+            if not only_common_prefixes or iri.endswith("/") \
+                    or iri.endswith("#"):
+                prefixes[term] = iri
+        return prefixes
+
+    def serialize(self) -> dict:
+        """Active context → ``{"@context": {...}}`` JSON
+        (Context.java:1150-1205; deprecated in the reference, kept for
+        debugging — SURVEY.md §2.2 T19)."""
+        ctx: dict[str, Any] = {}
+        if self.base is not None and self.base != self.options.base:
+            ctx["@base"] = self.base
+        if self.language is not None:
+            ctx["@language"] = self.language
+        if self.vocab is not None:
+            ctx["@vocab"] = self.vocab
+        for term, definition in self.term_definitions.items():
+            if definition is None:
+                continue
+            lang_absent = definition.get("@language") is None
+            reverse = bool(definition.get("@reverse"))
+            if (lang_absent and definition.get("@container") is None
+                    and definition.get("@type") is None and not reverse):
+                cid = self.compact_iri(definition.get("@id"))
+                ctx[term] = definition.get("@id") if term == cid else cid
+            else:
+                defn: dict[str, Any] = {}
+                cid = self.compact_iri(definition.get("@id"))
+                if not (term == cid and not reverse):
+                    defn["@reverse" if reverse else "@id"] = cid
+                type_mapping = definition.get("@type")
+                if type_mapping is not None:
+                    defn["@type"] = type_mapping if is_keyword(type_mapping) \
+                        else self.compact_iri(type_mapping, relative_to_vocab=True)
+                if definition.get("@container") is not None:
+                    defn["@container"] = definition["@container"]
+                lang = definition.get("@language")
+                if "@language" in definition and not lang_absent:
+                    defn["@language"] = None if lang is False else lang
+                ctx[term] = defn
+        return {"@context": ctx} if ctx else {}
+
     def is_reverse_property(self, prop: str | None) -> bool:
         td = self.term_definitions.get(prop) if prop else None
         return bool(td and td.get("@reverse"))

@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 from ..core.context import JsonLdOptions
 from ..core.rdf import document_to_quads
-from ..sources.interleaved import assemble_documents, media_triples
+from ..sources.interleaved import assemble_documents
 
 QUAD_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -59,10 +59,17 @@ def _prefix_bnode(label: str, tag: str) -> str:
 
 def make_extract_quads(base: str | None = None,
                        contexts: dict[str, dict] | None = None,
-                       globalize_bnodes: bool = True):
+                       globalize_bnodes: bool = True,
+                       include_media: bool = False):
     """Build the mapInPandas function. ``contexts`` is the pre-resolved
     remote-context cache (broadcast by value into the closure — executors
-    never do HTTP; reference role: JarCacheStorage)."""
+    never do HTTP; reference role: JarCacheStorage).
+
+    ``include_media=True`` emits the media-linking triples from the same
+    pass (batch carries a ``media_refs`` column): a JVM-side explode of
+    the assembled lineage would re-evaluate the whole interpreted
+    span-assembly expression chain per output row inside Generate —
+    measured ~40× slower than emitting the rows here."""
     ctx_cache = contexts or {}
 
     def loader(url: str):
@@ -90,7 +97,11 @@ def make_extract_quads(base: str | None = None,
                 out["obj_lang"].append(olang)
                 out["error"].append(err)
 
-            for doc_id, doc_json in zip(pdf["doc_id"], pdf["doc_json"]):
+            media_col = (pdf["media_refs"] if include_media
+                         and "media_refs" in pdf.columns
+                         else [None] * len(pdf))
+            for doc_id, doc_json, refs in zip(pdf["doc_id"],
+                                              pdf["doc_json"], media_col):
                 try:
                     doc = json.loads(doc_json)
                     quads = document_to_quads(doc, opts)
@@ -104,6 +115,14 @@ def make_extract_quads(base: str | None = None,
                                 o = _prefix_bnode(o, tag)
                         emit(doc_id, g, s, q.pred, q.obj_kind, o,
                              q.obj_datatype, q.obj_lang, None)
+                    if refs is not None and len(refs):
+                        from ..sources.interleaved import (ASSOCIATED_MEDIA,
+                                                           DOC_IRI_PREFIX)
+                        did = doc_id[4:] if doc_id.startswith("doc-") else doc_id
+                        subj = DOC_IRI_PREFIX + did
+                        for ref in refs:
+                            emit(doc_id, "@default", subj, ASSOCIATED_MEDIA,
+                                 "iri", ref, None, None, None)
                 except Exception as e:  # noqa: BLE001 - per-doc isolation
                     emit(doc_id, None, None, None, None, None, None, None,
                          f"{type(e).__name__}: {e}")
@@ -114,10 +133,15 @@ def make_extract_quads(base: str | None = None,
 
 def extract_quads(assembled: DataFrame, base: str | None = None,
                   contexts: dict[str, dict] | None = None,
-                  globalize_bnodes: bool = True) -> DataFrame:
-    """(doc_id, doc_json) → quad rows + error rows (error column set)."""
-    fn = make_extract_quads(base, contexts, globalize_bnodes)
-    return assembled.select("doc_id", "doc_json").mapInPandas(fn, QUAD_SCHEMA)
+                  globalize_bnodes: bool = True,
+                  include_media: bool = False) -> DataFrame:
+    """(doc_id, doc_json[, media_refs]) → quad rows + error rows
+    (error column set)."""
+    fn = make_extract_quads(base, contexts, globalize_bnodes, include_media)
+    cols = ["doc_id", "doc_json"]
+    if include_media and "media_refs" in assembled.columns:
+        cols.append("media_refs")
+    return assembled.select(*cols).mapInPandas(fn, QUAD_SCHEMA)
 
 
 def docs_to_triples(interleaved: DataFrame, base: str | None = None,
@@ -127,12 +151,12 @@ def docs_to_triples(interleaved: DataFrame, base: str | None = None,
     """Full stage: interleaved spans table → triples DataFrame
     (doc_id, graph, subj, pred, obj_kind, obj_value, obj_datatype,
     obj_lang). Errors are filtered out here; use ``extract_quads``
-    directly to inspect them."""
+    directly to inspect them. Media-link triples come out of the same
+    single pass over the assembled batch (see make_extract_quads)."""
     assembled = assemble_documents(interleaved)
-    quads = extract_quads(assembled, base, contexts)
+    quads = extract_quads(assembled, base, contexts,
+                          include_media=include_media)
     triples = quads.where(F.col("error").isNull()).drop("error")
-    if include_media:
-        triples = triples.unionByName(media_triples(assembled))
     if dedupe:
         triples = triples.dropDuplicates(QUAD_COLS)
     return triples

@@ -6,7 +6,8 @@ fixture; semantics are defined by our tests: a stream run over the same
 files must equal the batch pipeline's output.
 
 Design: the SAME transformation functions as the batch path
-(``assemble_documents`` → ``extract_quads`` → media explode) applied to
+(``assemble_documents`` → ``extract_quads`` with fused media
+emission) applied to
 a ``readStream`` source — Structured Streaming's incremental planner
 handles the rest. Exactly-once lands on the file sink's commit log plus
 the checkpoint directory: restarting a killed stream resumes from the
@@ -27,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.pipeline import QUAD_COLS, extract_quads
-from ..sources.interleaved import assemble_documents, media_triples
+from ..sources.interleaved import assemble_documents
 
 # file streams need an explicit schema (no inference at stream start)
 INTERLEAVED_SCHEMA = T.StructType([
@@ -58,11 +59,8 @@ def stream_triples(interleaved: DataFrame,
     """Streaming variant of ``docs_to_triples`` (same stage functions,
     no global dedup — see module docstring)."""
     assembled = assemble_documents(interleaved)
-    quads = extract_quads(assembled)
-    triples = quads.where(F.col("error").isNull()).drop("error")
-    if include_media:
-        triples = triples.unionByName(media_triples(assembled))
-    return triples
+    quads = extract_quads(assembled, include_media=include_media)
+    return quads.where(F.col("error").isNull()).drop("error")
 
 
 def start_triple_ingest(spark: SparkSession, input_dir: str, out_dir: str,
