@@ -20,10 +20,15 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from jsonld_spark.session import spread_partitions
-    # test parquet is one small file = one split; spread so operators use
-    # all cores (real warehouse scans already have enough splits — no-op)
-    return spread_partitions(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # full-scan compute tables arrive as one small file = one split;
+        # spread so per-row-heavy operators use all cores. Relational
+        # tables stay unwrapped — a repartition above the scan blocks
+        # filter/column pushdown (asserted in tests/test_plans.py).
+        from jsonld_spark.session import spread_partitions
+        df = spread_partitions(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
