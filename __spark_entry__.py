@@ -129,6 +129,18 @@ def q_fromrdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data operators over `documents`
 # ---------------------------------------------------------------------------
 
+def q_subject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase subject rollup over the doc triples (salted
+    partial agg for hub subjects, final merge per subject)."""
+    from jsonld_spark.operators.materialize import subject_stats
+    triples = q_jsonld_doc_triples(spark, sf_dir)
+    stats = subject_stats(triples, heavy_threshold=100, sample_fraction=1.0,
+                          n_salts=8)
+    return stats.select(
+        "subj", F.col("n_triples").cast("long").alias("n_triples"),
+        F.concat_ws("|", "preds").alias("preds"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.dedup import exact_dedup
     return exact_dedup(_read(spark, sf_dir, "documents")) \
@@ -364,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
         "fromrdf_docs": q_fromrdf_docs,
+        "subject_stats": q_subject_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -690,6 +703,12 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_anon": _CANON_ORACLE,
         "compact_docs": _COMPACT_ORACLE,
         "fromrdf_docs": _FROMRDF_ORACLE,
+        "subject_stats": f"""
+            SELECT subj, count(*) AS n_triples,
+                   string_agg(DISTINCT pred, '|' ORDER BY pred) AS preds
+            FROM ({_DOC_TRIPLES_ORACLE}) t
+            GROUP BY subj
+        """,
         "ann_topk": _ann_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
         "token_count_bpe": _TOKEN_BPE_ORACLE,
