@@ -1,0 +1,44 @@
+"""The spark-submit deliverable end to end: run, resume, metrics."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "scripts")
+
+from jsonld_spark.operators.materialize import read_graph, verify_manifests
+from jsonld_spark.sources.interleaved import interleaved_from_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_run_pipeline_and_resume(spark, tmp_path, capsys):
+    import run_pipeline
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "kg")
+    interleaved_from_documents(spark, SF_DIR).write.parquet(inp)
+
+    rc = run_pipeline.main(["--input", inp, "--output", out,
+                            "--n-buckets", "8", "--run-id", "r1"])
+    assert rc == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["pending"] == 8 and m1["errors"] == 0 and m1["rows"] > 0
+
+    graph = read_graph(spark, out)
+    assert graph.count() == m1["rows"]
+    assert {r["status"] for r in verify_manifests(spark, out).collect()} \
+        == {"ok"}
+    # media links made it through the fused path
+    assert graph.where(
+        F.col("pred") == "http://schema.org/associatedMedia").count() > 0
+
+    # second run: everything already manifested -> nothing rewritten
+    rc = run_pipeline.main(["--input", inp, "--output", out,
+                            "--n-buckets", "8", "--run-id", "r2"])
+    assert rc == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["pending"] == 0 and m2["skipped"] == 8
