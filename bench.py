@@ -113,11 +113,14 @@ def run_throughput() -> dict:
     spark = get_spark("bench-throughput", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
+    # repartition BEFORE the replicating crossJoin: generation then runs
+    # on every core instead of one task materializing the whole corpus
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
-            .crossJoin(spark.range(repl).select(F.col("id").alias("_r")))
+            .repartition(int(CPUS) * 4)
+            .crossJoin(F.broadcast(
+                spark.range(repl).select(F.col("id").alias("_r"))))
             .withColumn("doc_id",
-                        F.col("doc_id") * repl + F.col("_r")).drop("_r")
-            .repartition(int(CPUS) * 4))
+                        F.col("doc_id") * repl + F.col("_r")).drop("_r"))
     triples = docs_to_triples(
         interleave_spans(jsonld_payload_from_documents(docs)))
     n = triples.count()  # warm: JIT + UDF worker pool

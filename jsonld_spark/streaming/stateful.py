@@ -1,0 +1,74 @@
+"""Custom stateful streaming operators.
+
+No reference analogue (jsonld-java is synchronous batch — SURVEY.md
+§2.3); semantics are defined by our tests: the stream result must equal
+the batch computation over the same rows.
+
+Two state layers:
+
+* ``stream_exact_dedup`` — engine-managed dedup state keyed by content
+  hash. Without a watermark the state is unbounded (exact global dedup);
+  pass ``within_watermark`` to bound state for append-heavy feeds where
+  duplicates arrive close together.
+* ``stream_user_totals`` — ``applyInPandasWithState``: an explicit
+  GroupState per user accumulating (count, total) across micro-batches —
+  the template for custom accumulators (session windows, dedup-with-TTL,
+  incremental entity stats) that built-in operators can't express.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def stream_exact_dedup(docs: DataFrame, text_col: str = "text",
+                       watermark_col: str | None = None,
+                       within_watermark: str | None = None) -> DataFrame:
+    """First occurrence of each distinct text survives; engine dedup
+    state persists across micro-batches (and restarts, via the
+    checkpoint)."""
+    hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
+    if within_watermark and watermark_col:
+        return (hashed.withWatermark(watermark_col, within_watermark)
+                .dropDuplicatesWithinWatermark(["_h"]).drop("_h"))
+    return hashed.dropDuplicates(["_h"]).drop("_h")
+
+
+def _update_user_totals(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value": [total]})
+
+
+def stream_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user (count, sum) maintained in explicit GroupState —
+    emits the updated totals for every user seen in each micro-batch."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_user_totals,
+                outputStructType=USER_TOTALS_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
