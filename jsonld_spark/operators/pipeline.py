@@ -60,10 +60,15 @@ def _prefix_bnode(label: str, tag: str) -> str:
 def make_extract_quads(base: str | None = None,
                        contexts: dict[str, dict] | None = None,
                        globalize_bnodes: bool = True,
-                       include_media: bool = False):
+                       include_media: bool = False,
+                       document_loader=None,
+                       options_kwargs: dict | None = None):
     """Build the mapInPandas function. ``contexts`` is the pre-resolved
     remote-context cache (broadcast by value into the closure — executors
-    never do HTTP; reference role: JarCacheStorage).
+    never do HTTP; reference role: JarCacheStorage). A batch ``base``
+    column overrides the global ``base`` per document (documents carry
+    their own URI). ``document_loader``/``options_kwargs`` override the
+    cache loader / extra JsonLdOptions — conformance-harness hooks.
 
     ``include_media=True`` emits the media-linking triples from the same
     pass (batch carries a ``media_refs`` column): a JVM-side explode of
@@ -71,18 +76,22 @@ def make_extract_quads(base: str | None = None,
     span-assembly expression chain per output row inside Generate —
     measured ~40× slower than emitting the rows here."""
     ctx_cache = contexts or {}
+    extra_opts = options_kwargs or {}
 
-    def loader(url: str):
+    def cache_loader(url: str):
         if url in ctx_cache:
             return ctx_cache[url]
         raise IOError(f"remote context not pre-resolved: {url}")
+
+    loader = document_loader or cache_loader
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
         # deep recursive docs: one recursion frame budget well above default
         if sys.getrecursionlimit() < 20000:
             sys.setrecursionlimit(20000)
-        opts = JsonLdOptions(base=base, document_loader=loader)
+        opts = JsonLdOptions(base=base, document_loader=loader, **extra_opts)
+        opts_by_base: dict = {}
         for pdf in batches:
             out = {c: [] for c in QUAD_SCHEMA.fieldNames()}
 
@@ -100,11 +109,20 @@ def make_extract_quads(base: str | None = None,
             media_col = (pdf["media_refs"] if include_media
                          and "media_refs" in pdf.columns
                          else [None] * len(pdf))
-            for doc_id, doc_json, refs in zip(pdf["doc_id"],
-                                              pdf["doc_json"], media_col):
+            base_col = (pdf["base"] if "base" in pdf.columns
+                        else [None] * len(pdf))
+            for doc_id, doc_json, refs, row_base in zip(
+                    pdf["doc_id"], pdf["doc_json"], media_col, base_col):
                 try:
                     doc = json.loads(doc_json)
-                    quads = document_to_quads(doc, opts)
+                    doc_opts = opts
+                    if row_base is not None:
+                        if row_base not in opts_by_base:
+                            opts_by_base[row_base] = JsonLdOptions(
+                                base=row_base, document_loader=loader,
+                                **extra_opts)
+                        doc_opts = opts_by_base[row_base]
+                    quads = document_to_quads(doc, doc_opts)
                     tag = _doc_tag(doc_id, doc_json) if globalize_bnodes else None
                     for q in quads:
                         g, s, o = q.graph, q.subj, q.obj_value
@@ -134,13 +152,18 @@ def make_extract_quads(base: str | None = None,
 def extract_quads(assembled: DataFrame, base: str | None = None,
                   contexts: dict[str, dict] | None = None,
                   globalize_bnodes: bool = True,
-                  include_media: bool = False) -> DataFrame:
-    """(doc_id, doc_json[, media_refs]) → quad rows + error rows
+                  include_media: bool = False,
+                  document_loader=None,
+                  options_kwargs: dict | None = None) -> DataFrame:
+    """(doc_id, doc_json[, media_refs][, base]) → quad rows + error rows
     (error column set)."""
-    fn = make_extract_quads(base, contexts, globalize_bnodes, include_media)
+    fn = make_extract_quads(base, contexts, globalize_bnodes, include_media,
+                            document_loader, options_kwargs)
     cols = ["doc_id", "doc_json"]
     if include_media and "media_refs" in assembled.columns:
         cols.append("media_refs")
+    if "base" in assembled.columns:
+        cols.append("base")
     return assembled.select(*cols).mapInPandas(fn, QUAD_SCHEMA)
 
 
