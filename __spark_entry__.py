@@ -129,6 +129,31 @@ def q_fromrdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data operators over `documents`
 # ---------------------------------------------------------------------------
 
+def q_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document error capture: malformed JSON-LD (empty term in
+    @context, injected for every 10th doc) lands in the error column as
+    a typed JsonLdError — the job never fails (at 10^12 docs a poison
+    document must not kill the stage)."""
+    from jsonld_spark.operators.pipeline import extract_quads
+    docs = _read(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.lit('{"@context": {"": "http://x/"}, "x": 1}')
+    ).otherwise(F.concat(
+        F.lit('{"@id": "http://example.org/doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "http://schema.org/name": "d"}')))
+    assembled = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+         .alias("doc_id"),
+        payload.alias("doc_json"))
+    quads = extract_quads(assembled)
+    return quads.select(
+        "doc_id",
+        F.coalesce(F.split("error", ":").getItem(0), F.lit("ok"))
+         .alias("status"))
+
+
 def q_subject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase subject rollup over the doc triples (salted
     partial agg for hub subjects, final merge per subject)."""
@@ -377,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_docs": q_compact_docs,
         "fromrdf_docs": q_fromrdf_docs,
         "subject_stats": q_subject_stats,
+        "error_isolation": q_error_isolation,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -708,6 +734,12 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT pred, '|' ORDER BY pred) AS preds
             FROM ({_DOC_TRIPLES_ORACLE}) t
             GROUP BY subj
+        """,
+        "error_isolation": """
+            SELECT 'doc-'||doc_id AS doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'JsonLdError'
+                        ELSE 'ok' END AS status
+            FROM documents
         """,
         "ann_topk": _ann_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,

@@ -170,6 +170,14 @@ def _throughput_at(cpus: str, repl: str, attempts: int = 2) -> dict:
     return best
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
 def _hw_ceiling(n: int, n4: int, seconds: float = 3.0) -> float:
     """Hardware scaling ceiling for CPU-bound work on this box: raw
     multiprocessing busy-loop throughput at N vs 4N processes. Captures
@@ -177,17 +185,10 @@ def _hw_ceiling(n: int, n4: int, seconds: float = 3.0) -> float:
     scale past (measured ~0.81 for 8→32 on this 32-core Xeon)."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < seconds:
-            x += 1
-        return x
-
     rates = {}
     for k in (n, n4):
         with mp.Pool(k) as p:
-            rates[k] = sum(p.map(burn, range(k)))
+            rates[k] = sum(p.map(_burn, [seconds] * k))
     return rates[n4] / (4 * rates[n])
 
 
