@@ -141,7 +141,7 @@ def run_throughput() -> dict:
 # (N, 4N, corpus replication) — each pair compares identical input at
 # its two levels. The 2→8 pair stays meaningful when the shared sandbox
 # carries external load (needs only 8 free cores); 8→32 needs a quiet box.
-SCALING_PAIRS = [("2", "8", "128"), ("8", "32", "512")]
+SCALING_PAIRS = [("2", "8", "128"), ("8", "32", "2048")]
 
 
 def _wait_quiet(threshold: float = 2.0, timeout_s: float = 600.0) -> None:

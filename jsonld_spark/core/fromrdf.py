@@ -18,7 +18,7 @@ from __future__ import annotations
 import re
 from typing import Any
 
-from .context import (RDF_FIRST, RDF_LANGSTRING, RDF_NIL, RDF_REST, RDF_TYPE,
+from .context import (RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE,
                       XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING)
 from .rdf import Quad
 from .util import merge_value

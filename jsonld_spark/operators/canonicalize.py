@@ -11,10 +11,11 @@ quads), so the distributed plan is:
    ``localCheckpoint`` to cut lineage). In pipeline output bnode labels
    are doc-prefixed, so components are doc-local and tiny — the fixpoint
    converges in one or two rounds.
-2. **per-component exact canonicalization** — ``applyInPandas`` per
-   component runs the verbatim pure-core algorithm
+2. **per-component exact canonicalization** — repartition by component,
+   then a ``mapInPandas`` kernel runs the verbatim pure-core algorithm
    (``core/normalize.canonical_namer``: URGNA2012-lineage SHA-1
-   hashing + SJT permutation search), embarrassingly parallel.
+   hashing + SJT permutation search) per component, embarrassingly
+   parallel and batched (many doc-sized components per Arrow batch).
 3. **deterministic global renumber** — components ordered by their
    canonical-form hash get disjoint ``_:c14n`` label ranges (window
    cumulative sum over one tiny row per component). Labels are a pure
@@ -32,8 +33,6 @@ a single-node run; per-component canonical forms are identical.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window

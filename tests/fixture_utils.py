@@ -10,7 +10,6 @@ repo; fixtures are read at test time.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 
 FIXTURE_DIR = Path("/root/reference/core/src/test/resources/json-ld.org")
