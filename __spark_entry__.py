@@ -247,14 +247,16 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a deterministic chain-edge graph
     (i—i+1 unless i%7==6 → components are groups of 7 consecutive ids):
     exercises the iterative min-label-propagation operator used for
-    entity linking. Oracle is the closed form 7*floor(id/7)."""
+    entity linking (distributed path forced — small graphs would
+    otherwise take the driver union-find shortcut). Oracle is the
+    closed form 7*floor(id/7)."""
     from jsonld_spark.operators.linking import connected_components
     ids = _read(spark, sf_dir, "embeddings").select("vec_id")
     a = ids.select(F.col("vec_id").alias("src"))
     edges = (a.where(F.col("src") % 7 != 6)
              .join(ids.select(F.col("vec_id").alias("dst")),
                    F.col("dst") == F.col("src") + 1))
-    cc = connected_components(edges)
+    cc = connected_components(edges, small_graph_edges=0)
     return (ids.join(cc, ids.vec_id == cc.node, "left")
             .select(F.col("vec_id").cast("long").alias("node"),
                     F.coalesce(F.col("component"), F.col("vec_id"))
