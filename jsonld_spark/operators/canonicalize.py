@@ -17,9 +17,11 @@ quads), so the distributed plan is:
    hashing + SJT permutation search) per component, embarrassingly
    parallel and batched (many doc-sized components per Arrow batch).
 3. **deterministic global renumber** — components ordered by their
-   canonical-form hash get disjoint ``_:c14n`` label ranges (window
-   cumulative sum over one tiny row per component). Labels are a pure
-   function of graph content — never of task scheduling.
+   canonical-form hash get disjoint ``_:c14n`` label ranges via a
+   fully-distributed two-phase prefix sum (``prefix_offsets``: range
+   partition → per-partition totals collected to the driver → parallel
+   partition-local cumsum). Labels are a pure function of graph
+   content — never of task scheduling.
 
 Output-label note: for a single bnode component (every normalize
 fixture; any single document) labels match the reference exactly. For
@@ -42,6 +44,7 @@ from pyspark.sql import types as T
 from ..core.normalize import canonical_namer, rename_quads
 from ..core.nquads import quad_to_nquad
 from ..core.rdf import Quad
+from ..session import cut_lineage
 from .linking import connected_components
 
 QUAD_COLS = ["doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
@@ -122,6 +125,48 @@ def _canonize_partition(batches):
     yield pd.DataFrame(out)
 
 
+def prefix_offsets(df: DataFrame, order_cols: list[str], value_col: str,
+                   offset_col: str = "_offset") -> DataFrame:
+    """Distributed exclusive prefix sum: adds ``offset_col`` = sum of
+    ``value_col`` over all rows strictly before this one in
+    ``order_cols`` order.
+
+    A global no-``partitionBy`` window would collapse the table into one
+    task (the round-1 scale bug); instead:
+
+    1. ``repartitionByRange(order_cols)`` — global order across
+       partitions — then materialize to PIN the sampled range bounds
+       (re-execution could re-sample differently between the two reads);
+    2. per-partition totals → driver (one row per partition, ~10³ rows
+       at any scale) → cumulative partition base offsets;
+    3. partition-local cumulative sum (window partitioned by partition
+       id — every partition runs in parallel) + base offset.
+    """
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = cut_lineage(df.repartitionByRange(n_part, *order_cols)
+                         .withColumn("_pid", F.spark_partition_id()))
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t")) \
+                   .collect()
+    base: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        base[r["_pid"]] = acc
+        acc += int(r["_t"])
+    if base:
+        base_map = F.create_map(*[F.lit(x) for kv in base.items()
+                                  for x in kv])
+        base_off = F.coalesce(base_map[F.col("_pid")], F.lit(0))
+    else:  # empty input: no partitions materialized any rows
+        base_off = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols) \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("long"))
+    return (ranged
+            .withColumn(offset_col, (local + base_off).cast("long"))
+            .drop("_pid"))
+
+
 def _shift_label(col: F.Column, offset: F.Column) -> F.Column:
     return F.when(
         col.startswith("_:c14n"),
@@ -136,8 +181,11 @@ def canonicalize_triples(triples: DataFrame,
     deterministic ``_:c14n{n}`` label, unique across the whole dataset.
     Quads without blank nodes pass through untouched (no shuffle)."""
     # the input lineage (typically the full expand+toRDF UDF stage) is
-    # referenced several times below — materialize it exactly once
-    triples = triples.localCheckpoint(eager=True)
+    # referenced several times below — materialize it exactly once.
+    # cut_lineage uses a reliable checkpoint when the session has a
+    # checkpoint dir (executor loss mid-job doesn't kill an hour-long
+    # run), else executor-local blocks.
+    triples = cut_lineage(triples)
     has_b = F.size(_bnode_mentions()) > 0
     plain = triples.where(~has_b)
     bquads = triples.where(has_b)
@@ -148,19 +196,21 @@ def canonicalize_triples(triples: DataFrame,
              .join(comps.withColumnRenamed("node", "_b0"), "_b0")
              .drop("_b0"))
 
-    canon = (keyed.repartition("component")
-             .mapInPandas(_canonize_partition, _CANON_SCHEMA))
+    # the kernel output is read twice (per-component offsets + the final
+    # join side) — materialize so the canonicalization pass runs once
+    canon = cut_lineage(keyed.repartition("component")
+                        .mapInPandas(_canonize_partition, _CANON_SCHEMA))
 
     # deterministic disjoint label ranges: order components by canonical
-    # hash; one row per component → the window is over tiny data
+    # hash; one row per component, but at 10^12 docs that is ~10^12 rows
+    # — the prefix sum is fully distributed (no single-partition window)
+    # and the offset join is a plain shuffled join (AQE may still pick a
+    # broadcast at small scale; never forced)
     per_comp = (canon.select("component", "comp_hash", "n_labels").distinct())
-    w = Window.orderBy("comp_hash", "component") \
-              .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_comp.select(
-        "component",
-        F.coalesce(F.sum("n_labels").over(w), F.lit(0)).alias("_offset"))
+    offsets = prefix_offsets(per_comp, ["comp_hash", "component"],
+                             "n_labels").select("component", "_offset")
 
-    shifted = canon.join(F.broadcast(offsets), "component")
+    shifted = canon.join(offsets, "component")
     for c in ("graph", "subj", "obj_value"):
         shifted = shifted.withColumn(c, _shift_label(F.col(c),
                                                      F.col("_offset")))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import cut_lineage
+
 
 def _driver_union_find(rows, spark, schema):
     """Small-graph fast path: classic union-find on the driver. The CC
@@ -67,17 +69,25 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
              .dropDuplicates()
     if small_graph_edges:
         e = e.persist()
-        n_edges = e.limit(small_graph_edges + 1).count()
-        if n_edges <= small_graph_edges:
-            rows = e.collect()
+        try:
+            n_edges = e.limit(small_graph_edges + 1).count()
+            if n_edges <= small_graph_edges:
+                rows = e.collect()
+                schema = e.select(F.col("src").alias("node"),
+                                  F.col("src").alias("component")).schema
+                return _driver_union_find(rows, e.sparkSession, schema)
+            # undirected: keep both directions once
+            sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst"))) \
+                   .dropDuplicates()
+            sym = cut_lineage(sym)
+        finally:
             e.unpersist()
-            schema = e.select(F.col("src").alias("node"),
-                              F.col("src").alias("component")).schema
-            return _driver_union_find(rows, e.sparkSession, schema)
-    # undirected: keep both directions once
-    sym = e.unionByName(e.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst"))).dropDuplicates()
-    sym = sym.localCheckpoint(eager=True)
+    else:
+        sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))) \
+               .dropDuplicates()
+        sym = cut_lineage(sym)
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .persist())
@@ -107,7 +117,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                                | (F.col("_jump") < F.col("component")))
                               .alias("_changed")))
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = cut_lineage(new_labels)
         else:
             # cache each round: the convergence check populates the
             # cache, the next round (or the caller) reads it
@@ -120,17 +130,29 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     return labels.select("node", "component")
 
 
-def link_triples(triples: DataFrame, components: DataFrame) -> DataFrame:
+def link_triples(triples: DataFrame, components: DataFrame,
+                 broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """Rewrite subj/obj IRIs to their component-canonical IRI.
-    ``components``: (node, component) — broadcast when small, else two
-    shuffled left joins on subj and obj."""
+    ``components``: (node, component) — broadcast when small (probed with
+    a bounded count, same scale-adaptivity as ``connected_components``),
+    else two shuffled left joins on subj and obj (AQE picks the physical
+    strategy). At 10^12 docs the component map has billions of rows —
+    an unconditional broadcast would OOM the driver; set
+    ``broadcast_max_rows=0`` to force the shuffled path."""
+    # probe without persisting: connected_components output is already
+    # cached/checkpointed, so the bounded count is a cheap cache read
+    small = False
+    if broadcast_max_rows:
+        small = (components.limit(broadcast_max_rows + 1).count()
+                 <= broadcast_max_rows)
+    hint = F.broadcast if small else (lambda df: df)
     c_subj = components.select(F.col("node").alias("subj"),
                                F.col("component").alias("_subj_canon"))
     c_obj = components.select(F.col("node").alias("obj_value"),
                               F.col("component").alias("_obj_canon"))
     out = (triples
-           .join(F.broadcast(c_subj), "subj", "left")
-           .join(F.broadcast(c_obj), "obj_value", "left"))
+           .join(hint(c_subj), "subj", "left")
+           .join(hint(c_obj), "obj_value", "left"))
     return (out
             .withColumn("subj", F.coalesce("_subj_canon", "subj"))
             .withColumn("obj_value",

@@ -20,6 +20,23 @@ def spread_partitions(df, min_factor: int = 1):
     return df
 
 
+def cut_lineage(df, eager: bool = True):
+    """Materialize a DataFrame and truncate its lineage.
+
+    Uses a **reliable** checkpoint (written to the session's configured
+    checkpoint directory, surviving executor loss) when
+    ``sparkContext.setCheckpointDir`` has been called; otherwise falls
+    back to ``localCheckpoint`` (executor-local blocks — fine for tests
+    and short jobs, lost on executor failure). Long multi-hour cluster
+    jobs should set a checkpoint dir so iterative operators
+    (connected components, canonicalization) survive executor churn.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def get_spark(app_name: str = "jsonld_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as E
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMALL
 
 
 def _plan(df) -> str:
@@ -73,3 +73,43 @@ def test_whole_stage_codegen_present(spark):
 def test_anti_join_stays_join_not_subquery_loop(spark):
     q = E.queries()["customers_without_orders"](spark, SF_ORACLE)
     assert re.search(r"Join LeftAnti", _optimized(q))
+
+
+def test_canonicalize_renumber_is_distributed(spark):
+    """The c14n renumber must never collapse the per-component table into
+    one task (round-1 scale bug: global no-partitionBy window) nor force
+    a broadcast of it (billions of rows at 10^12 docs)."""
+    q = E.queries()["canonicalize_anon"](spark, SF_SMALL)
+    # no explicit broadcast hint anywhere in the renumber joins
+    assert "strategy=broadcast" not in _optimized(q)
+    plan = _plan(q)
+    # the prefix-sum window is partitioned by range-partition id — a
+    # global window would compile to Exchange SinglePartition
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_link_triples_shuffles_when_not_broadcastable(spark):
+    """Component maps above the broadcast threshold must go through
+    shuffled joins, not a forced broadcast (round-1 OOM risk)."""
+    from jsonld_spark.operators.linking import link_triples
+    iri = lambda c: F.concat(F.lit("http://x/"), c.cast("string"))  # noqa: E731
+    triples = spark.range(100).select(
+        iri(F.col("id")).alias("subj"), F.lit("http://p").alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        iri(F.col("id") + 1).alias("obj_value"))
+    comps = spark.range(100).select(
+        iri(F.col("id")).alias("node"),
+        iri((F.col("id") / 10).cast("long") * 10).alias("component"))
+    out = link_triples(triples, comps, broadcast_max_rows=0)
+    assert "strategy=broadcast" not in _optimized(out)
+    # with size-based auto-broadcast off (as it would be for a huge map),
+    # the physical join is shuffled
+    conf = out.sparkSession.conf
+    prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pre_aqe = out._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in pre_aqe or "ShuffledHashJoin" in pre_aqe
+    assert "BroadcastHashJoin" not in pre_aqe
