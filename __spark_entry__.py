@@ -116,6 +116,33 @@ def q_compact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_docs(assembled, _COMPACT_CTX).select("doc_id", "out_json")
 
 
+def q_flatten_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output stage T7 (flatten, JsonLdProcessor.java:173-255): expand →
+    node map → sorted flat nodes, compacted with a broadcast context;
+    canonical-JSON output column."""
+    from jsonld_spark.operators.outputs import flatten_docs
+    from jsonld_spark.sources.interleaved import (assemble_documents,
+                                                  interleaved_from_documents)
+    assembled = assemble_documents(interleaved_from_documents(spark, sf_dir))
+    return flatten_docs(assembled, _COMPACT_CTX).select("doc_id", "out_json")
+
+
+_FRAME_CTX = dict(_COMPACT_CTX, rating="http://example.org/rating")
+_DOC_FRAME = {"@context": _FRAME_CTX, "text": {},
+              "rating": {"@default": "unrated"}}
+
+
+def q_frame_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output stage T13 (framing, JsonLdProcessor.java:294-345): match
+    nodes carrying a text property, fill the absent rating property from
+    the frame's @default; canonical-JSON output column."""
+    from jsonld_spark.operators.outputs import frame_docs
+    from jsonld_spark.sources.interleaved import (assemble_documents,
+                                                  interleaved_from_documents)
+    assembled = assemble_documents(interleaved_from_documents(spark, sf_dir))
+    return frame_docs(assembled, _DOC_FRAME).select("doc_id", "out_json")
+
+
 def q_fromrdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output stage T9 (fromRDF): the triples DataFrame reassembled into
     expanded JSON-LD per document (groupBy doc, local list/graph
@@ -202,9 +229,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via banded LSH candidates + exact cosine verify
+    (the 10^9-vector path; the all-pairs self-join stays available as the
+    recall baseline with planes=None)."""
     from jsonld_spark.operators.similarity import embedding_neardup
     return embedding_neardup(_read(spark, sf_dir, "embeddings"),
-                             threshold=0.4) \
+                             threshold=0.4, planes=_lsh_planes(16), bands=4) \
         .select(F.col("id_a").cast("long").alias("id_a"),
                 F.col("id_b").cast("long").alias("id_b"),
                 F.col("sim").cast("double").alias("sim"))
@@ -402,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
+        "flatten_docs": q_flatten_docs,
+        "frame_docs": q_frame_docs,
         "fromrdf_docs": q_fromrdf_docs,
         "subject_stats": q_subject_stats,
         "error_isolation": q_error_isolation,
@@ -616,12 +648,30 @@ FROM g q JOIN g c ON q.doc_id < c.doc_id
 WHERE q.doc_id % 97 = 0
 """
 
-_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 4) AS sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+def _neardup_oracle(bands: int = 4) -> str:
+    """Mirrors the banded-LSH candidate generation + exact verify."""
+    planes = _lsh_planes(16)
+    per = len(planes) // bands
+    band_selects = []
+    for b in range(bands):
+        lits = ["[" + ",".join(repr(x) for x in p) + "]"
+                for p in planes[b * per:(b + 1) * per]]
+        bucket = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)" for i, lit in enumerate(lits))
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM e")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4
 """
 
 
@@ -707,6 +757,31 @@ SELECT 'doc-'||doc_id AS doc_id,
 FROM documents
 """
 
+_FLATTEN_ORACLE = """
+SELECT 'doc-'||doc_id AS doc_id,
+  '{"@context":{"lang":"http://schema.org/inLanguage",'
+  ||'"nChars":"http://example.org/nChars",'
+  ||'"source":"http://purl.org/dc/terms/source",'
+  ||'"text":"http://schema.org/text"},'
+  ||'"@graph":[{"@id":"http://example.org/doc/'||doc_id||'",'
+  ||'"lang":"'||lang||'","nChars":'||n_chars||','
+  ||'"source":"'||source||'","text":"'||text||'"}]}' AS out_json
+FROM documents
+"""
+
+_FRAME_ORACLE = """
+SELECT 'doc-'||doc_id AS doc_id,
+  '{"@context":{"lang":"http://schema.org/inLanguage",'
+  ||'"nChars":"http://example.org/nChars",'
+  ||'"rating":"http://example.org/rating",'
+  ||'"source":"http://purl.org/dc/terms/source",'
+  ||'"text":"http://schema.org/text"},'
+  ||'"@graph":[{"@id":"http://example.org/doc/'||doc_id||'",'
+  ||'"lang":"'||lang||'","nChars":'||n_chars||',"rating":"unrated",'
+  ||'"source":"'||source||'","text":"'||text||'"}]}' AS out_json
+FROM documents
+"""
+
 _FROMRDF_ORACLE = """
 SELECT 'doc-'||doc_id AS doc_id,
   '[{"@id":"http://example.org/doc/'||doc_id||'",'
@@ -730,6 +805,8 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
         "canonicalize_anon": _CANON_ORACLE,
         "compact_docs": _COMPACT_ORACLE,
+        "flatten_docs": _FLATTEN_ORACLE,
+        "frame_docs": _FRAME_ORACLE,
         "fromrdf_docs": _FROMRDF_ORACLE,
         "subject_stats": f"""
             SELECT subj, count(*) AS n_triples,
@@ -762,7 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_ORACLE,
         "simhash": _SIMHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        "embedding_neardup": _NEARDUP_ORACLE,
+        "embedding_neardup": _neardup_oracle(),
         "doc_stats": """
             SELECT doc_id, length(text) AS n_chars_actual,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import cut_lineage
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y:
@@ -53,21 +55,66 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      round_to: int = 4) -> DataFrame:
+                      round_to: int = 4,
+                      planes: list[list[float]] | None = None,
+                      bands: int = 4) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
 
-    Correctness baseline is the full self-join; at 10^9+ vectors swap the
-    candidate generator for ``lsh_buckets`` (join on bucket instead of
-    the cross product) — same verify step, sub-quadratic candidates.
+    With ``planes`` (the scale path, and the wired query path): banded
+    random-hyperplane LSH generates candidates — a pair is a candidate
+    iff some band's sign-bit bucket matches (OR-amplification, recall
+    grows with band count) — then candidates are verified with the exact
+    cosine. The shuffle is O(n·bands) bucket rows plus the candidate
+    pairs; never the cross product, so it survives 10^9+ vectors.
+
+    Without ``planes``: the O(n²) all-pairs self-join — the exact recall
+    baseline, for tests and small inputs only.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("v_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("v_b"))
-    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    if planes is None:
+        a = embeddings.select(F.col(id_col).alias("id_a"),
+                              F.col(vec_col).alias("v_a"))
+        b = embeddings.select(F.col(id_col).alias("id_b"),
+                              F.col(vec_col).alias("v_b"))
+        j = a.join(b, F.col("id_a") < F.col("id_b"))
+        sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
+        return (j.select("id_a", "id_b", sim.alias("sim"))
+                .where(F.col("sim") >= threshold))
+    # materialize the banded table: a boundary stops projection collapse
+    # from re-inlining the plane-dot expressions into both join sides
+    # (same measured pitfall as the minhash signature table)
+    banded = cut_lineage(
+        banded_lsh_buckets(embeddings, planes, bands, id_col, vec_col))
+    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("v_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("v_b"))
+    cand = (a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
     sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
-    return (j.select("id_a", "id_b", sim.alias("sim"))
+    return (cand.select("id_a", "id_b", sim.alias("sim"))
             .where(F.col("sim") >= threshold))
+
+
+def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
+                       bands: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Split ``planes`` into ``bands`` groups; one (band, bucket) row per
+    input row per band, bucket = the band's sign-bit integer. Candidate
+    generation = equi-join on (band, bucket)."""
+    per = len(planes) // bands
+    band_buckets = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(planes[b * per:(b + 1) * per]):
+            d = _dot(F.col(vec_col),
+                     F.array(*[F.lit(float(x)) for x in plane]))
+            bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")) \
+                               .otherwise(F.lit(0).cast("long"))
+        band_buckets.append(bucket)
+    return embeddings.select(
+        id_col, vec_col,
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"))
 
 
 def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],

@@ -75,6 +75,17 @@ def test_anti_join_stays_join_not_subquery_loop(spark):
     assert re.search(r"Join LeftAnti", _optimized(q))
 
 
+def test_embedding_neardup_uses_bucket_equijoin(spark):
+    """The scored near-dup path must generate candidates through the
+    banded LSH bucket equi-join, never the O(n²) cartesian self-join."""
+    q = E.queries()["embedding_neardup"](spark, SF_ORACLE)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = _optimized(q)
+    assert re.search(r"Join Inner, \(+.*band", opt)
+
+
 def test_canonicalize_renumber_is_distributed(spark):
     """The c14n renumber must never collapse the per-component table into
     one task (round-1 scale bug: global no-partitionBy window) nor force
