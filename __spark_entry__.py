@@ -637,9 +637,12 @@ SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
 
 _NGRAM_JACCARD_ORACLE = """
 WITH g AS (
-  SELECT doc_id, list_distinct(list_transform(
-           range(1, greatest(len(toks)-2, 1)+1),
-           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS grams
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(toks)-2, 1)+1),
+             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS grams
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
 SELECT q.doc_id AS id_a, c.doc_id AS id_b,
        len(list_intersect(q.grams, c.grams))

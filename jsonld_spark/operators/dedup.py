@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..session import cut_lineage
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -83,16 +84,18 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     """LSH banding: equal band-hash ⇒ candidate pair (id_a < id_b).
     Shuffle is O(n·bands) bucket rows — never the cross product.
 
-    The signature table is materialized (cached) before banding: the
-    cache boundary stops projection collapse from re-inlining the
+    The signature table is materialized (eager lineage cut) before
+    banding: the boundary stops projection collapse from re-inlining the
     k·|shingles| hash expressions into the band hashes and again into
     both sides of the self-join — re-inlined they evaluate O(bands²)
-    times per row inside the Generate node (measured 30× slower). At
-    warehouse scale the signatures are a landed table for the same
+    times per row inside the Generate node (measured 30× slower). A
+    checkpoint rather than ``persist`` so no executor storage memory is
+    held past this call (a cache here leaked for the session lifetime).
+    At warehouse scale the signatures are a landed table for the same
     reason."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
-                              num_hashes, hash_fn).persist()
+    sigs = cut_lineage(minhash_signatures(docs, text_col, id_col,
+                                          shingle_len, num_hashes, hash_fn))
     slices = [F.slice("sig", b * rows_per_band + 1, rows_per_band)
               for b in range(bands)]
     if hash_fn == "md5":
@@ -114,13 +117,18 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def word_ngrams(text_col: str, n: int = 3):
-    """Distinct word n-grams as an array column (space-joined)."""
+    """Distinct word n-grams as an array column (space-joined). Documents
+    with fewer than ``n`` tokens yield the whole token sequence as one
+    gram — defined explicitly (and mirrored in the SQL oracle) because
+    Spark's ``concat_ws`` silently drops the null tokens of a short doc
+    while SQL ``||`` would propagate NULL."""
     toks = F.split(F.col(text_col), " ")
     m = F.size(toks) - n + 1
     idx = F.sequence(F.lit(1), F.greatest(m, F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def ngram_jaccard_pairs(queries: DataFrame, corpus: DataFrame, n: int = 3,

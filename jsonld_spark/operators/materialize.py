@@ -46,6 +46,11 @@ MANIFEST_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType()),
     T.StructField("wall_s", T.DoubleType()),
     T.StructField("committed_at", T.DoubleType()),
+    # run-config identity: a manifest row only marks a partition done for
+    # the SAME bucketing and input — resuming with a different n_buckets
+    # (or input snapshot) must not silently mix stale buckets
+    T.StructField("n_buckets", T.IntegerType()),
+    T.StructField("input_id", T.StringType()),
 ])
 
 
@@ -147,7 +152,8 @@ def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def materialize_graph(triples: DataFrame, out_dir: str,
                       n_buckets: int = 256, run_id: str = "r0",
-                      resume: bool = True) -> dict:
+                      resume: bool = True,
+                      input_id: str | None = None) -> dict:
     """Write the triple table partitioned by subject bucket with a
     lineage manifest per partition; on re-run, redo only partitions
     without a committed manifest row (checkpoint-resume).
@@ -157,13 +163,36 @@ def materialize_graph(triples: DataFrame, out_dir: str,
     Crash between the two ⇒ data present but unmanifested ⇒ redone on
     resume; manifests are the source of truth.
 
+    ``input_id`` names the input (e.g. a source-table snapshot id or a
+    content fingerprint); it is recorded in the manifests. Resuming is
+    **refused** (ValueError) when the existing manifests were written
+    with a different ``n_buckets`` — part numbers are meaningless across
+    bucketings — or a different non-null ``input_id``; pass
+    ``resume=False`` to rebuild from scratch instead.
+
     Returns metrics: {"pending": int, "skipped": int, "rows": int,
     "wall_s": float}.
     """
     spark = triples.sparkSession
     parted = with_partition(triples, n_buckets)
 
-    done = read_manifests(spark, out_dir).select("part").distinct()
+    manifests = read_manifests(spark, out_dir)
+    if resume:
+        cfgs = (manifests.select("n_buckets", "input_id").distinct()
+                .collect())
+        for r in cfgs:
+            if r["n_buckets"] is not None and r["n_buckets"] != n_buckets:
+                raise ValueError(
+                    f"cannot resume {out_dir!r}: manifests were written "
+                    f"with n_buckets={r['n_buckets']}, current run uses "
+                    f"{n_buckets}; pass resume=False to rebuild")
+            if (r["input_id"] is not None and input_id is not None
+                    and r["input_id"] != input_id):
+                raise ValueError(
+                    f"cannot resume {out_dir!r}: manifests record "
+                    f"input_id={r['input_id']!r}, current run reads "
+                    f"{input_id!r}; pass resume=False to rebuild")
+    done = manifests.select("part").distinct()
     if not resume:
         done = done.limit(0)
     n_done = done.count()
@@ -187,7 +216,8 @@ def materialize_graph(triples: DataFrame, out_dir: str,
         wall = time.time() - t0
         manifest_rows = [(int(r["part"]), int(r["n_rows"]),
                           str(r["fingerprint"]), run_id,
-                          round(wall / len(stats), 6), time.time())
+                          round(wall / len(stats), 6), time.time(),
+                          n_buckets, input_id)
                          for r in stats]
         (spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA)
          .coalesce(1).write.mode("append").parquet(_manifest_path(out_dir)))

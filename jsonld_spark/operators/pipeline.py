@@ -30,7 +30,8 @@ from pyspark.sql import types as T
 
 from ..core.context import JsonLdOptions
 from ..core.rdf import document_to_quads
-from ..sources.interleaved import assemble_documents
+from ..sources.interleaved import (ASSOCIATED_MEDIA, DOC_IRI_PREFIX,
+                                   assemble_documents)
 
 QUAD_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -57,12 +58,21 @@ def _prefix_bnode(label: str, tag: str) -> str:
     return f"_:d{tag}{label[2:]}" if label.startswith("_:") else label
 
 
+def default_media_subject(doc_id: str) -> str:
+    """Subject IRI a media-ref triple attaches to, for the synthetic
+    ``doc-{n}`` naming convention. Inject ``media_subject_fn`` for real
+    corpora with their own document-IRI scheme."""
+    did = doc_id[4:] if doc_id.startswith("doc-") else doc_id
+    return DOC_IRI_PREFIX + did
+
+
 def make_extract_quads(base: str | None = None,
                        contexts: dict[str, dict] | None = None,
                        globalize_bnodes: bool = True,
                        include_media: bool = False,
                        document_loader=None,
-                       options_kwargs: dict | None = None):
+                       options_kwargs: dict | None = None,
+                       media_subject_fn=None):
     """Build the mapInPandas function. ``contexts`` is the pre-resolved
     remote-context cache (broadcast by value into the closure — executors
     never do HTTP; reference role: JarCacheStorage). A batch ``base``
@@ -74,9 +84,12 @@ def make_extract_quads(base: str | None = None,
     pass (batch carries a ``media_refs`` column): a JVM-side explode of
     the assembled lineage would re-evaluate the whole interpreted
     span-assembly expression chain per output row inside Generate —
-    measured ~40× slower than emitting the rows here."""
+    measured ~40× slower than emitting the rows here. Media rows derive
+    from the spans table, not the JSON payload, so they are emitted even
+    when the payload fails to parse (the error row coexists with them)."""
     ctx_cache = contexts or {}
     extra_opts = options_kwargs or {}
+    media_subject = media_subject_fn or default_media_subject
 
     def cache_loader(url: str):
         if url in ctx_cache:
@@ -133,17 +146,16 @@ def make_extract_quads(base: str | None = None,
                                 o = _prefix_bnode(o, tag)
                         emit(doc_id, g, s, q.pred, q.obj_kind, o,
                              q.obj_datatype, q.obj_lang, None)
-                    if refs is not None and len(refs):
-                        from ..sources.interleaved import (ASSOCIATED_MEDIA,
-                                                           DOC_IRI_PREFIX)
-                        did = doc_id[4:] if doc_id.startswith("doc-") else doc_id
-                        subj = DOC_IRI_PREFIX + did
-                        for ref in refs:
-                            emit(doc_id, "@default", subj, ASSOCIATED_MEDIA,
-                                 "iri", ref, None, None, None)
                 except Exception as e:  # noqa: BLE001 - per-doc isolation
                     emit(doc_id, None, None, None, None, None, None, None,
                          f"{type(e).__name__}: {e}")
+                # media links come from the spans table, not the payload
+                # — emit them even for docs whose payload failed above
+                if refs is not None and len(refs):
+                    subj = media_subject(doc_id)
+                    for ref in refs:
+                        emit(doc_id, "@default", subj, ASSOCIATED_MEDIA,
+                             "iri", ref, None, None, None)
             yield pd.DataFrame(out)
 
     return extract
@@ -154,11 +166,13 @@ def extract_quads(assembled: DataFrame, base: str | None = None,
                   globalize_bnodes: bool = True,
                   include_media: bool = False,
                   document_loader=None,
-                  options_kwargs: dict | None = None) -> DataFrame:
+                  options_kwargs: dict | None = None,
+                  media_subject_fn=None) -> DataFrame:
     """(doc_id, doc_json[, media_refs][, base]) → quad rows + error rows
     (error column set)."""
     fn = make_extract_quads(base, contexts, globalize_bnodes, include_media,
-                            document_loader, options_kwargs)
+                            document_loader, options_kwargs,
+                            media_subject_fn)
     cols = ["doc_id", "doc_json"]
     if include_media and "media_refs" in assembled.columns:
         cols.append("media_refs")

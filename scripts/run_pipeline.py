@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     metrics = materialize_graph(triples, args.output,
                                 n_buckets=args.n_buckets,
                                 run_id=args.run_id,
-                                resume=not args.no_resume)
+                                resume=not args.no_resume,
+                                input_id=args.input)
     quads.unpersist()
     metrics.update({"errors": int(n_errors),
                     "total_wall_s": round(time.time() - t0, 2),

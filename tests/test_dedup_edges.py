@@ -1,0 +1,53 @@
+"""Edge-case parity for dedup operators: short documents must behave
+identically in the Spark expressions and the DuckDB oracles (ADVICE:
+concat_ws drops nulls, SQL || propagates them — behavior is now pinned:
+docs with fewer than n tokens yield the whole token list as one gram)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from jsonld_spark.operators.dedup import ngram_jaccard_pairs, word_ngrams
+
+
+def test_word_ngrams_short_docs(spark):
+    rows = [(0, "one"), (1, "one two"), (2, "one two three"),
+            (3, "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.g for r in
+           df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()}
+    assert out[0] == ["one"]
+    assert out[1] == ["one two"]
+    assert out[2] == ["one two three"]
+    assert out[3] == ["one two three", "two three four"]
+
+
+def test_ngram_jaccard_short_docs_match_oracle(spark):
+    rows = [(0, "a b"), (1, "a b"), (2, "a b c d"), (3, "x"),
+            (4, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(df.where(F.col("doc_id") < 2), df,
+                                     n=3).collect())
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = sorted(tuple(t) for t in con.execute("""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(
+                     range(1, greatest(len(toks)-2, 1)+1),
+                     i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))
+                 ELSE [array_to_string(toks, ' ')] END AS grams
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs))
+        SELECT q.doc_id, c.doc_id,
+               round(len(list_intersect(q.grams, c.grams))
+                 / len(list_distinct(list_concat(q.grams, c.grams))), 9)
+        FROM g q JOIN g c ON q.doc_id < c.doc_id
+        WHERE q.doc_id < 2
+    """).fetchall())
+    assert got == want
+    # identical short docs are exact near-dups (jaccard 1.0)
+    assert (0, 1, 1.0) in got

@@ -52,6 +52,27 @@ def test_resume_skips_completed(spark, triples, tmp_path):
     assert m2["skipped"] == m1["pending"]
 
 
+def test_resume_refuses_config_mismatch(spark, triples, tmp_path):
+    """Resuming with a different bucketing (or input identity) must fail
+    loudly — part numbers from an old bucketing would silently mark the
+    wrong data as done."""
+    out = str(tmp_path / "graph")
+    materialize_graph(triples, out, n_buckets=N_BUCKETS, run_id="r1",
+                      input_id="snap-1")
+    with pytest.raises(ValueError, match="n_buckets"):
+        materialize_graph(triples, out, n_buckets=N_BUCKETS * 2, run_id="r2")
+    with pytest.raises(ValueError, match="input_id"):
+        materialize_graph(triples, out, n_buckets=N_BUCKETS, run_id="r2",
+                          input_id="snap-2")
+    # same config resumes; resume=False rebuilds despite the mismatch
+    m = materialize_graph(triples, out, n_buckets=N_BUCKETS, run_id="r2",
+                          input_id="snap-1")
+    assert m["pending"] == 0
+    m = materialize_graph(triples, out, n_buckets=N_BUCKETS * 2, run_id="r3",
+                          resume=False)
+    assert m["pending"] > 0
+
+
 def test_resume_redoes_unmanifested_partition(spark, triples, tmp_path):
     """Simulate a crash between data write and manifest commit: drop one
     bucket's manifest rows + data → resume rewrites only that bucket."""

@@ -92,3 +92,29 @@ def test_bnode_labels_are_content_deterministic(spark):
     assert r1 == r8
     # and the label embeds the doc tag, not a global counter
     assert all(s.startswith("_:d") for s, _, _ in r1 if s.startswith("_:"))
+
+
+def test_media_links_survive_doc_parse_errors(spark):
+    """Media-ref triples derive from the spans table, not the JSON
+    payload — a poison payload must not drop the doc's media edges."""
+    rows = [("doc-1", "{not json", ["https://m/x.jpg"]),
+            ("doc-2", '{"@id": "http://e/2", "http://e/p": "v"}',
+             ["https://m/y.jpg"])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, doc_json string, media_refs array<string>")
+    out = extract_quads(df, include_media=True).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    errs = [r for r in by_doc["doc-1"] if r.error is not None]
+    media = [r for r in by_doc["doc-1"]
+             if r.pred == "http://schema.org/associatedMedia"]
+    assert len(errs) == 1 and len(media) == 1
+    assert media[0].subj == "http://example.org/doc/1"
+    assert media[0].error is None
+    # injectable subject derivation for corpora with their own IRI scheme
+    out2 = extract_quads(df, include_media=True,
+                         media_subject_fn=lambda d: f"urn:doc:{d}").collect()
+    subj = {r.subj for r in out2
+            if r.pred == "http://schema.org/associatedMedia"}
+    assert subj == {"urn:doc:doc-1", "urn:doc:doc-2"}

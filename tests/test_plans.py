@@ -49,13 +49,15 @@ def test_dimension_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_minhash_join_reads_cached_signatures(spark):
+def test_minhash_join_reads_materialized_signatures(spark):
     q = E.queries()["minhash_pairs"](spark, SF_ORACLE)
     plan = _plan(q)
-    # the join sides must come from the cached signature table — the
-    # k·|shingles| hash tree is evaluated in the cache build only (the
-    # second side shows as a TableCacheQueryStage/broadcast of the same)
-    assert "InMemoryTableScan" in plan and "TableCacheQueryStage" in plan
+    # both join sides must read the materialized signature table (an
+    # eager lineage cut → ExistingRDD scan) — the k·|shingles| hash tree
+    # is evaluated once in the checkpoint build, never re-inlined into
+    # the self-join (re-inlined it shows up as md5/conv trees here)
+    assert "Scan ExistingRDD" in plan
+    assert "substring(md5(concat(" not in plan
 
 
 def test_cosine_topk_broadcasts_queries(spark):
