@@ -41,7 +41,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core.normalize import canonical_namer, rename_quads
+from ..core.nodemap import BlankNodeNamer
+from ..core.normalize import (_hash_paths, _hash_quads, canonical_namer,
+                              rename_quads)
 from ..core.nquads import quad_to_nquad
 from ..core.rdf import Quad
 from ..session import cut_lineage
@@ -175,11 +177,29 @@ def _shift_label(col: F.Column, offset: F.Column) -> F.Column:
     ).otherwise(col)
 
 
-def canonicalize_triples(triples: DataFrame,
-                         max_iter: int = 50) -> DataFrame:
+def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
+                         labels: str = "component") -> DataFrame:
     """Triples → canonical triples: every blank-node label replaced by a
     deterministic ``_:c14n{n}`` label, unique across the whole dataset.
-    Quads without blank nodes pass through untouched (no shuffle)."""
+    Quads without blank nodes pass through untouched (no shuffle).
+
+    ``labels`` picks the numbering contract:
+
+    * ``"component"`` (default) — components get disjoint label ranges
+      ordered by component canonical hash. Canonical and deterministic;
+      per-component forms match the reference exactly, but label
+      *numbers* may permute across components vs a single-node run.
+    * ``"reference"`` — byte parity with the reference's global
+      interleaved numbering (``NormalizeUtils.java:35-203``): label
+      numbers interleave across the whole dataset in sorted
+      first-degree-hash order (phase 1) then sorted duplicate-group /
+      path-hash order (phase 2). See ``_canonicalize_reference``.
+    """
+    if labels == "reference":
+        return _canonicalize_reference(triples, max_iter)
+    if labels != "component":
+        raise ValueError(f"labels must be 'component' or 'reference', "
+                         f"got {labels!r}")
     # the input lineage (typically the full expand+toRDF UDF stage) is
     # referenced several times below — materialize it exactly once.
     # cut_lineage uses a reliable checkpoint when the session has a
@@ -215,4 +235,249 @@ def canonicalize_triples(triples: DataFrame,
         shifted = shifted.withColumn(c, _shift_label(F.col(c),
                                                      F.col("_offset")))
     return (shifted.select(*QUAD_COLS)
+            .unionByName(plain.select(*QUAD_COLS)))
+
+
+# ---------------------------------------------------------------------------
+# reference-parity global numbering (NormalizeUtils.java:35-203)
+# ---------------------------------------------------------------------------
+#
+# The reference's sequential fixpoint reduces (because its first-degree
+# hash cache is never invalidated, NormalizeUtils.java:429-431) to:
+#
+#   phase 1: bnodes whose first-degree hash is GLOBALLY unique are named
+#            _:c14n{0..U-1} in ascending hash order;
+#   phase 2: for each duplicated hash h in ascending order, hashPaths
+#            runs per unnamed member (component-local exploration), the
+#            results sort by path hash, and every path-visited unnamed
+#            bnode is named in path-namer insertion order.
+#
+# Both phases distribute: first-degree hashes are component-local, so a
+# per-component kernel computes them; global uniqueness is a groupBy;
+# phase-1 numbers are a distributed rank (prefix_offsets). Phase 2
+# replays the reference loop per component (hashPaths never leaves a
+# component) emitting NAMING EVENTS keyed (group_hash, path_hash,
+# component, result_idx, seq); the global event rank + U is the final
+# number. Path-hash ties across components imply isomorphic explorations
+# (SHA-1 collision aside), so the component tie-break cannot change the
+# output quad multiset.
+#
+# One sequential coupling cannot be replayed locally: a component with
+# ≥2 duplicate-hash groups where a LATER group's exploration reads a
+# label assigned by an EARLIER group (namer.get embeds the global digit
+# string into the path). The kernel detects this and the job fails with
+# a clear message (labels="component" always works). No W3C normalize
+# fixture and no document-shaped data couples — it needs adversarially
+# symmetric cross-group bnode tangles.
+
+_BINFO_SCHEMA = T.StructType([
+    T.StructField("component", T.StringType()),
+    T.StructField("bnode", T.StringType()),
+    T.StructField("fd_hash", T.StringType()),
+])
+
+_EVENT_SCHEMA = T.StructType([
+    T.StructField("component", T.StringType()),
+    T.StructField("bnode", T.StringType()),
+    T.StructField("group_hash", T.StringType()),
+    T.StructField("path_hash", T.StringType()),
+    T.StructField("result_idx", T.LongType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("coupled", T.BooleanType()),
+])
+
+
+def _index_bnodes(quads: list[Quad]) -> dict[str, list[Quad]]:
+    """bnode label → quads mentioning it (subject/object/graph), in quad
+    order — the reference's ``bnodes`` map (JsonLdApi.java:2197-2225)."""
+    bnodes: dict[str, list[Quad]] = {}
+    for q in quads:
+        for val, is_b in ((q.subj, q.subj.startswith("_:")),
+                          (q.obj_value, q.obj_kind == "bnode"),
+                          (q.graph, q.graph is not None
+                           and q.graph.startswith("_:"))):
+            if is_b:
+                bnodes.setdefault(val, []).append(q)
+    return bnodes
+
+
+def _rows_to_sorted_quads(pdf) -> list[Quad]:
+    quads = [Quad(r.graph, r.subj, r.pred, r.obj_kind, r.obj_value,
+                  r.obj_datatype, r.obj_lang) for r in pdf.itertuples()]
+    # content order: the replay must not depend on shuffle arrival order
+    quads.sort(key=quad_to_nquad)
+    return quads
+
+
+def _fd_hash_partition(batches):
+    """mapInPandas kernel: per component, every bnode's first-degree hash
+    (NormalizeUtils hashQuads — pure content function)."""
+    import pandas as pd
+    pdfs = list(batches)
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    out = {"component": [], "bnode": [], "fd_hash": []}
+    for component, g in pdf.groupby("component", sort=False):
+        bnodes = _index_bnodes(_rows_to_sorted_quads(g))
+        cache: dict[str, str] = {}
+        for b in bnodes:
+            out["component"].append(component)
+            out["bnode"].append(b)
+            out["fd_hash"].append(_hash_quads(b, bnodes, cache))
+    yield pd.DataFrame(out)
+
+
+class _ShadowNamer:
+    """BlankNodeNamer-compatible view for the phase-2 replay: phase-1
+    names carry their real global digits; names assigned during the
+    replay itself are recorded but their digits are unknown here — a
+    read of one marks the component as coupled."""
+
+    def __init__(self, phase1: dict[str, int]):
+        self.named: dict[str, str | None] = {
+            b: f"_:c14n{n}" for b, n in phase1.items()}
+        self.coupled = False
+
+    def is_named(self, b: str) -> bool:
+        return b in self.named
+
+    def get(self, b: str) -> str:
+        v = self.named[b]
+        if v is None:
+            self.coupled = True
+            return "_:c14n?"
+        return v
+
+
+def _phase2_kernel(quads_pdf, binfo_pdf):
+    """cogrouped applyInPandas kernel: replay the reference's duplicate-
+    group loop (NormalizeUtils.java:120-203) for one component, emitting
+    naming events instead of numbers."""
+    import sys
+
+    import pandas as pd
+    cols = {f.name: [] for f in _EVENT_SCHEMA.fields}
+    if quads_pdf.empty or binfo_pdf.empty:
+        return pd.DataFrame(cols)
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    component = quads_pdf["component"].iloc[0]
+    bnodes = _index_bnodes(_rows_to_sorted_quads(quads_pdf))
+    fd = dict(zip(binfo_pdf["bnode"], binfo_pdf["fd_hash"]))
+    phase1 = {b: int(n) for b, n in zip(binfo_pdf["bnode"], binfo_pdf["num"])
+              if pd.notna(n)}
+    shadow = _ShadowNamer(phase1)
+    # local members of globally-duplicated hashes, in content quad order
+    groups: dict[str, list[str]] = {}
+    for b in bnodes:
+        if b not in phase1:
+            groups.setdefault(fd[b], []).append(b)
+    cache = dict(fd)  # prepopulated, never invalidated (reference quirk)
+    events: list[tuple] = []
+    for h in sorted(groups):
+        results = []
+        for i, b in enumerate(groups[h]):
+            if shadow.is_named(b):
+                continue  # named by an earlier group's path closure
+            pn = BlankNodeNamer("b")
+            pn.get(b)
+            res = _hash_paths(b, bnodes, shadow, pn, cache)
+            results.append((res.hash, i, res.path_namer))
+        results.sort(key=lambda t: (t[0], t[1]))
+        for r_idx, (ph, _i, pn) in enumerate(results):
+            for seq, key in enumerate(pn.mapping):  # insertion order
+                if shadow.is_named(key):
+                    continue  # reference: get() returns existing label
+                shadow.named[key] = None
+                events.append((component, key, h, ph, r_idx, seq))
+    if shadow.coupled and not events:
+        events.append((component, None, "", "", -1, -1))
+    for component, key, h, ph, r_idx, seq in events:
+        cols["component"].append(component)
+        cols["bnode"].append(key)
+        cols["group_hash"].append(h)
+        cols["path_hash"].append(ph)
+        cols["result_idx"].append(r_idx)
+        cols["seq"].append(seq)
+        cols["coupled"].append(shadow.coupled)
+    return pd.DataFrame(cols)
+
+
+def _apply_label_map(df: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite every bnode position through (bnode → new) with three
+    shuffled left joins — never a forced broadcast (the mapping has one
+    row per blank node: billions at 10^12 docs)."""
+    m_s = mapping.select(F.col("bnode").alias("subj"),
+                         F.col("new").alias("_ns"))
+    m_o = mapping.select(F.col("bnode").alias("obj_value"),
+                         F.col("new").alias("_no"))
+    m_g = mapping.select(F.col("bnode").alias("graph"),
+                         F.col("new").alias("_ng"))
+    out = (df.join(m_s, "subj", "left")
+           .join(m_o, "obj_value", "left")
+           .join(m_g, "graph", "left"))
+    return (out
+            .withColumn("subj", F.coalesce("_ns", "subj"))
+            .withColumn("obj_value",
+                        F.when(F.col("obj_kind") == "bnode",
+                               F.coalesce("_no", "obj_value"))
+                        .otherwise(F.col("obj_value")))
+            .withColumn("graph", F.coalesce("_ng", "graph"))
+            .drop("_ns", "_no", "_ng"))
+
+
+def _canonicalize_reference(triples: DataFrame, max_iter: int) -> DataFrame:
+    """labels="reference": global interleaved numbering, byte-identical
+    to pure-core ``normalize_quads`` on the union (see module comment)."""
+    triples = cut_lineage(triples)
+    has_b = F.size(_bnode_mentions()) > 0
+    plain = triples.where(~has_b)
+    bquads = triples.where(has_b)
+
+    comps = bnode_components(bquads, max_iter=max_iter)
+    keyed = cut_lineage(
+        bquads.withColumn("_b0", F.element_at(_bnode_mentions(), 1))
+              .join(comps.withColumnRenamed("node", "_b0"), "_b0")
+              .drop("_b0"))
+
+    binfo = cut_lineage(keyed.repartition("component")
+                        .mapInPandas(_fd_hash_partition, _BINFO_SCHEMA))
+    counts = binfo.groupBy("fd_hash").agg(F.count(F.lit(1)).alias("_cnt"))
+    with_counts = binfo.join(counts, "fd_hash")
+    uniq = (with_counts.where(F.col("_cnt") == 1)
+            .withColumn("_one", F.lit(1).cast("long")))
+    phase1 = (prefix_offsets(uniq, ["fd_hash"], "_one")
+              .select("bnode", F.col("_offset").alias("num")))
+    n_unique = phase1.count()
+
+    binfo_full = (with_counts.join(phase1, "bnode", "left")
+                  .select("component", "bnode", "fd_hash", "num"))
+    events = cut_lineage(
+        keyed.groupby("component")
+             .cogroup(binfo_full.groupby("component"))
+             .applyInPandas(lambda left, right: _phase2_kernel(left, right),
+                            _EVENT_SCHEMA))
+    if events.where(F.col("coupled")).limit(1).count():
+        bad = [r.component for r in
+               events.where(F.col("coupled"))
+                     .select("component").distinct().limit(5).collect()]
+        raise NotImplementedError(
+            "reference-interleaved labeling cannot replay components whose "
+            "later duplicate-hash groups read labels assigned by earlier "
+            f"groups (cross-group coupling); components: {bad}. Use "
+            "labels='component' (canonical, deterministic, per-component "
+            "forms identical to the reference).")
+    ev = events.withColumn("_one", F.lit(1).cast("long"))
+    phase2 = (prefix_offsets(
+        ev, ["group_hash", "path_hash", "component", "result_idx", "seq"],
+        "_one")
+        .select("bnode", (F.col("_offset") + F.lit(n_unique)).alias("num")))
+
+    mapping = (phase1.unionByName(phase2)
+               .select("bnode",
+                       F.concat(F.lit("_:c14n"),
+                                F.col("num").cast("string")).alias("new")))
+    renamed = _apply_label_map(keyed, mapping)
+    return (renamed.select(*QUAD_COLS)
             .unionByName(plain.select(*QUAD_COLS)))
