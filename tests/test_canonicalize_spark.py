@@ -120,3 +120,28 @@ def test_plain_triples_pass_through(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     out = canonicalize_triples(df).collect()
     assert len(out) == 1 and out[0].subj == "http://s"
+
+
+def test_reliable_checkpoint_used_when_dir_configured(spark, tmp_path):
+    """With a checkpoint dir set, lineage cuts in canonicalize go through
+    reliable checkpoints (survive executor loss) instead of
+    executor-local blocks — and results are unchanged."""
+    import os
+    rows = (_doc_quads(CYCLE_DOC, "a", prefix="da") +
+            _doc_quads(TREE_DOC, "c", prefix="dc"))
+    df = spark.createDataFrame(rows, SCHEMA)
+    expect = _lines(canonicalize_triples(df))
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = _lines(canonicalize_triples(df))
+        assert got == expect
+        # reliable checkpoint data landed on (shared) storage
+        walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+        assert walked, "no reliable checkpoint files written"
+    finally:
+        # unset so other tests keep using localCheckpoint (scala var
+        # setter name contains '$', so go through getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
