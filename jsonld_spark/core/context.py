@@ -67,6 +67,9 @@ class JsonLdOptions:
         explicit: bool = False,
         omit_default: bool = False,
         omit_graph: bool = False,
+        use_namespaces: bool = False,
+        output_form: str | None = None,
+        format: str | None = None,
     ):
         self.base = base
         self.expand_context = expand_context
@@ -80,6 +83,10 @@ class JsonLdOptions:
         self.explicit = explicit
         self.omit_default = omit_default
         self.omit_graph = omit_graph
+        # legacy output options (JsonLdOptions.java:297-302)
+        self.use_namespaces = use_namespaces
+        self.output_form = output_form
+        self.format = format
         self.prune_blank_node_identifiers = False
         self.allow_container_set_on_type = False
         # json-ld-1.1 mode flips (JsonLdOptions.java:248-255)

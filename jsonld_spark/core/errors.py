@@ -54,6 +54,7 @@ class JsonLdError(Exception):
     SYNTAX_ERROR = "syntax error"
     NOT_IMPLEMENTED = "not implemented"
     UNKNOWN_FORMAT = "unknown format"
+    UNKNOWN_ERROR = "unknown error"
     INVALID_INPUT = "invalid input"
     INVALID_FRAME = "invalid frame"
     PARSE_ERROR = "parse error"
