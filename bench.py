@@ -110,8 +110,13 @@ def run_throughput() -> dict:
         interleave_spans, jsonld_payload_from_documents)
 
     repl = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "512"))
+    # reduce-side tasks default to 4 waves per core: a single wave (one
+    # task per core) makes the stage wall-clock equal its slowest task —
+    # straggler-sensitive exactly at high core counts. AQE coalesces if
+    # the shuffle turns out small.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(int(CPUS) * 4)))
     spark = get_spark("bench-throughput", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS))
+                      shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
     # repartition BEFORE the replicating crossJoin: generation then runs
     # on every core instead of one task materializing the whole corpus
@@ -170,6 +175,50 @@ def _throughput_at(cpus: str, repl: str, attempts: int = 2) -> dict:
     return best
 
 
+def _kernel_work(n_docs: int) -> int:
+    """The flagship's per-document Python kernel (JSON parse → expand →
+    toRDF), NO Spark/Arrow involved — run under plain multiprocessing to
+    measure how the COMPUTATION itself scales on this box."""
+    import json as _json
+
+    import duckdb
+
+    from jsonld_spark.core.context import JsonLdOptions
+    from jsonld_spark.core.rdf import document_to_quads
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars FROM "
+        f"'{SF_DIR}/documents.parquet' LIMIT 200").fetchall()
+    opts = JsonLdOptions()
+    total = 0
+    for _ in range(max(1, n_docs // len(rows))):
+        for d in rows:
+            doc = {"@id": f"http://example.org/doc/{d[0]}",
+                   "http://schema.org/text": d[1],
+                   "http://schema.org/inLanguage": d[2],
+                   "http://purl.org/dc/terms/source": d[3],
+                   "http://example.org/nChars": d[4]}
+            total += len(document_to_quads(_json.loads(_json.dumps(doc)),
+                                           opts))
+    return total
+
+
+def _kernel_ceiling(n: int, n4: int, docs_per_proc: int = 20000) -> float:
+    """N→4N scaling of the pure-Python kernel under multiprocessing —
+    the workload-specific ceiling. Allocation-heavy interpreter code is
+    memory-bandwidth bound well before a busy loop is; no distribution
+    framework can scale a computation past how the computation itself
+    scales on the hardware."""
+    import multiprocessing as mp
+
+    rates = {}
+    for k in (n, n4):
+        with mp.Pool(k) as p:
+            t0 = time.perf_counter()
+            p.map(_kernel_work, [docs_per_proc] * k)
+            rates[k] = k * docs_per_proc / (time.perf_counter() - t0)
+    return rates[n4] / (4 * rates[n])
+
+
 def _burn(seconds: float) -> int:
     t0 = time.time()
     x = 0
@@ -199,11 +248,14 @@ def run_scaling() -> None:
         b = _throughput_at(n4, repl)
         _wait_quiet()
         ceiling = _hw_ceiling(int(n), int(n4))
+        _wait_quiet()
+        kceiling = _kernel_ceiling(int(n), int(n4))
         eff = b["triples_per_sec"] / (4 * a["triples_per_sec"])
         pairs.append({"n": n, "n4": n4, "lo": a, "hi": b,
                       "efficiency": round(eff, 3),
                       "hw_ceiling": round(ceiling, 3),
-                      "normalized": round(eff / ceiling, 3)})
+                      "kernel_ceiling": round(kceiling, 3),
+                      "normalized": round(eff / kceiling, 3)})
     # headline per-query numbers at the full parallelism for the record
     out = subprocess.run([sys.executable, __file__],
                          env=dict(os.environ, SPARK_GRAFT_CPUS="32"),
@@ -222,9 +274,9 @@ def run_scaling() -> None:
             "measurement time; the 2→8 pair is robust to it, the 8→32 "
             "pair needs a quiet machine.\n\n")
         f.write("| pair | input triples | wall N (s) | wall 4N (s) | "
-                "tps N | tps 4N | efficiency | hw ceiling | normalized "
-                "| loadavg (N / 4N) |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+                "tps N | tps 4N | efficiency | busy-loop ceiling "
+                "| kernel ceiling | normalized | loadavg (N / 4N) |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|---|\n")
         for p in pairs:
             f.write(f"| local[{p['n']}]→local[{p['n4']}] "
                     f"| {p['hi']['n_triples']} "
@@ -232,15 +284,21 @@ def run_scaling() -> None:
                     f"| {p['lo']['triples_per_sec']} "
                     f"| {p['hi']['triples_per_sec']} "
                     f"| **{p['efficiency']}** "
-                    f"| {p['hw_ceiling']} | **{p['normalized']}** "
+                    f"| {p['hw_ceiling']} | {p['kernel_ceiling']} "
+                    f"| **{p['normalized']}** "
                     f"| {p['lo']['loadavg_1m']} / {p['hi']['loadavg_1m']} |\n")
         f.write("\nTarget ≥ 0.8 per BASELINE.json "
-                "(throughput@4N / (4 × throughput@N)). `hw ceiling` is the "
-                "same ratio for a raw multiprocessing busy loop on this "
-                "box — turbo-clock droop and bandwidth sharing cap ANY "
-                "CPU-bound job below 1.0 (~0.8 for 8→32 here); "
-                "`normalized` = efficiency / ceiling, the share the "
-                "software stack actually delivers.\n\n")
+                "(throughput@4N / (4 × throughput@N)). Two measured "
+                "ceilings bound what ANY software can deliver on this "
+                "box: `busy-loop` = N→4N ratio of a plain multiprocessing "
+                "busy loop (clock/turbo effects only); `kernel ceiling` = "
+                "the SAME flagship per-document Python computation "
+                "(JSON parse → expand → toRDF) under plain "
+                "multiprocessing with NO Spark/Arrow — allocation-heavy "
+                "interpreter code is memory-bandwidth bound well before "
+                "a busy loop. `normalized` = efficiency / kernel ceiling: "
+                "the share of the achievable scaling the Spark stack "
+                "delivers.\n\n")
         f.write(f"Headline queries at local[32], sf={headline['sf']} "
                 f"(best-of-2 seconds):\n\n```json\n")
         f.write(json.dumps(headline["queries"], indent=2))

@@ -84,36 +84,42 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     """LSH banding: equal band-hash ⇒ candidate pair (id_a < id_b).
     Shuffle is O(n·bands) bucket rows — never the cross product.
 
-    The signature table is materialized (eager lineage cut) before
-    banding: the boundary stops projection collapse from re-inlining the
-    k·|shingles| hash expressions into the band hashes and again into
-    both sides of the self-join — re-inlined they evaluate O(bands²)
-    times per row inside the Generate node (measured 30× slower). A
-    checkpoint rather than ``persist`` so no executor storage memory is
-    held past this call (a cache here leaked for the session lifetime).
-    At warehouse scale the signatures are a landed table for the same
-    reason."""
+    The signature table is cached before banding: the boundary stops
+    projection collapse from re-inlining the k·|shingles| hash
+    expressions into the band hashes and again into both sides of the
+    self-join — re-inlined they evaluate O(bands²) times per row inside
+    the Generate node (measured 30× slower). The candidate pairs are
+    eagerly materialized (lineage cut) so the cache can be RELEASED
+    before returning — a persist left behind held executor storage for
+    the session lifetime. At warehouse scale the signatures are a landed
+    table for the same reason."""
     rows_per_band = num_hashes // bands
-    sigs = cut_lineage(minhash_signatures(docs, text_col, id_col,
-                                          shingle_len, num_hashes, hash_fn))
-    slices = [F.slice("sig", b * rows_per_band + 1, rows_per_band)
-              for b in range(bands)]
-    if hash_fn == "md5":
-        band_hashes = [
-            F.md5(F.concat_ws(",", F.transform(s, lambda x: x.cast("string"))))
-            for s in slices]
-    else:
-        band_hashes = [F.hash(s).cast("string") for s in slices]
-    banded = sigs.select(
-        id_col, F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, [F.col("a.band") == F.col("b.band"),
-                       F.col("a.band_hash") == F.col("b.band_hash"),
-                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .dropDuplicates())
+    sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
+                              num_hashes, hash_fn).persist()
+    try:
+        slices = [F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                  for b in range(bands)]
+        if hash_fn == "md5":
+            band_hashes = [
+                F.md5(F.concat_ws(",",
+                                  F.transform(s, lambda x: x.cast("string"))))
+                for s in slices]
+        else:
+            band_hashes = [F.hash(s).cast("string") for s in slices]
+        banded = sigs.select(
+            id_col,
+            F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"))
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                            F.col("a.band_hash") == F.col("b.band_hash"),
+                            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+                 .select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"))
+                 .dropDuplicates())
+        return cut_lineage(pairs)
+    finally:
+        sigs.unpersist()
 
 
 def word_ngrams(text_col: str, n: int = 3):

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from ..core.compact import compact_document, flatten_document
 from ..core.context import JsonLdOptions
+from ..core.expand import expand_document
 from ..core.frame import frame_document
 from ..core.fromrdf import from_rdf_quads
 from ..core.rdf import Quad
@@ -85,6 +86,69 @@ def frame_docs(assembled: DataFrame, frame: Any,
     opts = options or JsonLdOptions()
     fn = _doc_transform(lambda doc: frame_document(doc, frame, opts))
     return assembled.select("doc_id", "doc_json").mapInPandas(fn, _OUT_SCHEMA)
+
+
+_OPS = {
+    "expand": lambda doc, aux, opts: expand_document(doc, opts),
+    "compact": lambda doc, aux, opts: compact_document(doc, aux, opts),
+    "flatten": lambda doc, aux, opts: flatten_document(doc, aux, opts),
+    "frame": lambda doc, aux, opts: frame_document(doc, aux, opts),
+}
+
+
+def jsonld_transform_docs(rows: DataFrame, op: str,
+                          document_loader=None) -> DataFrame:
+    """Heterogeneous per-document JSON-LD transform: every row carries
+    its OWN target context/frame (``aux_json``) and options
+    (``opts_json`` — JsonLdOptions kwargs as JSON), so a mixed corpus
+    (documents destined for different vocabularies, processing modes, or
+    bases) transforms in ONE distributed pass instead of one job per
+    configuration. Input columns: (doc_id, doc_json[, aux_json]
+    [, opts_json]); output: (doc_id, out_json, error).
+
+    Options objects are memoized per distinct ``opts_json`` inside the
+    kernel — at 10^12 docs the distinct-option count is tiny, so the
+    per-row cost stays one dict lookup."""
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {sorted(_OPS)}, got {op!r}")
+    fn = _OPS[op]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        opts_memo: dict[str, JsonLdOptions] = {}
+
+        def options_for(opts_json) -> JsonLdOptions:
+            key = opts_json or ""
+            if key not in opts_memo:
+                kwargs = json.loads(opts_json) if opts_json else {}
+                opts_memo[key] = JsonLdOptions(
+                    document_loader=document_loader, **kwargs)
+            return opts_memo[key]
+
+        for pdf in batches:
+            aux_col = (pdf["aux_json"] if "aux_json" in pdf.columns
+                       else [None] * len(pdf))
+            opts_col = (pdf["opts_json"] if "opts_json" in pdf.columns
+                        else [None] * len(pdf))
+            ids, outs, errs = [], [], []
+            for doc_id, doc_json, aux_json, opts_json in zip(
+                    pdf["doc_id"], pdf["doc_json"], aux_col, opts_col):
+                ids.append(doc_id)
+                try:
+                    doc = json.loads(doc_json)
+                    aux = json.loads(aux_json) if aux_json else None
+                    out = fn(doc, aux, options_for(opts_json))
+                    outs.append(_canon_json(out))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 - per-doc isolation
+                    outs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"doc_id": ids, "out_json": outs,
+                                "error": errs})
+
+    cols = [c for c in ("doc_id", "doc_json", "aux_json", "opts_json")
+            if c in rows.columns]
+    return rows.select(*cols).mapInPandas(run, _OUT_SCHEMA)
 
 
 def _rows_to_quads(g) -> list[Quad]:

@@ -14,8 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import cut_lineage
-
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y:
@@ -79,11 +77,11 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
         sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
         return (j.select("id_a", "id_b", sim.alias("sim"))
                 .where(F.col("sim") >= threshold))
-    # materialize the banded table: a boundary stops projection collapse
-    # from re-inlining the plane-dot expressions into both join sides
-    # (same measured pitfall as the minhash signature table)
-    banded = cut_lineage(
-        banded_lsh_buckets(embeddings, planes, bands, id_col, vec_col))
+    # lazy composition: the bucket expressions are cheap (bands × a few
+    # plane dots), so evaluating them once per join side costs less than
+    # a cache/checkpoint boundary would (unlike minhash, whose per-
+    # shingle hash tree re-inlines O(bands²) — see dedup.py)
+    banded = banded_lsh_buckets(embeddings, planes, bands, id_col, vec_col)
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("v_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("id_b"),
