@@ -143,6 +143,35 @@ def q_frame_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_docs(assembled, _DOC_FRAME).select("doc_id", "out_json")
 
 
+_HETERO_CTX_B = {
+    "txt": "http://schema.org/text",
+    "language": "http://schema.org/inLanguage",
+    "src": "http://purl.org/dc/terms/source",
+    "len": "http://example.org/nChars",
+}
+
+
+def q_hetero_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous corpus: even docs compact against context A, odd
+    docs against context B — per-document context COLUMN, one distributed
+    pass (operators/outputs.jsonld_transform_docs). At 10^12 docs this is
+    how mixed-vocabulary corpora transform without one job per config."""
+    import json as _json
+
+    from jsonld_spark.operators.outputs import jsonld_transform_docs
+    from jsonld_spark.sources.interleaved import (assemble_documents,
+                                                  interleaved_from_documents)
+    assembled = assemble_documents(interleaved_from_documents(spark, sf_dir))
+    n = F.regexp_extract("doc_id", r"(\d+)", 1).cast("long")
+    rows = assembled.select(
+        "doc_id", "doc_json",
+        F.when(n % 2 == 0, F.lit(_json.dumps(_COMPACT_CTX, sort_keys=True)))
+         .otherwise(F.lit(_json.dumps(_HETERO_CTX_B, sort_keys=True)))
+         .alias("aux_json"))
+    return jsonld_transform_docs(rows, "compact").select("doc_id",
+                                                         "out_json")
+
+
 def q_fromrdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output stage T9 (fromRDF): the triples DataFrame reassembled into
     expanded JSON-LD per document (groupBy doc, local list/graph
@@ -432,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
+        "hetero_compact": q_hetero_compact,
         "flatten_docs": q_flatten_docs,
         "frame_docs": q_frame_docs,
         "fromrdf_docs": q_fromrdf_docs,
@@ -760,6 +790,28 @@ SELECT 'doc-'||doc_id AS doc_id,
 FROM documents
 """
 
+_HETERO_ORACLE = """
+SELECT 'doc-'||doc_id AS doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN
+  '{"@context":{"lang":"http://schema.org/inLanguage",'
+  ||'"nChars":"http://example.org/nChars",'
+  ||'"source":"http://purl.org/dc/terms/source",'
+  ||'"text":"http://schema.org/text"},'
+  ||'"@id":"http://example.org/doc/'||doc_id||'",'
+  ||'"lang":"'||lang||'","nChars":'||n_chars||','
+  ||'"source":"'||source||'","text":"'||text||'"}'
+  ELSE
+  '{"@context":{"language":"http://schema.org/inLanguage",'
+  ||'"len":"http://example.org/nChars",'
+  ||'"src":"http://purl.org/dc/terms/source",'
+  ||'"txt":"http://schema.org/text"},'
+  ||'"@id":"http://example.org/doc/'||doc_id||'",'
+  ||'"language":"'||lang||'","len":'||n_chars||','
+  ||'"src":"'||source||'","txt":"'||text||'"}'
+  END AS out_json
+FROM documents
+"""
+
 _FLATTEN_ORACLE = """
 SELECT 'doc-'||doc_id AS doc_id,
   '{"@context":{"lang":"http://schema.org/inLanguage",'
@@ -808,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
         "canonicalize_anon": _CANON_ORACLE,
         "compact_docs": _COMPACT_ORACLE,
+        "hetero_compact": _HETERO_ORACLE,
         "flatten_docs": _FLATTEN_ORACLE,
         "frame_docs": _FRAME_ORACLE,
         "fromrdf_docs": _FROMRDF_ORACLE,
