@@ -262,13 +262,17 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
 # (SHA-1 collision aside), so the component tie-break cannot change the
 # output quad multiset.
 #
-# One sequential coupling cannot be replayed locally: a component with
-# ≥2 duplicate-hash groups where a LATER group's exploration reads a
-# label assigned by an EARLIER group (namer.get embeds the global digit
-# string into the path). The kernel detects this and the job fails with
-# a clear message (labels="component" always works). No W3C normalize
-# fixture and no document-shaped data couples — it needs adversarially
-# symmetric cross-group bnode tangles.
+# Cross-group coupling — a LATER group's exploration reading a label
+# assigned by an EARLIER group (whose global digit string the local
+# replay cannot know) — is PROVABLY impossible: the chosen hashPaths
+# exploration is a DFS that recurses into every unnamed subj/obj-
+# adjacent bnode transitively (NormalizeUtils.java:281-346), so after a
+# group's naming events the named set is closed under hashPaths
+# adjacency; a later group's unnamed member therefore has no adjacency
+# into it (it would have been named), and graph-label-only links (which
+# DO join components) never create hashPaths adjacency. The kernel keeps
+# the detection as a defensive assertion; tests include the adversarial
+# graph-label-linked shape (test_c14n_reference_parity.py).
 
 _BINFO_SCHEMA = T.StructType([
     T.StructField("component", T.StringType()),

@@ -122,3 +122,28 @@ def test_interleaving_differs_from_component_mode_when_it_should(spark):
     df, union = _build(spark, DATASETS["identical_docs"])
     ref = _lines(canonicalize_triples(df, labels="reference"))
     assert ref == normalize_quads(union)
+
+
+def test_graph_label_linked_subcomponents(spark):
+    """Adversarial shape: two subj/obj-subcomponents joined ONLY through a
+    shared blank-node GRAPH label (components connect via graph mentions,
+    but hashPaths adjacency never does). Also the closest constructible
+    approach to cross-group coupling — which is provably impossible: the
+    chosen hashPaths exploration is a DFS that names every unnamed
+    subj/obj-adjacent node transitively, so the named set is
+    adjacency-closed and a later group's unnamed member can never touch
+    an earlier group's fresh labels."""
+    from jsonld_spark.core.rdf import Quad
+    quads = [
+        Quad("_:g", "_:x1", "http://p/knows", "bnode", "_:x2", None, None),
+        Quad("_:g", "_:x2", "http://p/knows", "bnode", "_:x1", None, None),
+        Quad("_:g", "_:y1", "http://p/likes", "bnode", "_:y2", None, None),
+        Quad("_:g", "_:y2", "http://p/likes", "bnode", "_:y1", None, None),
+        Quad("@default", "_:g", "http://p/name", "literal", "G",
+             "http://www.w3.org/2001/XMLSchema#string", None),
+    ]
+    rows = [("d", q.graph, q.subj, q.pred, q.obj_kind, q.obj_value,
+             q.obj_datatype, q.obj_lang) for q in quads]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = _lines(canonicalize_triples(df, labels="reference"))
+    assert got == normalize_quads(quads)
