@@ -331,6 +331,30 @@ def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
             for row in rs.normal(size=(n_planes, dim))]
 
 
+def _ivf_centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
+    """Fixed-seed codebook (stand-in for a trained k-means codebook),
+    rounded so the same literals embed in Spark and the SQL oracle."""
+    import numpy as np
+    rs = np.random.RandomState(11)
+    return [[round(float(x), 6) for x in row]
+            for row in rs.normal(size=(k, dim))]
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors in their nearest centroid's inverted
+    list, queries probe 2 lists, exact cosine rerank — the trained-
+    codebook scale path complementing LSH (ann_topk)."""
+    from jsonld_spark.operators.similarity import ivf_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return ivf_cosine_topk(emb, queries, _ivf_centroids(), k=10,
+                           nprobe=2).select(
+        "query_id", "neighbor_id", F.col("sim").cast("double").alias("sim"),
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (the 10^9-vector scale
     path; brute-force cosine_topk is the exact baseline)."""
@@ -477,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
@@ -733,6 +758,42 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _ivf_oracle(k: int = 10, nprobe: int = 2) -> str:
+    cents = _ivf_centroids()
+    values = ", ".join(
+        f"({i}, [{','.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    # tie-break (d DESC, list_id DESC) mirrors Spark's
+    # reverse(array_sort(struct(d, list_id)))
+    assign = """
+    SELECT vec_id, v, list_id FROM (
+      SELECT e.vec_id, e.v, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, c.c) DESC,
+                        c.list_id DESC) AS rn
+      FROM {src} e CROSS JOIN cents c) WHERE rn <= {n}"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT * FROM (VALUES {values}) t(list_id, c)),
+ea AS ({assign.format(src='e', n=1)}),
+eq AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+q AS (SELECT vec_id AS query_id, v AS qv, list_id
+      FROM ({assign.format(src='eq', n=nprobe)})),
+scored AS (
+  SELECT DISTINCT q.query_id, ea.vec_id AS neighbor_id,
+         round(list_cosine_similarity(ea.v, q.qv), 4) AS sim
+  FROM ea JOIN q USING (list_id) WHERE ea.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 _MEDIA_FEATURES_ORACLE = """
 WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS content_hex,
                   md5(md5(CAST(doc_id AS VARCHAR))) AS fh
@@ -877,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_topk": _ann_oracle(),
+        "ivf_topk": _ivf_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
         "token_count_bpe": _TOKEN_BPE_ORACLE,
         "quality_score": _QUALITY_ORACLE,

@@ -68,3 +68,24 @@ def nquads_lines_to_triples(lines: DataFrame, line_col: str = "nq") -> DataFrame
             yield pd.DataFrame(rows)
 
     return lines.select(line_col).mapInPandas(parse_batch, NQUAD_PARSED_SCHEMA)
+
+
+def read_nquads(spark, path: str) -> DataFrame:
+    """N-Quads file scan (S4): text files → quad columns. Each line
+    parses independently (N-Quads is line-delimited), so the scan
+    parallelizes over file splits; dataset-level dedup mirrors
+    ``RDFDatasetUtils.parseNQuads`` (:362-368)."""
+    lines = spark.read.text(path).withColumnRenamed("value", "nq") \
+        .where(F.length(F.trim("nq")) > 0) \
+        .where(~F.trim("nq").startswith("#"))
+    return nquads_lines_to_triples(lines).dropDuplicates(
+        ["graph", "subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+         "obj_lang"])
+
+
+def write_nquads(triples: DataFrame, path: str, mode: str = "error") -> None:
+    """N-Quads sink (S5): quad columns → text files of serialized lines.
+    One output file per partition; for a single globally-sorted file
+    (the reference's ``toNQuads`` contract) coalesce(1) + sortWithin —
+    only sensible for small exports."""
+    triples_to_nquads(triples).select("nq").write.mode(mode).text(path)

@@ -148,3 +148,54 @@ def ann_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``nprobe``
+    nearest centroids by dot product (one output row per probed list).
+    ``centroids`` are fixed driver-side literals (a seeded sample or a
+    precomputed k-means codebook), so assignment is a pure JVM column
+    expression — at 10^9 vectors this is one scan, no shuffle."""
+    dots = F.array(*[
+        F.struct(_dot(F.col(vec_col),
+                      F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                 F.lit(i).alias("list_id"))
+        for i, c in enumerate(centroids)])
+    top = F.slice(F.reverse(F.array_sort(dots)), 1, nprobe)
+    return embeddings.select(
+        id_col, vec_col,
+        F.explode(F.transform(top, lambda s: s["list_id"])).alias("list_id"))
+
+
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                    centroids: list[list[float]], k: int = 10,
+                    nprobe: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    round_to: int = 4) -> DataFrame:
+    """IVF-style approximate top-k: vectors live in their single nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    lists and reranks candidates with the exact cosine. The standard
+    10^9-vector ANN layout (coarse quantizer → inverted lists → rerank):
+    the corpus side is scanned once and shuffles only by list_id; the
+    (tiny) query side is broadcast. Complements ``ann_cosine_topk``
+    (random-hyperplane LSH) — IVF adapts to the data distribution via
+    its codebook, LSH needs no training."""
+    e_l = ivf_assign(embeddings, centroids, id_col, vec_col, nprobe=1)
+    q_l = (ivf_assign(
+        queries.withColumnRenamed("query_id", id_col)
+               .withColumnRenamed("query_vec", vec_col),
+        centroids, id_col, vec_col, nprobe=nprobe)
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"), "list_id"))
+    j = e_l.join(F.broadcast(q_l), "list_id") \
+           .where(F.col(id_col) != F.col("query_id"))
+    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
+    scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
+                      sim.alias("sim")).dropDuplicates(
+                          ["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
