@@ -54,8 +54,7 @@ def run_once() -> dict:
     import __spark_entry__ as E
     from jsonld_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS))
+    spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     timings: dict[str, float] = {}

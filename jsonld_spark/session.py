@@ -42,6 +42,13 @@ def get_spark(app_name: str = "jsonld_spark", master: str | None = None,
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
+        # one reduce task per core by default: iterative fixpoint
+        # operators (connected components, canonicalize) pay per-task
+        # overhead × rounds, and 4× partitions measurably hurt them at
+        # bench scale (cc_components 5.3 s → 8.4 s). Big ONE-PASS
+        # shuffles are the opposite — straggler-bound in a single wave —
+        # so the throughput bench uses 4 waves/core explicitly (+10%
+        # measured); size-to-workload on a real cluster.
         n = cpus if cpus != "*" else "32"
         shuffle_partitions = int(n)
     builder = (
