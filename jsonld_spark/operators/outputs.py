@@ -19,7 +19,6 @@ import json
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core.compact import compact_document, flatten_document

@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="r0")
     p.add_argument("--n-buckets", type=int, default=4096)
     p.add_argument("--canonicalize", action="store_true")
+    p.add_argument("--labels", choices=["component", "reference"],
+                   default="component",
+                   help="c14n numbering: disjoint per-component ranges "
+                        "(default) or the reference's byte-exact global "
+                        "interleave")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="enable RELIABLE checkpoints for iterative "
+                        "operators (survives executor loss)")
     p.add_argument("--link-sameas", action="store_true")
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
@@ -58,8 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     triples = quads.where(F.col("error").isNull()).drop("error") \
                    .dropDuplicates()
 
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     if args.canonicalize:
-        triples = canonicalize_triples(triples)
+        triples = canonicalize_triples(triples, labels=args.labels)
     if args.link_sameas:
         edges = (triples.where(F.col("pred") == OWL_SAMEAS)
                  .where(F.col("obj_kind") == "iri")
