@@ -145,3 +145,22 @@ def test_reliable_checkpoint_used_when_dir_configured(spark, tmp_path):
         # setter name contains '$', so go through getattr)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None))
+
+
+def test_prefix_offsets_matches_cumsum(spark):
+    """Distributed exclusive prefix sum == driver cumsum, any ordering,
+    any partitioning (the primitive under the c14n renumber)."""
+    from jsonld_spark.operators.canonicalize import prefix_offsets
+    rows = [(f"k{i:03d}", (i * 7) % 13 + 1) for i in range(257)]
+    expect = {}
+    acc = 0
+    for k, v in sorted(rows):
+        expect[k] = acc
+        acc += v
+    df = spark.createDataFrame(rows, "k string, v long").repartition(9)
+    got = {r.k: r._offset for r in
+           prefix_offsets(df, ["k"], "v").collect()}
+    assert got == expect
+    # empty input
+    empty = spark.createDataFrame([], "k string, v long")
+    assert prefix_offsets(empty, ["k"], "v").count() == 0
