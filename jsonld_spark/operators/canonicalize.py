@@ -145,7 +145,11 @@ def prefix_offsets(df: DataFrame, order_cols: list[str], value_col: str,
        id — every partition runs in parallel) + base offset.
     """
     spark = df.sparkSession
-    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    # partition count scales with the data (inherited shuffle width),
+    # never below the core count — each range partition must fit one
+    # task's local sort
+    n_part = max(spark.sparkContext.defaultParallelism,
+                 df.rdd.getNumPartitions(), 1)
     ranged = cut_lineage(df.repartitionByRange(n_part, *order_cols)
                          .withColumn("_pid", F.spark_partition_id()))
     totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t")) \
@@ -155,18 +159,27 @@ def prefix_offsets(df: DataFrame, order_cols: list[str], value_col: str,
     for r in sorted(totals, key=lambda r: r["_pid"]):
         base[r["_pid"]] = acc
         acc += int(r["_t"])
-    if base:
+    if not base:  # empty input: no partitions materialized any rows
+        base_off = F.lit(0)
+    elif len(base) <= 1024:
         base_map = F.create_map(*[F.lit(x) for kv in base.items()
                                   for x in kv])
         base_off = F.coalesce(base_map[F.col("_pid")], F.lit(0))
-    else:  # empty input: no partitions materialized any rows
-        base_off = F.lit(0)
+    else:
+        # tens of thousands of partitions would blow up a literal-map
+        # expression tree; a broadcast join of the (one row per
+        # partition) offset table is the textbook small side
+        base_df = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in base.items()],
+            "_pid int, _base long")
+        ranged = ranged.join(F.broadcast(base_df), "_pid", "left")
+        base_off = F.coalesce(F.col("_base"), F.lit(0))
     w = Window.partitionBy("_pid").orderBy(*order_cols) \
               .rowsBetween(Window.unboundedPreceding, -1)
     local = F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("long"))
     return (ranged
             .withColumn(offset_col, (local + base_off).cast("long"))
-            .drop("_pid"))
+            .drop("_pid", "_base"))
 
 
 def _shift_label(col: F.Column, offset: F.Column) -> F.Column:
