@@ -138,3 +138,21 @@ def from_rdf(input_data: Any, options: JsonLdOptions | None = None) -> Any:
         raise JsonLdError(JsonLdError.UNKNOWN_ERROR,
                           f"Output form was unknown: {options.output_form}")
     return rval
+
+
+def normalize(input_doc: Any, options: JsonLdOptions | None = None) -> Any:
+    """Processor-level normalize (``JsonLdProcessor.java:627-649`` →
+    ``JsonLdApi.normalize``, :2187-2237): canonical ``_:c14n`` labels;
+    returns N-Quads text when ``options.format`` is set, otherwise the
+    canonicalized dataset re-parsed from those lines (the reference
+    parses its own serialization back)."""
+    from .normalize import normalize_quads
+    from .registry import parse_rdf
+
+    options = options or JsonLdOptions()
+    lines = "".join(normalize_quads(document_to_quads(input_doc, options)))
+    if options.format is not None:
+        if options.format in (APPLICATION_NQUADS, "application/nquads"):
+            return lines
+        raise JsonLdError(JsonLdError.UNKNOWN_FORMAT, options.format)
+    return RdfDataset(parse_rdf(lines))

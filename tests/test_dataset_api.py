@@ -80,3 +80,17 @@ def test_from_rdf_rejects_unreadable_input():
     with pytest.raises(JsonLdError) as e:
         from_rdf(42)
     assert e.value.code == JsonLdError.INVALID_INPUT
+
+
+def test_normalize_entry_point():
+    from jsonld_spark.core.dataset import RdfDataset, normalize
+    doc = {"@context": {"p": "http://e/p"}, "p": {"p": "leaf"}}
+    nq = normalize(doc, JsonLdOptions(format="application/nquads"))
+    assert nq == ('_:c14n0 <http://e/p> "leaf" .\n'
+                  '_:c14n1 <http://e/p> _:c14n0 .\n')
+    ds = normalize(doc)
+    assert isinstance(ds, RdfDataset) and len(ds.quads) == 2
+    assert {q.subj for q in ds.quads} == {"_:c14n0", "_:c14n1"}
+    with pytest.raises(JsonLdError) as e:
+        normalize(doc, JsonLdOptions(format="text/turtle"))
+    assert e.value.code == JsonLdError.UNKNOWN_FORMAT
