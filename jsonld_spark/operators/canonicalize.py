@@ -244,9 +244,15 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
                              "n_labels").select("component", "_offset")
 
     shifted = canon.join(offsets, "component")
-    for c in ("graph", "subj", "obj_value"):
+    for c in ("graph", "subj"):
         shifted = shifted.withColumn(c, _shift_label(F.col(c),
                                                      F.col("_offset")))
+    # literals may START with "_:c14n" — only bnode objects carry labels
+    shifted = shifted.withColumn(
+        "obj_value",
+        F.when(F.col("obj_kind") == "bnode",
+               _shift_label(F.col("obj_value"), F.col("_offset")))
+        .otherwise(F.col("obj_value")))
     return (shifted.select(*QUAD_COLS)
             .unionByName(plain.select(*QUAD_COLS)))
 

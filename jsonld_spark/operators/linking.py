@@ -138,11 +138,15 @@ def link_triples(triples: DataFrame, components: DataFrame,
     else two shuffled left joins on subj and obj (AQE picks the physical
     strategy). At 10^12 docs the component map has billions of rows —
     an unconditional broadcast would OOM the driver; set
-    ``broadcast_max_rows=0`` to force the shuffled path."""
-    # probe without persisting: connected_components output is already
-    # cached/checkpointed, so the bounded count is a cheap cache read
+    ``broadcast_max_rows=0`` to force the shuffled path (skips the
+    probe materialization entirely and lets AQE pick)."""
     small = False
     if broadcast_max_rows:
+        # materialize once so the bounded probe and the two joins share
+        # a single computation of the (possibly expensive, possibly
+        # uncached) upstream lineage — e.g. a CC fixpoint would
+        # otherwise run once for the probe and again per join
+        components = cut_lineage(components)
         small = (components.limit(broadcast_max_rows + 1).count()
                  <= broadcast_max_rows)
     hint = F.broadcast if small else (lambda df: df)

@@ -142,6 +142,16 @@ def _data_path(out_dir: str) -> str:
     return f"{out_dir}/triples"
 
 
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API, so
+    rebuilds work on any supported scheme (local, HDFS, s3a...)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(
@@ -176,6 +186,13 @@ def materialize_graph(triples: DataFrame, out_dir: str,
     spark = triples.sparkSession
     parted = with_partition(triples, n_buckets)
 
+    if not resume:
+        # rebuild from scratch: stale part directories under a different
+        # bucketing would leak into read_graph (dynamic overwrite only
+        # replaces partitions the new run writes), and stale manifest
+        # config rows would block every future resume — clear both.
+        _delete_path(spark, _data_path(out_dir))
+        _delete_path(spark, _manifest_path(out_dir))
     manifests = read_manifests(spark, out_dir)
     if resume:
         cfgs = (manifests.select("n_buckets", "input_id").distinct()

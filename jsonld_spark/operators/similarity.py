@@ -33,16 +33,22 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                round_to: int = 4) -> DataFrame:
+                round_to: int = 4, exclude_self: bool = True) -> DataFrame:
     """Brute-force exact top-k neighbors for each query vector.
 
     queries: (query_id, query_vec). The query side is broadcast —
     the big scan side streams through without a shuffle; the only
     shuffle is the final per-query top-k (tiny). Ties broken by
     neighbor id for determinism.
+
+    ``exclude_self`` assumes query ids are drawn from the corpus id
+    space (self-match dropped by id); pass False when queries come from
+    a separate id space, else an id collision silently drops a genuine
+    neighbor.
     """
-    j = embeddings.crossJoin(F.broadcast(queries)) \
-                  .where(F.col(id_col) != F.col("query_id"))
+    j = embeddings.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        j = j.where(F.col(id_col) != F.col("query_id"))
     sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim"))
@@ -101,6 +107,18 @@ def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
     input row per band, bucket = the band's sign-bit integer. Candidate
     generation = equi-join on (band, bucket)."""
     per = len(planes) // bands
+    if bands < 1 or per < 1:
+        # per == 0 would make every bucket the constant 0 → the candidate
+        # join degenerates to the full O(n²) cross product, silently
+        raise ValueError(
+            f"banded_lsh_buckets needs at least one plane per band "
+            f"(got {len(planes)} planes, {bands} bands)")
+    if len(planes) % bands != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must divide evenly into "
+            f"bands={bands}; remainder planes would be silently unused")
+    if per > 62:
+        raise ValueError(f"{per} planes per band overflows a long bucket")
     band_buckets = []
     for b in range(bands):
         bucket = F.lit(0).cast("long")
@@ -120,6 +138,8 @@ def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
     """Random-hyperplane LSH: sign bits of dot products with fixed planes
     → integer bucket. ``planes`` must be generated driver-side with a
     fixed seed so bucketing is deterministic."""
+    if len(planes) > 62:
+        raise ValueError(f"{len(planes)} planes overflows a long bucket")
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
@@ -130,18 +150,21 @@ def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
 
 def ann_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                     planes: list[list[float]], k: int = 10,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Recall
     depends on plane count; the scale path for 10^9+ vectors where
-    brute force is off the table."""
+    brute force is off the table. ``exclude_self`` as in
+    ``cosine_topk`` — set False for a disjoint query id space."""
     e_b = lsh_buckets(embeddings, planes, id_col, vec_col)
     q_b = lsh_buckets(queries.withColumnRenamed("query_id", id_col)
                       .withColumnRenamed("query_vec", vec_col),
                       planes, id_col, vec_col) \
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("query_vec"), "bucket")
-    j = e_b.join(F.broadcast(q_b), "bucket") \
-           .where(F.col(id_col) != F.col("query_id"))
+    j = e_b.join(F.broadcast(q_b), "bucket")
+    if exclude_self:
+        j = j.where(F.col(id_col) != F.col("query_id"))
     sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), 4)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim"))
@@ -173,7 +196,8 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                     centroids: list[list[float]], k: int = 10,
                     nprobe: int = 2, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    round_to: int = 4) -> DataFrame:
+                    round_to: int = 4,
+                    exclude_self: bool = True) -> DataFrame:
     """IVF-style approximate top-k: vectors live in their single nearest
     centroid's inverted list; each query probes its ``nprobe`` nearest
     lists and reranks candidates with the exact cosine. The standard
@@ -189,8 +213,11 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
         centroids, id_col, vec_col, nprobe=nprobe)
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("query_vec"), "list_id"))
-    j = e_l.join(F.broadcast(q_l), "list_id") \
-           .where(F.col(id_col) != F.col("query_id"))
+    j = e_l.join(F.broadcast(q_l), "list_id")
+    if exclude_self:
+        # assumes query ids share the corpus id space; pass False for an
+        # external query table, else an id collision drops a neighbor
+        j = j.where(F.col(id_col) != F.col("query_id"))
     sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim")).dropDuplicates(

@@ -60,6 +60,10 @@ def get_spark(app_name: str = "jsonld_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
+        # reliable checkpoints (cut_lineage with a checkpoint dir) are
+        # full dataset copies; clean them when their RDD is GC'd, else a
+        # long run accumulates copies until the store fills
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()

@@ -56,18 +56,50 @@ class RemoteDocument:
     context_url: str | None = None
 
 
-def _parse_link_header(value: str) -> tuple[str, dict[str, str]]:
-    """One Link header value → (target, {param: value})."""
-    target = ""
-    params: dict[str, str] = {}
-    for part in value.split(";"):
-        part = part.strip()
-        if part.startswith("<") and part.endswith(">"):
-            target = part[1:-1]
-        elif "=" in part:
-            k, _, v = part.partition("=")
-            params[k.strip().lower()] = v.strip().strip('"')
-    return target, params
+def _split_outside_quotes(value: str, sep: str) -> list[str]:
+    """Split on ``sep`` occurrences that are outside ``"..."`` quoted
+    strings and outside ``<...>`` URI references (RFC 8288 grammar)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    in_quote = in_angle = False
+    for ch in value:
+        if in_quote:
+            cur.append(ch)
+            if ch == '"':
+                in_quote = False
+        elif ch == '"':
+            in_quote = True
+            cur.append(ch)
+        elif ch == "<":
+            in_angle = True
+            cur.append(ch)
+        elif ch == ">":
+            in_angle = False
+            cur.append(ch)
+        elif ch == sep and not in_angle:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_link_header(value: str) -> list[tuple[str, dict[str, str]]]:
+    """One Link HEADER (which RFC 8288 allows to carry several
+    comma-separated link-values) → [(target, {param: value}), ...]."""
+    links = []
+    for link_value in _split_outside_quotes(value, ","):
+        target = ""
+        params: dict[str, str] = {}
+        for part in _split_outside_quotes(link_value, ";"):
+            if part.startswith("<") and part.endswith(">"):
+                target = part[1:-1]
+            elif "=" in part:
+                k, _, v = part.partition("=")
+                params[k.strip().lower()] = v.strip().strip('"')
+        links.append((target, params))
+    return links
 
 
 def _resolve_relative(base_url: str, target: str) -> str:
@@ -143,8 +175,8 @@ class DriverDocumentLoader:
             .split(";")[0].strip()
         context_url = None
         if content_type != "application/ld+json":
-            links = [_parse_link_header(v)
-                     for k, v in headers if k.lower() == "link"]
+            links = [lv for k, v in headers if k.lower() == "link"
+                     for lv in _parse_link_header(v)]
             # alternate document location (JsonUtils.java:370-413)
             for target, params in links:
                 if (params.get("rel") == "alternate"

@@ -75,10 +75,13 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     n_docs = scale_documents(spark, args.src, args.out, args.factor)
     n_vecs = scale_embeddings(spark, args.src, args.out, args.factor)
+    # symlink targets resolve relative to the link's directory, not the
+    # cwd — store absolute targets so a relative --src doesn't dangle
+    src_abs = os.path.abspath(args.src)
     for t in RELATIONAL:
         dst = f"{args.out}/{t}.parquet"
         if not os.path.exists(dst):
-            os.symlink(f"{args.src}/{t}.parquet", dst)
+            os.symlink(f"{src_abs}/{t}.parquet", dst)
     print({"documents": n_docs, "embeddings": n_vecs,
            "factor": args.factor, "out": args.out})
     return 0

@@ -164,3 +164,26 @@ def test_prefix_offsets_matches_cumsum(spark):
     # empty input
     empty = spark.createDataFrame([], "k string, v long")
     assert prefix_offsets(empty, ["k"], "v").count() == 0
+
+
+@pytest.mark.parametrize("labels", ["component", "reference"])
+def test_literal_starting_with_c14n_not_rewritten(spark, labels):
+    """A literal whose TEXT begins with "_:c14n" must pass through both
+    label modes untouched — only obj_kind='bnode' values carry labels.
+    (The component-mode shift once rewrote such literals, and a
+    non-numeric suffix like "_:c14n notes" cast to NULL.)"""
+    rows = (_doc_quads(CYCLE_DOC, "a", prefix="da") +
+            _doc_quads(CYCLE_DOC, "b", prefix="db"))
+    rows += [
+        ("a", "@default", "_:dax", "http://ex.org/note", "literal",
+         "_:c14n7", "http://www.w3.org/2001/XMLSchema#string", None),
+        ("b", "@default", "_:dbx", "http://ex.org/note", "literal",
+         "_:c14n notes", "http://www.w3.org/2001/XMLSchema#string", None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = canonicalize_triples(df, labels=labels)
+    lits = {r.obj_value for r in
+            out.where(F.col("obj_kind") == "literal").collect()}
+    assert lits == {"_:c14n7", "_:c14n notes"}
+    # and none of them became NULL
+    assert out.where(F.col("obj_value").isNull()).count() == 0

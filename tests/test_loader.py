@@ -145,3 +145,48 @@ def test_resolve_all_builds_broadcastable_cache():
     # the cache is a plain dict — exactly what make_extract_quads takes
     from jsonld_spark.operators.pipeline import make_extract_quads
     make_extract_quads(contexts=cache)  # constructs without error
+
+def test_comma_separated_link_values_in_one_header():
+    """RFC 8288: one Link header may carry several comma-separated
+    link-values — two context links in a single header is the same
+    typed error as two separate headers."""
+    ldr = DriverDocumentLoader(http_get=fake_http({
+        "http://x/doc": (200, [
+            ("Content-Type", "application/json"),
+            ("Link", f'</c1>; rel="{JSONLD_CONTEXT_REL}", '
+                     f'</c2>; rel="{JSONLD_CONTEXT_REL}"')], "{}"),
+    }))
+    with pytest.raises(JsonLdError) as e:
+        ldr.load_document("http://x/doc")
+    assert e.value.code == JsonLdError.MULTIPLE_CONTEXT_LINK_HEADERS
+
+
+def test_alternate_link_parsed_from_comma_separated_header():
+    ldr = DriverDocumentLoader(http_get=fake_http({
+        "http://x/page": (200, [
+            ("Content-Type", "text/html"),
+            ("Link", '</style.css>; rel="stylesheet", '
+                     '</data.jsonld>; rel="alternate"; '
+                     'type="application/ld+json"')], "<html>"),
+        "http://x/data.jsonld": (200,
+                                 [("Content-Type", "application/ld+json")],
+                                 json.dumps(CTX)),
+    }))
+    assert ldr.load_document("http://x/page").document == CTX
+
+
+def test_link_param_commas_inside_quotes_not_split():
+    """A quoted param value containing a comma must not split the
+    link-value."""
+    body = json.dumps({"name": "x"})
+    ldr = DriverDocumentLoader(http_get=fake_http({
+        "http://x/doc": (200, [
+            ("Content-Type", "application/json"),
+            ("Link", f'</ctx.jsonld>; rel="{JSONLD_CONTEXT_REL}"; '
+                     f'title="a, b"')], body),
+        "http://x/ctx.jsonld": (200,
+                                [("Content-Type", "application/ld+json")],
+                                json.dumps(CTX)),
+    }))
+    doc = ldr.load_document("http://x/doc")
+    assert doc.context_url == "http://x/ctx.jsonld"

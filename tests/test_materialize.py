@@ -135,3 +135,25 @@ def test_heavy_subject_salting(spark):
         F.array_sort(F.collect_set("pred")).alias("preds"))
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, naive.collect()))
+
+
+def test_rebuild_clears_stale_buckets_and_manifests(spark, triples, tmp_path):
+    """resume=False must leave NO trace of the old bucketing: stale part
+    dirs would leak into read_graph (dynamic overwrite only replaces
+    partitions the new run writes) and stale manifest config rows would
+    block every later resume."""
+    out = str(tmp_path / "graph")
+    materialize_graph(triples, out, n_buckets=N_BUCKETS, run_id="r1")
+    # rebuild with FEWER buckets: old parts >= 4 would survive a plain
+    # dynamic-partition overwrite
+    m = materialize_graph(triples, out, n_buckets=4, run_id="r2",
+                          resume=False)
+    assert m["pending"] == 4
+    assert _sorted_rows(read_graph(spark, out)) == _sorted_rows(triples)
+    man = read_manifests(spark, out)
+    assert {r["n_buckets"] for r in man.select("n_buckets").collect()} == {4}
+    # and the rebuilt output resumes cleanly under its new config
+    m3 = materialize_graph(triples, out, n_buckets=4, run_id="r3")
+    assert m3["pending"] == 0 and m3["skipped"] == 4
+    statuses = {r["status"] for r in verify_manifests(spark, out).collect()}
+    assert statuses == {"ok"}

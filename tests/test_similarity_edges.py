@@ -1,0 +1,56 @@
+"""Edge semantics of the similarity operators: parameter validation
+(silent LSH degeneration) and self-exclusion for external query id
+spaces."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonld_spark.operators.similarity import (ann_cosine_topk,
+                                               banded_lsh_buckets,
+                                               cosine_topk, ivf_cosine_topk,
+                                               lsh_buckets)
+
+
+def _emb(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]), (3, [0.9, 0.1, 0.0])]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_banded_lsh_rejects_degenerate_params(spark):
+    df = _emb(spark)
+    # per-band plane count of 0 would bucket EVERYTHING into 0 → the
+    # candidate join degenerates to the full cross product, silently
+    with pytest.raises(ValueError, match="at least one plane per band"):
+        banded_lsh_buckets(df, planes=[[1.0, 0.0, 0.0]] * 3, bands=4)
+    with pytest.raises(ValueError, match="divide evenly"):
+        banded_lsh_buckets(df, planes=[[1.0, 0.0, 0.0]] * 10, bands=4)
+    with pytest.raises(ValueError, match="overflows"):
+        lsh_buckets(df, planes=[[1.0, 0.0, 0.0]] * 63)
+
+
+def test_exclude_self_false_keeps_id_collisions(spark):
+    """Queries from an EXTERNAL id space: a corpus vector whose id
+    collides with a query id is a legitimate neighbor."""
+    emb = _emb(spark)
+    queries = spark.createDataFrame(
+        [(3, [1.0, 0.0, 0.0])], "query_id long, query_vec array<double>")
+    # query id 3 collides with corpus vec 3 (cosine 0.9938) — the default
+    # drops it, exclude_self=False keeps it
+    got_default = {r.neighbor_id for r in
+                   cosine_topk(emb, queries, k=4).collect()}
+    got_external = {r.neighbor_id for r in
+                    cosine_topk(emb, queries, k=4,
+                                exclude_self=False).collect()}
+    assert 3 not in got_default
+    assert 3 in got_external
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    ivf = ivf_cosine_topk(emb, queries, cents, k=4, nprobe=3,
+                          exclude_self=False)
+    assert 3 in {r.neighbor_id for r in ivf.collect()}
+
+    planes = [[1.0, 0.0, 0.0]]  # one plane: query and vec 3 share a bucket
+    ann = ann_cosine_topk(emb, queries, planes, k=4, exclude_self=False)
+    assert 3 in {r.neighbor_id for r in ann.collect()}
