@@ -240,6 +240,26 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id_b").cast("long").alias("id_b"))
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus near-dup: docs with doc_id % 4 == 0 play the
+    incoming batch, the rest the existing corpus whose signature table
+    is already landed (computed here from the same params). Candidates =
+    equal LSH band hash across the two sets — corpus shingles are never
+    recomputed per batch."""
+    from jsonld_spark.operators.dedup import (minhash_pairs_incremental,
+                                              minhash_signatures)
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus_sigs = minhash_signatures(corpus, shingle_len=5, num_hashes=16,
+                                     hash_fn="md5")
+    return minhash_pairs_incremental(new, corpus_sigs, shingle_len=5,
+                                     num_hashes=16, bands=4,
+                                     hash_fn="md5") \
+        .select(F.col("new_id").cast("long").alias("new_id"),
+                F.col("corpus_id").cast("long").alias("corpus_id"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.dedup import simhash32
     return simhash32(_read(spark, sf_dir, "documents")) \
@@ -493,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_isolation": q_error_isolation,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_incremental": q_minhash_incremental,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -673,6 +694,24 @@ banded AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+_MINHASH_INCR_ORACLE = f"""
+WITH bh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text)-4,1)+1),
+                        i -> {_hx('substr(text,i,5)', 0)}) AS hs
+  FROM documents),
+sig AS (
+  SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in _MINHASH_MINS)}
+  FROM bh),
+banded AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig"
+                      for b, bh in enumerate(_MINHASH_BANDS))})
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+FROM banded c JOIN banded n
+  ON c.band = n.band AND c.band_hash = n.band_hash
+WHERE c.doc_id % 4 <> 0 AND n.doc_id % 4 = 0
 """
 
 _SIMHASH_ORACLE = f"""
@@ -955,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "minhash_pairs": _MINHASH_ORACLE,
+        "minhash_incremental": _MINHASH_INCR_ORACLE,
         "simhash": _SIMHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_neardup": _neardup_oracle(),

@@ -77,6 +77,28 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, sig.alias("sig"))
 
 
+def band_signatures(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                    hash_fn: str = "xxhash64",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, sig) → (id, band, band_hash): one row per band, band_hash =
+    hash of that band's signature slice. Equal (band, band_hash) ⇒
+    LSH candidate. Shared by in-corpus and incremental dedup so both
+    produce identical buckets for identical signatures."""
+    rows_per_band = num_hashes // bands
+    slices = [F.slice("sig", b * rows_per_band + 1, rows_per_band)
+              for b in range(bands)]
+    if hash_fn == "md5":
+        band_hashes = [
+            F.md5(F.concat_ws(",",
+                              F.transform(s, lambda x: x.cast("string"))))
+            for s in slices]
+    else:
+        band_hashes = [F.hash(s).cast("string") for s in slices]
+    return sigs.select(
+        id_col,
+        F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"))
+
+
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_len: int = 5,
                             num_hashes: int = 16, bands: int = 4,
@@ -93,22 +115,10 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     before returning — a persist left behind held executor storage for
     the session lifetime. At warehouse scale the signatures are a landed
     table for the same reason."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
                               num_hashes, hash_fn).persist()
     try:
-        slices = [F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                  for b in range(bands)]
-        if hash_fn == "md5":
-            band_hashes = [
-                F.md5(F.concat_ws(",",
-                                  F.transform(s, lambda x: x.cast("string"))))
-                for s in slices]
-        else:
-            band_hashes = [F.hash(s).cast("string") for s in slices]
-        banded = sigs.select(
-            id_col,
-            F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"))
+        banded = band_signatures(sigs, num_hashes, bands, hash_fn, id_col)
         a = banded.alias("a")
         b = banded.alias("b")
         pairs = (a.join(b, [F.col("a.band") == F.col("b.band"),
@@ -120,6 +130,43 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
         return cut_lineage(pairs)
     finally:
         sigs.unpersist()
+
+
+def minhash_pairs_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", shingle_len: int = 5,
+                              num_hashes: int = 16, bands: int = 4,
+                              hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup candidates of a NEW batch against an EXISTING corpus —
+    the "dedup tonight's crawl against the whole corpus" path.
+
+    ``corpus_sigs``: (id, sig) — the landed signature table produced by
+    ``minhash_signatures`` when the corpus was built (signatures are
+    computed once per document EVER, not once per incoming batch; at
+    100 TB recomputing corpus shingles per batch is the whole job).
+    Returns (new_id, corpus_id) candidates: equal (band, band_hash) in
+    any band, with signature params matching the corpus table's.
+
+    Scale shape: both sides band to O(rows·bands) and meet in a plain
+    equi-join — AQE broadcasts the (typically small) new batch side at
+    runtime; never a cross product. Self-pairs (a re-crawled id already
+    in the corpus) are dropped. Within-batch duplicates are
+    ``minhash_candidate_pairs`` on the batch alone."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, shingle_len,
+                                  num_hashes, hash_fn).persist()
+    try:
+        n_b = band_signatures(new_sigs, num_hashes, bands, hash_fn, id_col) \
+            .select(F.col(id_col).alias("new_id"), "band", "band_hash")
+        c_b = band_signatures(corpus_sigs, num_hashes, bands, hash_fn,
+                              id_col) \
+            .select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
+        pairs = (c_b.join(n_b, ["band", "band_hash"])
+                 .where(F.col("new_id") != F.col("corpus_id"))
+                 .select("new_id", "corpus_id")
+                 .dropDuplicates())
+        return cut_lineage(pairs)
+    finally:
+        new_sigs.unpersist()
 
 
 def word_ngrams(text_col: str, n: int = 3):

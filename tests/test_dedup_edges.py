@@ -51,3 +51,28 @@ def test_ngram_jaccard_short_docs_match_oracle(spark):
     assert got == want
     # identical short docs are exact near-dups (jaccard 1.0)
     assert (0, 1, 1.0) in got
+
+
+def test_minhash_incremental_consistent_with_full_run(spark):
+    """Incremental (new batch vs landed corpus signatures) must produce
+    exactly the cross-set subset of the full in-corpus run: signatures
+    computed at corpus-build time and at batch time band identically."""
+    from jsonld_spark.operators.dedup import (minhash_candidate_pairs,
+                                              minhash_pairs_incremental,
+                                              minhash_signatures)
+    rows = [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") < 20)
+    new = docs.where(F.col("doc_id") >= 20)
+
+    full = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+            for r in minhash_candidate_pairs(docs).collect()}
+    cross_expected = {(a, b) for a, b in full
+                      if (a < 20) != (b < 20)}
+
+    corpus_sigs = minhash_signatures(corpus)
+    got = {(min(r.corpus_id, r.new_id), max(r.corpus_id, r.new_id))
+           for r in minhash_pairs_incremental(new, corpus_sigs).collect()}
+    assert got == cross_expected
+    assert len(got) > 0  # the %3 text groups guarantee cross-set dupes
