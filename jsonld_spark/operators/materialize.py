@@ -138,6 +138,10 @@ def _manifest_path(out_dir: str) -> str:
     return f"{out_dir}/manifests"
 
 
+def _index_path(out_dir: str) -> str:
+    return f"{out_dir}/doc_index"
+
+
 def _data_path(out_dir: str) -> str:
     return f"{out_dir}/triples"
 
@@ -193,6 +197,7 @@ def materialize_graph(triples: DataFrame, out_dir: str,
         # config rows would block every future resume — clear both.
         _delete_path(spark, _data_path(out_dir))
         _delete_path(spark, _manifest_path(out_dir))
+        _delete_path(spark, _index_path(out_dir))
     manifests = read_manifests(spark, out_dir)
     if resume:
         cfgs = (manifests.select("n_buckets", "input_id").distinct()
@@ -228,6 +233,11 @@ def materialize_graph(triples: DataFrame, out_dir: str,
         try:
             (pending.write.mode("overwrite").partitionBy("part")
              .parquet(_data_path(out_dir)))
+            # doc→bucket index: lets upsert_documents find the buckets a
+            # changed doc touches WITHOUT scanning the triple table
+            (pending.select("part", "doc_id").distinct()
+             .write.mode("overwrite").partitionBy("part")
+             .parquet(_index_path(out_dir)))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         wall = time.time() - t0
@@ -245,8 +255,126 @@ def materialize_graph(triples: DataFrame, out_dir: str,
             "wall_s": round(wall, 3)}
 
 
+_GRAPH_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType()) for c in TRIPLE_COLS]
+    + [T.StructField("part", T.IntegerType())])
+
+
 def read_graph(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(_data_path(out_dir))
+    try:
+        return spark.read.parquet(_data_path(out_dir))
+    except Exception:
+        # every bucket deleted (or nothing materialized yet): an empty
+        # typed table, not an unreadable path
+        return spark.createDataFrame([], _GRAPH_SCHEMA)
+
+
+def read_doc_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(part, doc_id) — which buckets hold triples of which document.
+    Graphs materialized before the index existed fall back to deriving
+    it from the triple table (one narrow two-column scan)."""
+    try:
+        return spark.read.parquet(_index_path(out_dir)) \
+            .select("part", "doc_id")
+    except Exception:
+        return read_graph(spark, out_dir).select("part", "doc_id").distinct()
+
+
+def upsert_documents(new_triples: DataFrame, out_dir: str,
+                     deleted_doc_ids: DataFrame | None = None,
+                     run_id: str = "u0",
+                     input_id: str | None = None) -> dict:
+    """Incremental refresh of a materialized graph: every triple of the
+    documents appearing in ``new_triples`` (by ``doc_id``) is replaced
+    with the new rows; documents in ``deleted_doc_ids`` (a (doc_id)
+    DataFrame) are removed; all other documents are untouched.
+
+    Only the buckets a changed document actually touches are rewritten —
+    discovered from the doc→bucket index (written at materialize time),
+    never by scanning the 100 TB triple table. A bucket left empty by a
+    pure delete has its directory removed and a zero-row manifest
+    committed (``verify_manifests`` reads manifest-says-empty + no data
+    dir as ok).
+
+    Commit protocol mirrors ``materialize_graph``: data (dynamic
+    partition overwrite, atomic per directory) before manifests.
+    Re-running the same upsert after a crash is idempotent — affected
+    buckets are simply rewritten to the same content.
+    """
+    spark = new_triples.sparkSession
+    from ..session import cut_lineage
+    cfgs = (read_manifests(spark, out_dir)
+            .select("n_buckets").where(F.col("n_buckets").isNotNull())
+            .distinct().collect())
+    if len(cfgs) != 1:
+        raise ValueError(
+            f"cannot upsert {out_dir!r}: expected exactly one manifest "
+            f"bucketing, found {[r[0] for r in cfgs]}; materialize the "
+            f"graph first (or rebuild it) before upserting")
+    n_buckets = int(cfgs[0][0])
+
+    t0 = time.time()
+    new_parted = with_partition(new_triples.select(*TRIPLE_COLS), n_buckets)
+    changed = new_parted.select("doc_id").distinct()
+    if deleted_doc_ids is not None:
+        changed = changed.unionByName(deleted_doc_ids.select("doc_id")) \
+                         .distinct()
+    changed = cut_lineage(changed)  # read by the index probe AND the anti-join
+    n_changed = changed.count()
+
+    # affected = buckets receiving new rows ∪ buckets holding old rows of
+    # changed docs (index lookup, not a triple-table scan)
+    idx_hits = read_doc_index(spark, out_dir) \
+        .join(changed, "doc_id", "left_semi").select("part")
+    affected = sorted(r["part"] for r in
+                      new_parted.select("part")
+                      .unionByName(idx_hits).distinct().collect())
+    if not affected:
+        return {"affected": 0, "docs_changed": int(n_changed), "rows": 0,
+                "deleted_buckets": 0, "wall_s": round(time.time() - t0, 3)}
+
+    keep = (read_graph(spark, out_dir)
+            .where(F.col("part").isin(affected))
+            .join(changed, "doc_id", "left_anti")
+            .select(*TRIPLE_COLS, "part"))
+    replacement = keep.unionByName(new_parted)
+    # materialize BEFORE the overwrite: the plan must stop reading the
+    # files it is about to replace (checkpoint blocks also serve the
+    # fingerprint pass and both writes without recompute)
+    replacement = cut_lineage(replacement)
+    stats = _fingerprints(replacement).collect()
+    written_parts = {int(r["part"]) for r in stats}
+    emptied = [p for p in affected if p not in written_parts]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if written_parts:
+            (replacement.write.mode("overwrite").partitionBy("part")
+             .parquet(_data_path(out_dir)))
+            (replacement.select("part", "doc_id").distinct()
+             .write.mode("overwrite").partitionBy("part")
+             .parquet(_index_path(out_dir)))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in emptied:  # dynamic overwrite can't write an empty bucket
+        _delete_path(spark, f"{_data_path(out_dir)}/part={p}")
+        _delete_path(spark, f"{_index_path(out_dir)}/part={p}")
+    wall = time.time() - t0
+    now = time.time()
+    manifest_rows = [(int(r["part"]), int(r["n_rows"]),
+                      str(r["fingerprint"]), run_id,
+                      round(wall / len(affected), 6), now,
+                      n_buckets, input_id)
+                     for r in stats]
+    manifest_rows += [(p, 0, "0", run_id, round(wall / len(affected), 6),
+                       now, n_buckets, input_id) for p in emptied]
+    (spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(_manifest_path(out_dir)))
+    n_rows = sum(int(r["n_rows"]) for r in stats)
+    return {"affected": len(affected), "docs_changed": int(n_changed),
+            "rows": int(n_rows), "deleted_buckets": len(emptied),
+            "wall_s": round(wall, 3)}
 
 
 def verify_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -262,6 +390,9 @@ def verify_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
                                 .alias("fingerprint")))
     j = man.join(data_fp, "part", "full_outer")
     status = (F.when(F.col("fingerprint").isNull(), "missing_manifest")
+              # a bucket emptied by upsert delete: manifest says 0 rows
+              # and the data dir is legitimately gone
+              .when(F.col("data_fp").isNull() & (F.col("n_rows") == 0), "ok")
               .when(F.col("data_fp").isNull(), "missing_data")
               .when((F.col("fingerprint") == F.col("data_fp"))
                     & (F.col("n_rows") == F.col("data_rows")), "ok")

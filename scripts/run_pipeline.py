@@ -5,13 +5,16 @@
         --input  /data/interleaved_docs   (doc_id, spans[...])       \
         --output /warehouse/kg            (triples/ + manifests/)    \
         [--canonicalize] [--link-sameas] [--n-buckets 4096]          \
-        [--run-id r42]
+        [--run-id r42] [--upsert [--delete-docs ids.parquet]]
 
 Stages: scan → assemble spans → expand+toRDF (Arrow batches, fused
 media links, per-doc error capture) → [distributed c14n] → [entity
 linking over owl:sameAs edges] → subject-bucketed materialization with
 per-partition lineage manifests. Re-running the same command resumes:
-only buckets without committed manifests are rewritten.
+only buckets without committed manifests are rewritten. With
+``--upsert`` the input is an incremental batch: those documents'
+triples replace their previous versions in the existing graph (doc →
+bucket index lookup, only affected buckets rewritten).
 
 Prints one JSON metrics line (rows, pending/skipped buckets, error
 count, wall seconds) — the per-stage metrics hook the north rule asks
@@ -29,7 +32,8 @@ from pyspark.sql import functions as F
 
 from jsonld_spark.operators.canonicalize import canonicalize_triples
 from jsonld_spark.operators.linking import connected_components, link_triples
-from jsonld_spark.operators.materialize import materialize_graph
+from jsonld_spark.operators.materialize import (materialize_graph,
+                                                upsert_documents)
 from jsonld_spark.operators.pipeline import extract_quads
 from jsonld_spark.session import get_spark
 from jsonld_spark.sources.interleaved import assemble_documents
@@ -54,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
                         "operators (survives executor loss)")
     p.add_argument("--link-sameas", action="store_true")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--upsert", action="store_true",
+                   help="incremental refresh: --input holds ONLY new/"
+                        "changed documents; their triples replace those "
+                        "docs' previous triples in --output (other docs "
+                        "untouched, only affected buckets rewritten)")
+    p.add_argument("--delete-docs", default=None,
+                   help="with --upsert: parquet of (doc_id) to remove")
     args = p.parse_args(argv)
 
     t0 = time.time()
@@ -79,11 +90,18 @@ def main(argv: list[str] | None = None) -> int:
         triples = link_triples(triples, comps) \
             .where(F.col("pred") != OWL_SAMEAS)
 
-    metrics = materialize_graph(triples, args.output,
-                                n_buckets=args.n_buckets,
-                                run_id=args.run_id,
-                                resume=not args.no_resume,
-                                input_id=args.input)
+    if args.upsert:
+        deleted = (spark.read.parquet(args.delete_docs)
+                   if args.delete_docs else None)
+        metrics = upsert_documents(triples, args.output,
+                                   deleted_doc_ids=deleted,
+                                   run_id=args.run_id)
+    else:
+        metrics = materialize_graph(triples, args.output,
+                                    n_buckets=args.n_buckets,
+                                    run_id=args.run_id,
+                                    resume=not args.no_resume,
+                                    input_id=args.input)
     quads.unpersist()
     metrics.update({"errors": int(n_errors),
                     "total_wall_s": round(time.time() - t0, 2),

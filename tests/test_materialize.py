@@ -157,3 +157,79 @@ def test_rebuild_clears_stale_buckets_and_manifests(spark, triples, tmp_path):
     assert m3["pending"] == 0 and m3["skipped"] == 4
     statuses = {r["status"] for r in verify_manifests(spark, out).collect()}
     assert statuses == {"ok"}
+
+
+def _mk_triples(spark, rows):
+    from jsonld_spark.operators.materialize import TRIPLE_COLS
+    return spark.createDataFrame(
+        rows, ", ".join(f"{c}: string" for c in TRIPLE_COLS))
+
+
+def _trip(doc, subj, obj):
+    return (doc, "@default", subj, "http://ex.org/p", "literal", obj,
+            "http://www.w3.org/2001/XMLSchema#string", None)
+
+
+def test_upsert_replaces_and_deletes_documents(spark, tmp_path):
+    from jsonld_spark.operators.materialize import upsert_documents
+    out = str(tmp_path / "graph")
+    base = _mk_triples(spark, [
+        _trip("d1", "http://a", "one"),
+        _trip("d1", "http://b", "two"),
+        _trip("d2", "http://c", "three"),
+        _trip("d3", "http://d", "four"),
+    ])
+    materialize_graph(base, out, n_buckets=4, run_id="r1")
+
+    # d1 changes content, d3 is deleted, d2 untouched
+    new = _mk_triples(spark, [_trip("d1", "http://a", "one-v2")])
+    deleted = spark.createDataFrame([("d3",)], "doc_id: string")
+    m = upsert_documents(new, out, deleted_doc_ids=deleted, run_id="u1")
+    assert m["docs_changed"] == 2 and m["affected"] >= 1
+
+    got = {(r.doc_id, r.subj, r.obj_value)
+           for r in read_graph(spark, out).collect()}
+    assert got == {("d1", "http://a", "one-v2"),
+                   ("d2", "http://c", "three")}
+    statuses = {r["status"] for r in verify_manifests(spark, out).collect()}
+    assert statuses == {"ok"}
+
+
+def test_upsert_emptied_bucket_removed_and_audits_ok(spark, tmp_path):
+    """Deleting every doc whose triples live in some bucket must remove
+    that bucket's data dir; the zero-row manifest keeps the audit ok."""
+    from jsonld_spark.operators.materialize import (read_doc_index,
+                                                    upsert_documents)
+    out = str(tmp_path / "graph")
+    base = _mk_triples(spark, [
+        _trip("d%d" % i, "http://s%d" % i, "v%d" % i) for i in range(8)])
+    materialize_graph(base, out, n_buckets=2, run_id="r1")
+
+    # delete everything: both buckets end up empty
+    deleted = spark.createDataFrame([("d%d" % i,) for i in range(8)],
+                                    "doc_id: string")
+    empty = _mk_triples(spark, [])
+    m = upsert_documents(empty, out, deleted_doc_ids=deleted, run_id="u1")
+    assert m["deleted_buckets"] == m["affected"] > 0
+    statuses = {r["status"] for r in verify_manifests(spark, out).collect()}
+    assert statuses == {"ok"}
+    assert read_doc_index(spark, out).count() == 0
+
+
+def test_upsert_idempotent_and_requires_manifests(spark, tmp_path):
+    from jsonld_spark.operators.materialize import upsert_documents
+    out = str(tmp_path / "graph")
+    new = _mk_triples(spark, [_trip("d1", "http://a", "x")])
+    with pytest.raises(ValueError, match="materialize the graph first"):
+        upsert_documents(new, out)
+
+    base = _mk_triples(spark, [_trip("d1", "http://a", "one"),
+                               _trip("d2", "http://b", "two")])
+    materialize_graph(base, out, n_buckets=2, run_id="r1")
+    upsert_documents(new, out, run_id="u1")
+    before = sorted(tuple(r) for r in read_graph(spark, out).collect())
+    upsert_documents(new, out, run_id="u2")  # crash-replay: same result
+    after = sorted(tuple(r) for r in read_graph(spark, out).collect())
+    assert before == after
+    statuses = {r["status"] for r in verify_manifests(spark, out).collect()}
+    assert statuses == {"ok"}
