@@ -260,6 +260,18 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("corpus_id").cast("long").alias("corpus_id"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: every doc labeled with the min id
+    reachable through chains of LSH candidates + the cluster size.
+    Oracle: recursive-CTE transitive closure over the same pairs."""
+    from jsonld_spark.operators.dedup import dedup_clusters
+    return dedup_clusters(_read(spark, sf_dir, "documents"), shingle_len=5,
+                          num_hashes=16, bands=4, hash_fn="md5") \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("rep").cast("long").alias("rep"),
+                F.col("cluster_n").cast("long").alias("cluster_n"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.dedup import simhash32
     return simhash32(_read(spark, sf_dir, "documents")) \
@@ -514,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_incremental": q_minhash_incremental,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -712,6 +725,35 @@ SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
 FROM banded c JOIN banded n
   ON c.band = n.band AND c.band_hash = n.band_hash
 WHERE c.doc_id % 4 <> 0 AND n.doc_id % 4 = 0
+"""
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE bh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text)-4,1)+1),
+                        i -> {_hx('substr(text,i,5)', 0)}) AS hs
+  FROM documents),
+sig AS (
+  SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in _MINHASH_MINS)}
+  FROM bh),
+banded AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig"
+                      for b, bh in enumerate(_MINHASH_BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+comp AS (SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY node),
+sizes AS (SELECT rep, count(*) AS cluster_n FROM comp GROUP BY rep)
+SELECT c.doc_id, c.rep, s.cluster_n FROM comp c JOIN sizes s USING (rep)
 """
 
 _SIMHASH_ORACLE = f"""
@@ -995,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _MINHASH_ORACLE,
         "minhash_incremental": _MINHASH_INCR_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "simhash": _SIMHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_neardup": _neardup_oracle(),

@@ -169,6 +169,32 @@ def minhash_pairs_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
         new_sigs.unpersist()
 
 
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle_len: int = 5,
+                   num_hashes: int = 16, bands: int = 4,
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """Full near-dup resolution: candidate pairs → connected components
+    → one row per document with its cluster representative (the min id
+    reachable through any chain of near-duplicates) and the cluster
+    size. ``keep = (doc_id == rep)`` is the dedup policy downstream
+    filters apply.
+
+    Composes the banded-LSH candidate generator with the scale-adaptive
+    connected components (driver union-find for small pair sets, the
+    distributed min-label fixpoint above it), so transitive chains
+    (A≈B≈C with A,C never colliding) land in ONE cluster — pairwise
+    dedup alone would keep both A and C."""
+    from .linking import connected_components
+    pairs = minhash_candidate_pairs(docs, text_col, id_col, shingle_len,
+                                    num_hashes, bands, hash_fn)
+    cc = connected_components(pairs, src="id_a", dst="id_b") \
+        .select(F.col("node").alias(id_col), F.col("component").alias("rep"))
+    labeled = (docs.select(id_col).join(cc, id_col, "left")
+               .withColumn("rep", F.coalesce("rep", F.col(id_col))))
+    sizes = labeled.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_n"))
+    return labeled.join(sizes, "rep").select(id_col, "rep", "cluster_n")
+
+
 def word_ngrams(text_col: str, n: int = 3):
     """Distinct word n-grams as an array column (space-joined). Documents
     with fewer than ``n`` tokens yield the whole token sequence as one

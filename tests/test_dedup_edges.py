@@ -76,3 +76,25 @@ def test_minhash_incremental_consistent_with_full_run(spark):
            for r in minhash_pairs_incremental(new, corpus_sigs).collect()}
     assert got == cross_expected
     assert len(got) > 0  # the %3 text groups guarantee cross-set dupes
+
+
+def test_dedup_clusters_transitive_chains(spark):
+    """A≈B and B≈C but A,C never colliding must still land in ONE
+    cluster (the whole point of clustering over pairwise dedup)."""
+    from jsonld_spark.operators.dedup import (dedup_clusters,
+                                              minhash_candidate_pairs)
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [(0, base), (1, base + " x"), (2, base + " x y z w q"),
+            (10, "completely different text about spark dataframes here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_candidate_pairs(docs).collect()}
+    got = {(r.doc_id, r.rep, r.cluster_n)
+           for r in dedup_clusters(docs).collect()}
+    by_doc = {d: (rep, n) for d, rep, n in got}
+    # all docs present exactly once; singleton is its own rep
+    assert set(by_doc) == {0, 1, 2, 10}
+    assert by_doc[10] == (10, 1)
+    # whatever pairs LSH found, cluster = transitive closure of them
+    if (0, 1) in pairs and (1, 2) in pairs:
+        assert by_doc[0] == by_doc[1] == by_doc[2] == (0, 3)
