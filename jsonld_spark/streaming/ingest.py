@@ -78,6 +78,38 @@ def start_triple_ingest(spark: SparkSession, input_dir: str, out_dir: str,
     return writer.start()
 
 
+def start_graph_upsert_stream(spark: SparkSession, input_dir: str,
+                              out_dir: str, checkpoint_dir: str,
+                              available_now: bool = True):
+    """Stream incremental document batches INTO a materialized graph:
+    each micro-batch's documents upsert their triples in place
+    (``operators.materialize.upsert_documents`` — only affected buckets
+    rewritten, doc→bucket index lookup).
+
+    End-to-end effectively-once: the streaming checkpoint replays an
+    uncommitted micro-batch after a crash, and replaying the same upsert
+    is idempotent (affected buckets rewrite to identical content), so a
+    redelivered batch cannot duplicate or lose triples. The graph must
+    already be materialized (``materialize_graph``) — the upsert layer
+    refuses to invent a bucketing.
+    """
+    from ..operators.materialize import upsert_documents
+
+    def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = (extract_quads(assemble_documents(batch_df),
+                                 include_media=True)
+                   .where(F.col("error").isNull()).drop("error")
+                   .dropDuplicates())
+        upsert_documents(triples, out_dir, run_id=f"stream-{batch_id}")
+
+    writer = (stream_interleaved(spark, input_dir).writeStream
+              .foreachBatch(_upsert_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:
     """Late-data-tolerant windowed aggregation over an event stream:

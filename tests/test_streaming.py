@@ -68,3 +68,32 @@ def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
     # emitted rows must match exactly
     assert set(a) <= set(b)
     assert len(a) >= len(b) - 4  # at most the tail windows withheld
+
+
+def test_graph_upsert_stream_refreshes_materialized_graph(spark, tmp_path):
+    """foreachBatch upsert: streamed document batches land IN an existing
+    materialized graph; changed docs replaced, the rest untouched, audit
+    stays ok across micro-batches."""
+    from jsonld_spark.operators.materialize import (materialize_graph,
+                                                    read_graph,
+                                                    verify_manifests)
+    from jsonld_spark.streaming.ingest import start_graph_upsert_stream
+
+    docs = interleaved_from_documents(spark, SF_DIR).persist()
+    out = str(tmp_path / "kg")
+    materialize_graph(docs_to_triples(docs), out, n_buckets=8, run_id="r1")
+    base_rows = _sorted_rows(read_graph(spark, out))
+
+    # stream the SAME 100 docs back through the upsert sink: identical
+    # content -> the graph must be byte-identical after the refresh
+    subset = docs.where(F.regexp_replace("doc_id", "^doc-", "")
+                        .cast("long") < 100)
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    subset.write.mode("append").parquet(input_dir)
+    q = start_graph_upsert_stream(spark, input_dir, out, ckpt)
+    q.awaitTermination(180)
+    assert _sorted_rows(read_graph(spark, out)) == base_rows
+    assert {r["status"] for r in verify_manifests(spark, out).collect()} \
+        == {"ok"}
+    docs.unpersist()
