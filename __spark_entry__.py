@@ -240,6 +240,37 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id_b").cast("long").alias("id_b"))
 
 
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree over the extracted KG (skew-safe salted
+    two-phase counts; literals never count as nodes)."""
+    from jsonld_spark.operators.graphstats import node_degrees
+    return node_degrees(q_jsonld_doc_triples(spark, sf_dir)) \
+        .select("node",
+                F.col("out_degree").cast("long").alias("out_degree"),
+                F.col("in_degree").cast("long").alias("in_degree"))
+
+
+def q_predicate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-shape summary: triples + distinct subjects per predicate
+    (distinct runs on the well-spread (pred, subj) pair, never funneling
+    a popular predicate through one reducer)."""
+    from jsonld_spark.operators.graphstats import predicate_histogram
+    return predicate_histogram(q_jsonld_doc_triples(spark, sf_dir)) \
+        .select("pred",
+                F.col("n_triples").cast("long").alias("n_triples"),
+                F.col("n_subjects").cast("long").alias("n_subjects"))
+
+
+def q_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k highest-degree nodes, deterministic tie-break by node id."""
+    from jsonld_spark.operators.graphstats import top_hubs
+    return top_hubs(q_jsonld_doc_triples(spark, sf_dir), k=10) \
+        .select("node",
+                F.col("out_degree").cast("long").alias("out_degree"),
+                F.col("in_degree").cast("long").alias("in_degree"),
+                F.col("degree").cast("long").alias("degree"))
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-batch-vs-corpus near-dup: docs with doc_id % 4 == 0 play the
     incoming batch, the rest the existing corpus whose signature table
@@ -527,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "graph_degrees": q_graph_degrees,
+        "predicate_histogram": q_predicate_histogram,
+        "top_hubs": q_top_hubs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -725,6 +759,32 @@ SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
 FROM banded c JOIN banded n
   ON c.band = n.band AND c.band_hash = n.band_hash
 WHERE c.doc_id % 4 <> 0 AND n.doc_id % 4 = 0
+"""
+
+_GRAPH_DEGREES_ORACLE = f"""
+WITH t AS ({{triples}}),
+outs AS (SELECT subj AS node, count(*) AS out_degree FROM t GROUP BY subj),
+ins AS (SELECT obj_value AS node, count(*) AS in_degree FROM t
+        WHERE obj_kind IN ('iri','bnode') GROUP BY obj_value)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree
+FROM outs o FULL OUTER JOIN ins i ON o.node = i.node
+"""
+
+_PRED_HISTOGRAM_ORACLE = """
+WITH t AS ({triples})
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subjects
+FROM t GROUP BY pred
+"""
+
+_TOP_HUBS_ORACLE = """
+WITH deg AS ({degrees})
+SELECT node, out_degree, in_degree,
+       out_degree + in_degree AS degree
+FROM deg
+ORDER BY degree DESC, node ASC LIMIT 10
 """
 
 _DEDUP_CLUSTERS_ORACLE = f"""
@@ -1038,6 +1098,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_ORACLE,
         "minhash_incremental": _MINHASH_INCR_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "graph_degrees":
+            _GRAPH_DEGREES_ORACLE.format(triples=_DOC_TRIPLES_ORACLE),
+        "predicate_histogram":
+            _PRED_HISTOGRAM_ORACLE.format(triples=_DOC_TRIPLES_ORACLE),
+        "top_hubs": _TOP_HUBS_ORACLE.format(
+            degrees=_GRAPH_DEGREES_ORACLE.format(
+                triples=_DOC_TRIPLES_ORACLE)),
         "simhash": _SIMHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_neardup": _neardup_oracle(),
