@@ -271,6 +271,18 @@ def q_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("degree").cast("long").alias("degree"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance over the KG's IRI→IRI edges (iterative power
+    method — no SQL oracle; deliberately a rows-only check)."""
+    from jsonld_spark.operators.graphstats import pagerank
+    t = q_jsonld_doc_triples(spark, sf_dir)
+    edges = t.where(F.col("obj_kind") == "iri") \
+             .select(F.col("subj").alias("src"),
+                     F.col("obj_value").alias("dst"))
+    return pagerank(edges, max_iter=10, tol=None) \
+        .select("node", F.round("rank", 9).alias("rank"))
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-batch-vs-corpus near-dup: docs with doc_id % 4 == 0 play the
     incoming batch, the rest the existing corpus whose signature table
@@ -561,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "predicate_histogram": q_predicate_histogram,
         "top_hubs": q_top_hubs,
+        "pagerank": q_pagerank,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,

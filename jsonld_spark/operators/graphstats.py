@@ -75,6 +75,78 @@ def top_hubs(triples: DataFrame, k: int = 10, **kwargs) -> DataFrame:
             .select("node", "out_degree", "in_degree", "degree"))
 
 
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, max_iter: int = 20,
+             tol: float | None = 1e-6, checkpoint_every: int = 5) -> DataFrame:
+    """PageRank over an edge list → (node, rank), Σrank = 1.
+
+    Entity importance for a KG (which IRIs matter most) — the classic
+    power iteration expressed as DataFrame ops:
+
+    * per round: contributions = edges ⋈ ranks on src (both sides hash-
+      partitioned on the join key), summed per dst — two shuffles/round;
+    * dangling nodes (no out-edges) redistribute their mass uniformly —
+      computed as total minus non-dangling mass (one tiny agg), never a
+      per-node join;
+    * each round's rank table is materialized (lineage cut — reliable
+      checkpoint when the session has a checkpoint dir, same policy as
+      connected components): the round's plan reads ``ranks`` twice
+      (contributions + dangling mass), so a lazy accumulation would
+      recompute exponentially between cuts;
+    * ``tol``: stop when the L1 delta between rounds drops below it,
+      checked every ``checkpoint_every`` rounds (the delta is an extra
+      join+agg, not worth paying every round).
+    """
+    from ..session import cut_lineage
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
+             .dropDuplicates()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    nodes = cut_lineage(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # weight each edge once up front: contribution = rank(src) * _w
+    weighted = cut_lineage(e.join(out_deg, "src")
+                           .select("src", "dst",
+                                   (F.lit(1.0) / F.col("_deg")).alias("_w")))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    dang_nodes = nodes.join(out_deg.select(F.col("src").alias("node")),
+                            "node", "left_anti")
+    for i in range(max_iter):
+        contribs = (weighted.join(ranks.withColumnRenamed("node", "src"),
+                                  "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") * F.col("_w")).alias("_c")))
+        # dangling mass joins in as a broadcast 1-row aggregate — no
+        # driver action per round, the whole round stays one lazy plan
+        dang = dang_nodes.join(ranks, "node") \
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        ranks_new = (nodes.join(contribs.withColumnRenamed("dst", "node"),
+                                "node", "left")
+                     .crossJoin(F.broadcast(dang))
+                     .select("node",
+                             (F.lit((1.0 - damping) / n)
+                              + F.lit(damping)
+                              * (F.coalesce("_c", F.lit(0.0))
+                                 + F.col("_dang") / n))
+                             .alias("rank")))
+        ranks_new = cut_lineage(ranks_new)
+        if ((i + 1) % checkpoint_every == 0 or i == max_iter - 1) \
+                and tol is not None:
+            delta = (ranks_new.join(
+                ranks.withColumnRenamed("rank", "_old"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
+                .first()[0])
+            if delta is not None and delta < tol:
+                return ranks_new
+        ranks = ranks_new
+    return ranks
+
+
 def predicate_histogram(triples: DataFrame) -> DataFrame:
     """(pred, n_triples, n_subjects) — the schema-shape summary of a KG.
 

@@ -52,3 +52,51 @@ def test_predicate_histogram_counts(spark):
     got = {r.pred: (r.n_triples, r.n_subjects)
            for r in predicate_histogram(_triples(spark, rows)).collect()}
     assert got == {"http://p": (3, 2), "http://q": (1, 1)}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Spark PageRank vs a dense numpy power iteration with identical
+    damping + uniform dangling redistribution."""
+    import numpy as np
+
+    from jsonld_spark.operators.graphstats import pagerank
+
+    # a small graph with a dangling node (3 has no out-edges) and a hub
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (0, 3), (4, 2), (4, 0)]
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    d = 0.85
+    M = np.zeros((n, n))
+    for s, t in edges:
+        M[t, s] += 1
+    out = M.sum(axis=0)
+    dangling = out == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        M = np.where(out > 0, M / out, 0.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(40):
+        r = (1 - d) / n + d * (M @ r + r[dangling].sum() / n)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {row.node: row.rank
+           for row in pagerank(df, damping=d, max_iter=40,
+                               tol=None).collect()}
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in nodes:
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_pagerank_tol_early_stop_and_empty(spark):
+    from jsonld_spark.operators.graphstats import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+
+    # a 2-cycle converges immediately to the uniform distribution;
+    # tol stops well before max_iter and the result is exact
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = {r.node: r.rank for r in
+           pagerank(df, max_iter=50, tol=1e-12,
+                    checkpoint_every=2).collect()}
+    assert abs(got[0] - 0.5) < 1e-12 and abs(got[1] - 0.5) < 1e-12
