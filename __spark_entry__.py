@@ -358,6 +358,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile with exact token-count percentiles."""
+    from jsonld_spark.operators.textstats import corpus_profile
+    return corpus_profile(_read(spark, sf_dir, "documents")) \
+        .select("lang_pred", "n_docs", "total_tokens",
+                F.col("avg_tokens").cast("double").alias("avg_tokens"),
+                F.col("p50_tokens").cast("double").alias("p50_tokens"),
+                F.col("p95_tokens").cast("double").alias("p95_tokens"))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.textstats import fingerprint
     return fingerprint(_read(spark, sf_dir, "documents"))
@@ -574,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_histogram": q_predicate_histogram,
         "top_hubs": q_top_hubs,
         "pagerank": q_pagerank,
+        "corpus_profile": q_corpus_profile,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -772,6 +783,18 @@ SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
 FROM banded c JOIN banded n
   ON c.band = n.band AND c.band_hash = n.band_hash
 WHERE c.doc_id % 4 <> 0 AND n.doc_id % 4 = 0
+"""
+
+_CORPUS_PROFILE_ORACLE = """
+WITH lang AS ({lang}), tok AS ({tok})
+SELECT lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_tokens,
+       round(sum(n_bpe_tokens) / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+       quantile_cont(n_bpe_tokens, 0.5) AS p50_tokens,
+       quantile_cont(n_bpe_tokens, 0.95) AS p95_tokens
+FROM lang JOIN tok USING (doc_id)
+GROUP BY lang_pred
 """
 
 _GRAPH_DEGREES_ORACLE = f"""
@@ -1129,6 +1152,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _LANG_ORACLE,
+        "corpus_profile": _CORPUS_PROFILE_ORACLE.format(
+            lang=_LANG_ORACLE, tok=_TOKEN_BPE_ORACLE),
         "fingerprint": r"""
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

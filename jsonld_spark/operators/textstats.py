@@ -96,3 +96,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     key that survives formatting noise."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level profile per predicted language: doc count, total/
+    mean BPE-ish token counts, and EXACT p50/p95 token-count percentiles
+    (``percentile``, not approx — the profile is the go/no-go artifact
+    for a training run, and the group count is tiny so exact sort-based
+    percentiles are cheap; swap to ``percentile_approx`` only if groups
+    reach billions of rows). Every aggregate derives from integer sums,
+    so results are deterministic under any task order."""
+    lang = lang_id(docs, text_col).select("doc_id", "lang_pred")
+    toks = token_count_bpe(docs, text_col)
+    j = lang.join(toks, "doc_id")
+    return (j.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_bpe_tokens").cast("long").alias("total_tokens"),
+                 F.round(F.sum("n_bpe_tokens")
+                         / F.count(F.lit(1)), 6).alias("avg_tokens"),
+                 F.percentile("n_bpe_tokens", 0.5).alias("p50_tokens"),
+                 F.percentile("n_bpe_tokens", 0.95).alias("p95_tokens")))
