@@ -233,3 +233,36 @@ def test_upsert_idempotent_and_requires_manifests(spark, tmp_path):
     assert before == after
     statuses = {r["status"] for r in verify_manifests(spark, out).collect()}
     assert statuses == {"ok"}
+
+
+def test_upsert_leaves_unaffected_bucket_files_untouched(spark, tmp_path):
+    """The 100 TB contract: refreshing one document must not rewrite
+    buckets it doesn't touch — verified on the actual files, not the
+    plan."""
+    import os
+
+    from jsonld_spark.operators.materialize import (read_doc_index,
+                                                    upsert_documents)
+    out = str(tmp_path / "graph")
+    base = _mk_triples(spark, [
+        _trip("d%d" % i, "http://s%d" % i, "v%d" % i) for i in range(40)])
+    materialize_graph(base, out, n_buckets=8, run_id="r1")
+
+    idx = {r.doc_id: r.part for r in read_doc_index(spark, out).collect()}
+    victim_part = idx["d0"]
+    untouched = [p for p in range(8) if p != victim_part]
+
+    def snapshot(parts):
+        snap = {}
+        for p in parts:
+            d = f"{out}/triples/part={p}"
+            for f in os.listdir(d):
+                st = os.stat(f"{d}/{f}")
+                snap[f"{p}/{f}"] = (st.st_mtime_ns, st.st_size, st.st_ino)
+        return snap
+
+    before = snapshot(untouched)
+    new = _mk_triples(spark, [_trip("d0", "http://s0", "v0-new")])
+    m = upsert_documents(new, out, run_id="u1")
+    assert m["affected"] == 1
+    assert snapshot(untouched) == before

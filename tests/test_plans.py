@@ -126,3 +126,35 @@ def test_link_triples_shuffles_when_not_broadcastable(spark):
         conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in pre_aqe or "ShuffledHashJoin" in pre_aqe
     assert "BroadcastHashJoin" not in pre_aqe
+
+
+def test_dedup_clusters_no_cartesian(spark):
+    """Cluster resolution must inherit the banded candidate join — a
+    cartesian anywhere means the LSH path got bypassed."""
+    q = E.queries()["dedup_clusters"](spark, SF_ORACLE)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_degrees_two_phase_and_no_big_shuffle_join(spark):
+    """Degree counts: two hash-agg phases per side (partial per salt,
+    final per node) — never one reducer per hub node; the only sort-
+    merge join allowed is the final full-outer merge of the two (small,
+    one-row-per-node) degree tables. The heavy-hitter sketch join is
+    broadcast — or eliminated outright by AQE empty-relation
+    propagation when the sample finds no hub (as at this SF)."""
+    q = E.queries()["graph_degrees"](spark, SF_ORACLE)
+    plan = _plan(q)
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("HashAggregate") >= 8  # salt+final × partial × 2 sides
+    assert "CartesianProduct" not in plan
+
+
+def test_top_hubs_takes_ordered_topk(spark):
+    """The global top-k must run as TakeOrderedAndProject (per-partition
+    top-k + tiny driver merge), never a full global sort of the node
+    table."""
+    q = E.queries()["top_hubs"](spark, SF_ORACLE)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
