@@ -85,6 +85,14 @@ def band_signatures(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
     LSH candidate. Shared by in-corpus and incremental dedup so both
     produce identical buckets for identical signatures."""
     rows_per_band = num_hashes // bands
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"band_signatures needs at least one hash per band "
+            f"(got {num_hashes} hashes, {bands} bands)")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into "
+            f"bands={bands}; remainder hashes would be silently unused")
     slices = [F.slice("sig", b * rows_per_band + 1, rows_per_band)
               for b in range(bands)]
     if hash_fn == "md5":

@@ -98,3 +98,17 @@ def test_dedup_clusters_transitive_chains(spark):
     # whatever pairs LSH found, cluster = transitive closure of them
     if (0, 1) in pairs and (1, 2) in pairs:
         assert by_doc[0] == by_doc[1] == by_doc[2] == (0, 3)
+
+
+def test_band_signatures_rejects_degenerate_params(spark):
+    import pytest as _pytest
+
+    from jsonld_spark.operators.dedup import (band_signatures,
+                                              minhash_signatures)
+    docs = spark.createDataFrame([(1, "hello world text")],
+                                 "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    with _pytest.raises(ValueError, match="at least one hash per band"):
+        band_signatures(sigs, num_hashes=3, bands=4)
+    with _pytest.raises(ValueError, match="divide evenly"):
+        band_signatures(sigs, num_hashes=10, bands=4)
