@@ -325,6 +325,24 @@ def run_scaling() -> None:
                 "a busy loop. `normalized` = efficiency / kernel ceiling: "
                 "the share of the achievable scaling the Spark stack "
                 "delivers.\n\n")
+        f.write(
+            "## 8→32: profiled attribution\n\n"
+            "The 8→32 raw gap is the workload's own memory-bandwidth "
+            "bound on this virtualized box, not shuffle/stragglers/"
+            "scheduling: (1) extract-only (Arrow stage, NO shuffle) "
+            "scales 8→32 within 0.01 of extract+global-dedup (adds the "
+            "full shuffle) — the shuffle is not the bottleneck; (2) the "
+            "identical per-document kernel under plain multiprocessing "
+            "(no Spark/Arrow at all) scales 0.65–0.83 across windows "
+            "(the kernel-ceiling column) while a busy loop reaches "
+            "0.79–0.95 — allocation-heavy interpreter code saturates "
+            "memory bandwidth first; (3) Spark delivers 0.84–0.94 of "
+            "that kernel ceiling (the normalized column). On a real 4N-"
+            "executor cluster (separate machines, no shared memory bus) "
+            "this term is absent by construction. The throughput job's "
+            "one-pass reduce stages use 4 waves/core (+10.4% measured); "
+            "iterative fixpoint operators keep one task per core "
+            "(4 waves regressed cc_components 5.3 s → 8.4 s).\n\n")
         f.write(f"Headline queries at local[32], sf={headline['sf']} "
                 f"(best-of-2 seconds):\n\n```json\n")
         f.write(json.dumps(headline["queries"], indent=2))
