@@ -303,6 +303,17 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("corpus_id").cast("long").alias("corpus_id"))
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming<=3 pairs over 32-bit simhashes via bit-sampling
+    bands (recall 1.0 by pigeonhole, never a cross product)."""
+    from jsonld_spark.operators.dedup import simhash32, simhash_neardup_pairs
+    sims = simhash32(_read(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(sims, max_hamming=3, bits=32) \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: every doc labeled with the min id
     reachable through chains of LSH candidates + the cluster size.
@@ -580,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "simhash_neardup": q_simhash_neardup,
         "graph_degrees": q_graph_degrees,
         "predicate_histogram": q_predicate_histogram,
         "top_hubs": q_top_hubs,
@@ -783,6 +795,25 @@ SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
 FROM banded c JOIN banded n
   ON c.band = n.band AND c.band_hash = n.band_hash
 WHERE c.doc_id % 4 <> 0 AND n.doc_id % 4 = 0
+"""
+
+_SIMHASH_NEARDUP_ORACLE = """
+WITH s AS ({sim}),
+banded AS (
+  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 255 AS val FROM s
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM s
+  UNION ALL
+  SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM s
+  UNION ALL
+  SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa,
+                  b.doc_id AS id_b, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 _CORPUS_PROFILE_ORACLE = """
@@ -1134,6 +1165,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_ORACLE,
         "minhash_incremental": _MINHASH_INCR_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "simhash_neardup":
+            _SIMHASH_NEARDUP_ORACLE.format(sim=_SIMHASH_ORACLE),
         "graph_degrees":
             _GRAPH_DEGREES_ORACLE.format(triples=_DOC_TRIPLES_ORACLE),
         "predicate_histogram":

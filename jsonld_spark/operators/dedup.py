@@ -253,6 +253,45 @@ def simhash32(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, sim.alias("simhash"))
 
 
+def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3,
+                          bits: int = 32, id_col: str = "doc_id",
+                          sim_col: str = "simhash") -> DataFrame:
+    """EXACT Hamming-threshold self-join over simhash values: every pair
+    with ``hamming(a, b) <= max_hamming`` — by bit-sampling, not a cross
+    product. Split the ``bits``-bit hash into ``max_hamming + 1`` bands;
+    by pigeonhole, any pair within the threshold agrees on at least one
+    whole band, so a per-band equi-join generates a candidate superset
+    and ``bit_count(a XOR b)`` verifies exactly. Shuffle is
+    O(n·(max_hamming+1)) band rows; recall is 1.0 by construction
+    (unlike probabilistic LSH banding).
+
+    ``sims``: (id, simhash) from ``simhash32``/``simhash``; ``bits``
+    must be divisible by ``max_hamming + 1``."""
+    bands = max_hamming + 1
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits={bits} must divide into {bands} bands "
+            f"(max_hamming={max_hamming}); pad max_hamming or bits")
+    width = bits // bands
+    mask = (1 << width) - 1
+    vals = [F.shiftright(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit(mask).cast("long")) for b in range(bands)]
+    banded = sims.select(
+        id_col, sim_col,
+        F.posexplode(F.array(*vals)).alias("band", "val"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(sim_col).alias("_sa"), "band", "val")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(sim_col).alias("_sb"), "band", "val")
+    cand = (a.join(b, ["band", "val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (cand.select("id_a", "id_b",
+                        hamming.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of

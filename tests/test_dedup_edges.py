@@ -112,3 +112,32 @@ def test_band_signatures_rejects_degenerate_params(spark):
         band_signatures(sigs, num_hashes=3, bands=4)
     with _pytest.raises(ValueError, match="divide evenly"):
         band_signatures(sigs, num_hashes=10, bands=4)
+
+
+def test_simhash_neardup_exact_vs_bruteforce(spark):
+    """Bit-sampling pairs must EQUAL the brute-force Hamming join —
+    recall 1.0 by pigeonhole, precision 1.0 by the verify filter."""
+    import itertools
+    import random
+
+    from jsonld_spark.operators.dedup import simhash_neardup_pairs
+    rng = random.Random(7)
+    base = rng.getrandbits(32)
+    vals = [base]
+    for _ in range(40):  # cluster around base at varying distances
+        v = base
+        for bit in rng.sample(range(32), rng.randint(0, 6)):
+            v ^= 1 << bit
+        vals.append(v)
+    sims = spark.createDataFrame(list(enumerate(vals)),
+                                 "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_neardup_pairs(sims, max_hamming=3).collect()}
+    want = {(i, j, bin(a ^ b).count("1"))
+            for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2)
+            if bin(a ^ b).count("1") <= 3}
+    assert got == want and len(want) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_neardup_pairs(sims, max_hamming=4, bits=32)
