@@ -192,6 +192,60 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
         F.explode(F.transform(top, lambda s: s["list_id"])).alias("list_id"))
 
 
+def train_ivf_centroids(embeddings: DataFrame, k: int = 16,
+                        iters: int = 5, vec_col: str = "embedding"
+                        ) -> list[list[float]]:
+    """Spherical k-means codebook for ``ivf_assign`` — Lloyd's
+    iterations entirely as DataFrame ops:
+
+    * init: the k vectors with the smallest content hash — a pure
+      function of the data (same input ⇒ same codebook on any cluster /
+      partitioning), unlike ``takeSample``;
+    * assign: ``ivf_assign`` (dot-product argmax, one scan, no
+      shuffle beyond the explode);
+    * update: element-wise mean per list via posexplode + two-level
+      groupBy — the only driver traffic is k·dim aggregate rows per
+      iteration (a few KB); means are re-normalized to the unit sphere
+      (dot-product assignment ≡ cosine for unit centroids);
+    * empty clusters keep their previous centroid.
+
+    The returned plain list feeds ``ivf_assign``/``ivf_cosine_topk`` as
+    driver-side literals, keeping assignment a pure JVM expression."""
+    import math
+    init = (embeddings
+            .select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+            .limit(k).collect())
+    if not init:
+        return []
+    centroids = [[float(x) for x in r[0]] for r in init]
+
+    def _unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+    centroids = [_unit(c) for c in centroids]
+    for _ in range(iters):
+        emb = embeddings.select(F.lit(0).alias("_tid"),
+                                F.col(vec_col).alias(vec_col))
+        assigned = ivf_assign(emb, centroids, id_col="_tid",
+                              vec_col=vec_col, nprobe=1) \
+            .select("list_id", vec_col)
+        sums = (assigned
+                .select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+                .groupBy("list_id", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect())
+        acc: dict[int, dict[int, float]] = {}
+        for r in sums:
+            acc.setdefault(int(r["list_id"]), {})[int(r["pos"])] = \
+                float(r["s"]) / int(r["n"])
+        centroids = [
+            _unit([acc[i][p] for p in sorted(acc[i])]) if i in acc
+            else centroids[i]
+            for i in range(len(centroids))]
+    return centroids
+
+
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                     centroids: list[list[float]], k: int = 10,
                     nprobe: int = 2, id_col: str = "vec_id",

@@ -54,3 +54,46 @@ def test_exclude_self_false_keeps_id_collisions(spark):
     planes = [[1.0, 0.0, 0.0]]  # one plane: query and vec 3 share a bucket
     ann = ann_cosine_topk(emb, queries, planes, k=4, exclude_self=False)
     assert 3 in {r.neighbor_id for r in ann.collect()}
+
+
+def test_train_ivf_centroids_matches_numpy_kmeans(spark):
+    """Distributed spherical k-means must equal a numpy implementation
+    with the identical deterministic init and iteration count."""
+    import numpy as np
+
+    from jsonld_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    pts = np.vstack([c + rng.normal(0, 0.05, (30, 3)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>")
+
+    got = train_ivf_centroids(df, k=3, iters=4)
+
+    # replicate: init = k smallest xxhash64 of the array's string form
+    from pyspark.sql import functions as F
+    init_rows = (df.select("embedding")
+                 .orderBy(F.xxhash64(F.col("embedding").cast("string")))
+                 .limit(3).collect())
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+    cents = np.array([unit(np.array(r[0])) for r in init_rows])
+    for _ in range(4):
+        labels = np.argmax(pts @ cents.T, axis=1)
+        for i in range(3):
+            if (labels == i).any():
+                cents[i] = unit(pts[labels == i].mean(axis=0))
+    assert np.allclose(np.array(got), cents, atol=1e-9)
+
+    # trained codebook separates the three true clusters
+    from jsonld_spark.operators.similarity import ivf_assign
+    lists = ivf_assign(df, got).select("vec_id", "list_id").collect()
+    by_cluster = {}
+    for r in lists:
+        by_cluster.setdefault(r.vec_id // 30, set()).add(r.list_id)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len(set().union(*by_cluster.values())) == 3
