@@ -43,7 +43,8 @@ OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", default=None,
+                   help="interleaved-docs parquet (required unless --audit)")
     p.add_argument("--output", required=True)
     p.add_argument("--run-id", default="r0")
     p.add_argument("--n-buckets", type=int, default=4096)
@@ -65,10 +66,28 @@ def main(argv: list[str] | None = None) -> int:
                         "untouched, only affected buckets rewritten)")
     p.add_argument("--delete-docs", default=None,
                    help="with --upsert: parquet of (doc_id) to remove")
+    p.add_argument("--audit", action="store_true",
+                   help="no pipeline run: recompute per-bucket "
+                        "fingerprints of --output and diff against the "
+                        "manifests; exits 1 unless every bucket is ok")
     args = p.parse_args(argv)
+    if not args.audit and not args.input:
+        p.error("--input is required unless --audit")
 
     t0 = time.time()
     spark = get_spark("jsonld-kg-pipeline")
+    if args.audit:
+        from jsonld_spark.operators.materialize import verify_manifests
+        statuses = {r["part"]: r["status"]
+                    for r in verify_manifests(spark, args.output).collect()}
+        counts: dict[str, int] = {}
+        for s in statuses.values():
+            counts[s] = counts.get(s, 0) + 1
+        print(json.dumps({"audit": counts,
+                          "bad_parts": sorted(
+                              p for p, s in statuses.items() if s != "ok"),
+                          "total_wall_s": round(time.time() - t0, 2)}))
+        return 0 if set(counts) <= {"ok"} else 1
     interleaved = spark.read.parquet(args.input)
     assembled = assemble_documents(interleaved)
     quads = extract_quads(assembled, include_media=True).persist()

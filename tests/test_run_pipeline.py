@@ -80,3 +80,25 @@ def test_run_pipeline_upsert_refreshes_changed_docs(spark, tmp_path, capsys):
     assert before_rows == after_rows
     assert {r["status"] for r in verify_manifests(spark, out).collect()} \
         == {"ok"}
+
+
+def test_audit_flag_reports_and_detects_corruption(spark, tmp_path, capsys):
+    import shutil
+
+    import run_pipeline
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "kg")
+    interleaved_from_documents(spark, SF_DIR).write.parquet(inp)
+    run_pipeline.main(["--input", inp, "--output", out,
+                       "--n-buckets", "8", "--run-id", "r1"])
+    capsys.readouterr()
+
+    rc = run_pipeline.main(["--output", out, "--audit"])
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and m["audit"] == {"ok": 8} and m["bad_parts"] == []
+
+    shutil.rmtree(f"{out}/triples/part=3")  # simulate lost bucket
+    rc = run_pipeline.main(["--output", out, "--audit"])
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and m["bad_parts"] == [3]
