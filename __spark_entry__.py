@@ -314,6 +314,17 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_minhash_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over WORD 3-grams (same gram universe as ngram_jaccard)
+    — the corpus×corpus scale path for n-gram similarity."""
+    from jsonld_spark.operators.dedup import minhash_candidate_pairs
+    return minhash_candidate_pairs(
+        _read(spark, sf_dir, "documents"), shingle_len=3, num_hashes=16,
+        bands=4, hash_fn="md5", shingle="word") \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: every doc labeled with the min id
     reachable through chains of LSH candidates + the cluster size.
@@ -592,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
+        "minhash_word_pairs": q_minhash_word_pairs,
         "graph_degrees": q_graph_degrees,
         "predicate_histogram": q_predicate_histogram,
         "top_hubs": q_top_hubs,
@@ -795,6 +807,28 @@ SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
 FROM banded c JOIN banded n
   ON c.band = n.band AND c.band_hash = n.band_hash
 WHERE c.doc_id % 4 <> 0 AND n.doc_id % 4 = 0
+"""
+
+_MINHASH_WORD_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(toks)-2, 1)+1),
+             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bh AS (
+  SELECT doc_id, list_transform(grams, s -> {_hx('s', 0)}) AS hs FROM g),
+sig AS (
+  SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in _MINHASH_MINS)}
+  FROM bh),
+banded AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig"
+                      for b, bh in enumerate(_MINHASH_BANDS))})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 """
 
 _SIMHASH_NEARDUP_ORACLE = """
@@ -1167,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "simhash_neardup":
             _SIMHASH_NEARDUP_ORACLE.format(sim=_SIMHASH_ORACLE),
+        "minhash_word_pairs": _MINHASH_WORD_ORACLE,
         "graph_degrees":
             _GRAPH_DEGREES_ORACLE.format(triples=_DOC_TRIPLES_ORACLE),
         "predicate_histogram":

@@ -43,17 +43,27 @@ _B = [(k * k + 7) for k in range(64)]
 
 
 def _minhash_sig(text_col: str, shingle_len: int, num_hashes: int,
-                 hash_fn: str):
-    """Signature array of k min-hashes over character shingles — one
-    JVM-side ``aggregate`` pass. Each shingle is string-hashed once
-    (md5-based h32 for SQL reproducibility, or xxhash64); the k running
-    minima are updated with cheap affine integer rehashes of that base
-    value, so the expensive string hash is evaluated exactly once per
-    shingle no matter how the optimizer rewrites the projection."""
+                 hash_fn: str, shingle: str = "char"):
+    """Signature array of k min-hashes over shingles — one JVM-side
+    ``aggregate`` pass. ``shingle="char"`` slides a character window
+    (robust to tokenization noise); ``shingle="word"`` uses the same
+    word n-grams as ``word_ngrams`` (incl. the short-doc whole-sequence
+    fallback), making the signatures a scalable stand-in for n-gram
+    Jaccard — same gram universe, corpus×corpus instead of
+    broadcast-query-only. Each shingle is string-hashed once (md5-based
+    h32 for SQL reproducibility, or xxhash64); the k running minima are
+    updated with cheap affine integer rehashes of that base value, so
+    the expensive string hash is evaluated exactly once per shingle no
+    matter how the optimizer rewrites the projection."""
     t = F.col(text_col)
-    n = F.length(t) - shingle_len + 1
-    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
-    shingles = F.transform(idx, lambda i: t.substr(i, F.lit(shingle_len)))
+    if shingle == "word":
+        shingles = word_ngrams(text_col, shingle_len)
+    elif shingle == "char":
+        n = F.length(t) - shingle_len + 1
+        idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+        shingles = F.transform(idx, lambda i: t.substr(i, F.lit(shingle_len)))
+    else:
+        raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
     if hash_fn == "md5":
         base = F.transform(shingles, lambda s: h32(s, 0))
     else:
@@ -72,8 +82,9 @@ def _minhash_sig(text_col: str, shingle_len: int, num_hashes: int,
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_len: int = 5,
                        num_hashes: int = 16,
-                       hash_fn: str = "xxhash64") -> DataFrame:
-    sig = _minhash_sig(text_col, shingle_len, num_hashes, hash_fn)
+                       hash_fn: str = "xxhash64",
+                       shingle: str = "char") -> DataFrame:
+    sig = _minhash_sig(text_col, shingle_len, num_hashes, hash_fn, shingle)
     return docs.select(id_col, sig.alias("sig"))
 
 
@@ -110,7 +121,8 @@ def band_signatures(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_len: int = 5,
                             num_hashes: int = 16, bands: int = 4,
-                            hash_fn: str = "xxhash64") -> DataFrame:
+                            hash_fn: str = "xxhash64",
+                            shingle: str = "char") -> DataFrame:
     """LSH banding: equal band-hash ⇒ candidate pair (id_a < id_b).
     Shuffle is O(n·bands) bucket rows — never the cross product.
 
@@ -124,7 +136,7 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     the session lifetime. At warehouse scale the signatures are a landed
     table for the same reason."""
     sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
-                              num_hashes, hash_fn).persist()
+                              num_hashes, hash_fn, shingle).persist()
     try:
         banded = band_signatures(sigs, num_hashes, bands, hash_fn, id_col)
         a = banded.alias("a")
@@ -144,7 +156,8 @@ def minhash_pairs_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", shingle_len: int = 5,
                               num_hashes: int = 16, bands: int = 4,
-                              hash_fn: str = "xxhash64") -> DataFrame:
+                              hash_fn: str = "xxhash64",
+                              shingle: str = "char") -> DataFrame:
     """Near-dup candidates of a NEW batch against an EXISTING corpus —
     the "dedup tonight's crawl against the whole corpus" path.
 
@@ -161,7 +174,7 @@ def minhash_pairs_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
     in the corpus) are dropped. Within-batch duplicates are
     ``minhash_candidate_pairs`` on the batch alone."""
     new_sigs = minhash_signatures(new_docs, text_col, id_col, shingle_len,
-                                  num_hashes, hash_fn).persist()
+                                  num_hashes, hash_fn, shingle).persist()
     try:
         n_b = band_signatures(new_sigs, num_hashes, bands, hash_fn, id_col) \
             .select(F.col(id_col).alias("new_id"), "band", "band_hash")
