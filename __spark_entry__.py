@@ -366,6 +366,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sim").cast("double").alias("sim"))
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the LSH-banded embedding near-dup pairs:
+    (vec_id, rep=min reachable id, cluster size). Oracle: recursive CTE
+    over the identical banded candidate + verify SQL."""
+    from jsonld_spark.operators.similarity import embedding_clusters
+    return embedding_clusters(_read(spark, sf_dir, "embeddings"),
+                              threshold=0.4, planes=_lsh_planes(16),
+                              bands=4) \
+        .select(F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("rep").cast("long").alias("rep"),
+                F.col("cluster_n").cast("long").alias("cluster_n"))
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.textstats import doc_stats
     df = doc_stats(_read(spark, sf_dir, "documents"))
@@ -612,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_clusters": q_embedding_clusters,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -975,6 +989,22 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4
 """
 
 
+def _embedding_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the banded near-dup pairs."""
+    return f"""
+WITH RECURSIVE pairs AS ({_neardup_oracle()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+comp AS (SELECT node AS vec_id, min(r) AS rep FROM reach GROUP BY node),
+sizes AS (SELECT rep, count(*) AS cluster_n FROM comp GROUP BY rep)
+SELECT c.vec_id, c.rep, s.cluster_n FROM comp c JOIN sizes s USING (rep)
+"""
+
+
 def _ann_oracle() -> str:
     planes = _lsh_planes()
     lits = ["[" + ",".join(repr(x) for x in p) + "]" for p in planes]
@@ -1212,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_neardup": _neardup_oracle(),
+        "embedding_clusters": _embedding_clusters_oracle(),
         "doc_stats": """
             SELECT doc_id, length(text) AS n_chars_actual,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -205,15 +205,10 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     distributed min-label fixpoint above it), so transitive chains
     (A≈B≈C with A,C never colliding) land in ONE cluster — pairwise
     dedup alone would keep both A and C."""
-    from .linking import connected_components
+    from .linking import label_clusters
     pairs = minhash_candidate_pairs(docs, text_col, id_col, shingle_len,
                                     num_hashes, bands, hash_fn)
-    cc = connected_components(pairs, src="id_a", dst="id_b") \
-        .select(F.col("node").alias(id_col), F.col("component").alias("rep"))
-    labeled = (docs.select(id_col).join(cc, id_col, "left")
-               .withColumn("rep", F.coalesce("rep", F.col(id_col))))
-    sizes = labeled.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_n"))
-    return labeled.join(sizes, "rep").select(id_col, "rep", "cluster_n")
+    return label_clusters(docs, pairs, id_col)
 
 
 def word_ngrams(text_col: str, n: int = 3):

@@ -130,6 +130,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     return labels.select("node", "component")
 
 
+def label_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """(id) universe + pair edges → (id, rep, cluster_n): every id
+    labeled with the min id reachable through the pairs (connected
+    components; singletons are their own rep) plus the cluster size.
+    The shared resolution step behind text and embedding dedup
+    clustering — "keep iff id == rep" is the downstream filter."""
+    cc = connected_components(pairs, src=src, dst=dst) \
+        .select(F.col("node").alias(id_col), F.col("component").alias("rep"))
+    labeled = (ids.select(id_col).join(cc, id_col, "left")
+               .withColumn("rep", F.coalesce("rep", F.col(id_col))))
+    sizes = labeled.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_n"))
+    return labeled.join(sizes, "rep").select(id_col, "rep", "cluster_n")
+
+
 def link_triples(triples: DataFrame, components: DataFrame,
                  broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """Rewrite subj/obj IRIs to their component-canonical IRI.

@@ -100,6 +100,21 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
             .where(F.col("sim") >= threshold))
 
 
+def embedding_clusters(embeddings: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       round_to: int = 4,
+                       planes: list[list[float]] | None = None,
+                       bands: int = 4) -> DataFrame:
+    """Transitive embedding near-dup clusters: every vector labeled with
+    the min id reachable through chains of cosine-≥threshold pairs
+    (banded-LSH candidates when ``planes`` given — the scale path) plus
+    the cluster size. Same contract as text ``dedup_clusters``."""
+    from .linking import label_clusters
+    pairs = embedding_neardup(embeddings, threshold, id_col, vec_col,
+                              round_to, planes, bands)
+    return label_clusters(embeddings, pairs, id_col)
+
+
 def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
                        bands: int, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
