@@ -393,6 +393,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic 30% Bernoulli sample (md5 bucket hash) —
+    reproducible across engines, reruns, partitionings."""
+    from jsonld_spark.operators.sampling import hash_sample
+    return hash_sample(_read(spark, sf_dir, "documents"), 0.3,
+                       ["doc_id"], salt="s0", hash_fn="md5") \
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling over predicted language
+    (the corpus-mixing knob)."""
+    from jsonld_spark.operators.sampling import stratified_hash_sample
+    from jsonld_spark.operators.textstats import lang_id
+    docs = _read(spark, sf_dir, "documents")
+    langs = lang_id(docs).select("doc_id", "lang_pred")
+    df = docs.join(langs, "doc_id")
+    return stratified_hash_sample(df, {"en": 0.6, "und": 0.25},
+                                  "lang_pred", ["doc_id"], salt="s0",
+                                  default_fraction=0.0, hash_fn="md5") \
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang_pred")
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel: quality gate → exact dedup → transitive
+    near-dup dedup → per-language deterministic sampling, every stage an
+    oracle-checked operator composed into one plan."""
+    from jsonld_spark.operators.sampling import curate_corpus
+    return curate_corpus(_read(spark, sf_dir, "documents"),
+                         min_quality=0.5,
+                         lang_fractions={"en": 0.8, "und": 0.5},
+                         salt="s0", hash_fn="md5") \
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang_pred",
+                F.col("quality").cast("double").alias("quality"))
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile with exact token-count percentiles."""
     from jsonld_spark.operators.textstats import corpus_profile
@@ -622,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hubs": q_top_hubs,
         "pagerank": q_pagerank,
         "corpus_profile": q_corpus_profile,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "curate_corpus": q_curate_corpus,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -863,6 +902,90 @@ cand AS (
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
+
+def _sample_bucket_sql(key: str = "CAST(doc_id AS VARCHAR)",
+                       salt: str = "s0") -> str:
+    """Mirror of sampling._bucket (md5 path): h32(key||'|salt') % M."""
+    return (f"(('0x'||substr(md5({key}||'|{salt}'||'#0'),1,8))::BIGINT"
+            f" % 1000000)")
+
+
+_HASH_SAMPLE_ORACLE = f"""
+SELECT doc_id FROM documents
+WHERE {_sample_bucket_sql()} < 300000
+"""
+
+
+def _stratified_sample_oracle() -> str:
+    return f"""
+WITH lang AS ({_LANG_ORACLE})
+SELECT d.doc_id, lang.lang_pred
+FROM documents d JOIN lang USING (doc_id)
+WHERE {_sample_bucket_sql('CAST(d.doc_id AS VARCHAR)')} <
+      CASE lang.lang_pred WHEN 'en' THEN 600000
+                          WHEN 'und' THEN 250000 ELSE 0 END
+"""
+
+
+def _curate_oracle() -> str:
+    """The curation funnel in SQL: quality gate → exact dedup (min id
+    per normalized fingerprint) → transitive minhash near-dup dedup
+    (recursive closure, reps only) → per-language hash sampling."""
+    return f"""
+WITH RECURSIVE q AS ({_QUALITY_ORACLE}),
+p1 AS (
+  SELECT d.doc_id, d.text, q.quality
+  FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.5),
+fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+  FROM p1),
+ex_keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+p2 AS (SELECT p1.* FROM p1 JOIN ex_keep USING (doc_id)),
+bh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text)-4,1)+1),
+                        i -> {_hx('substr(text,i,5)', 0)}) AS hs
+  FROM p2),
+sig AS (
+  SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in _MINHASH_MINS)}
+  FROM bh),
+banded AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig"
+                      for b, bh in enumerate(_MINHASH_BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM p2
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+comp AS (SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY node),
+p3 AS (SELECT p2.* FROM p2 JOIN comp ON p2.doc_id = comp.doc_id
+       WHERE comp.rep = comp.doc_id),
+s AS (
+  SELECT doc_id, {_LANG_SCORE['de']} AS score_de,
+         {_LANG_SCORE['en']} AS score_en, {_LANG_SCORE['fr']} AS score_fr,
+         quality
+  FROM p3),
+lang AS (
+  SELECT doc_id, quality,
+         CASE WHEN greatest(score_de, score_en, score_fr) = 0 THEN 'und'
+              WHEN score_de = greatest(score_de, score_en, score_fr)
+                THEN 'de'
+              WHEN score_en = greatest(score_de, score_en, score_fr)
+                THEN 'en'
+              ELSE 'fr' END AS lang_pred
+  FROM s)
+SELECT doc_id, lang_pred, quality FROM lang
+WHERE {_sample_bucket_sql()} <
+      CASE lang_pred WHEN 'en' THEN 800000
+                     WHEN 'und' THEN 500000 ELSE 0 END
+"""
+
 
 _CORPUS_PROFILE_ORACLE = """
 WITH lang AS ({lang}), tok AS ({tok})
@@ -1253,6 +1376,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ORACLE,
         "corpus_profile": _CORPUS_PROFILE_ORACLE.format(
             lang=_LANG_ORACLE, tok=_TOKEN_BPE_ORACLE),
+        "hash_sample": _HASH_SAMPLE_ORACLE,
+        "stratified_sample": _stratified_sample_oracle(),
+        "curate_corpus": _curate_oracle(),
         "fingerprint": r"""
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
