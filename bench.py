@@ -44,6 +44,22 @@ HEADLINE = [
     "window_running",
 ]
 
+# round-2 operators, timed separately so the headline total stays
+# comparable across rounds (the driver diffs BENCH_r{N} headline values)
+EXTENDED = [
+    "dedup_clusters",
+    "minhash_incremental",
+    "simhash_neardup",
+    "graph_degrees",
+    "top_hubs",
+    "predicate_histogram",
+    "pagerank",
+    "corpus_profile",
+    "curate_corpus",
+    "embedding_clusters",
+    "ivf_topk",
+]
+
 
 def sf_of(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
@@ -77,6 +93,17 @@ def run_once() -> dict:
         total += best
         if name == "jsonld_doc_triples":
             n_triples = n
+    ext_timings: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in qs:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ext_timings[name] = round(best, 3)
     triples_per_sec = n_triples / timings["jsonld_doc_triples"] \
         if timings.get("jsonld_doc_triples") else 0.0
     result = {
@@ -87,6 +114,7 @@ def run_once() -> dict:
         "sf": sf_of(SF_DIR),
         "cpus": int(CPUS),
         "rows": rows,
+        "queries_extended": ext_timings,
         "triples_per_sec": round(triples_per_sec, 1),
     }
     spark.stop()
