@@ -187,24 +187,31 @@ def _wait_quiet(threshold: float = 2.0, timeout_s: float = 600.0) -> None:
         time.sleep(15)
 
 
-def _throughput_at(cpus: str, repl: str, attempts: int = 2) -> dict:
+def _throughput_at(cpus: str, repl: str, attempts: int = 3) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                SPARK_GRAFT_SCALING_REPL=repl)
     best = None
+    errors: list[str] = []
     for _ in range(attempts):
         _wait_quiet()
         out = subprocess.run([sys.executable, __file__, "--throughput"],
                              env=env, capture_output=True, text=True)
         if out.returncode != 0:
-            # surface the subprocess failure instead of a bare
-            # CalledProcessError with captured (hidden) stderr
-            sys.stderr.write(out.stderr[-4000:] + "\n")
-            raise RuntimeError(
-                f"--throughput at cpus={cpus} repl={repl} failed "
-                f"(rc={out.returncode}); stderr tail above")
+            # transient on a shared box (external memory pressure can
+            # kill a 32-core JVM): log and retry, don't abort the
+            # whole protocol run
+            sys.stderr.write(
+                f"--throughput cpus={cpus} repl={repl} attempt failed "
+                f"(rc={out.returncode}); stderr tail:\n"
+                + out.stderr[-3000:] + "\n")
+            continue
         r = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
             best = r
+    if best is None:
+        raise RuntimeError(
+            f"--throughput at cpus={cpus} repl={repl} failed all "
+            f"{attempts} attempts; stderr tails above")
     return best
 
 
