@@ -429,6 +429,18 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("quality").cast("double").alias("quality"))
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) with per-session rollups —
+    pure window + groupBy, oracle-identical SQL."""
+    from jsonld_spark.operators.sessions import session_stats
+    return session_stats(_read(spark, sf_dir, "events"), gap_s=1800) \
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                F.col("session_idx").cast("long").alias("session_idx"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("duration_s").cast("double").alias("duration_s"),
+                F.col("total_value").cast("double").alias("total_value"))
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile with exact token-count percentiles."""
     from jsonld_spark.operators.textstats import corpus_profile
@@ -661,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "curate_corpus": q_curate_corpus,
+        "event_sessions": q_event_sessions,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -986,6 +999,27 @@ WHERE {_sample_bucket_sql()} <
                      WHEN 'und' THEN 500000 ELSE 0 END
 """
 
+
+_EVENT_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, value, epoch(ts) AS t,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, value, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1
+           AS session_idx
+  FROM marked)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(t) - min(t), 6) AS duration_s,
+       round(sum(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_idx
+"""
 
 _CORPUS_PROFILE_ORACLE = """
 WITH lang AS ({lang}), tok AS ({tok})
@@ -1379,6 +1413,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_ORACLE,
         "stratified_sample": _stratified_sample_oracle(),
         "curate_corpus": _curate_oracle(),
+        "event_sessions": _EVENT_SESSIONS_ORACLE,
         "fingerprint": r"""
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
