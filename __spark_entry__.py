@@ -272,15 +272,26 @@ def q_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity importance over the KG's IRI→IRI edges (iterative power
-    method — no SQL oracle; deliberately a rows-only check)."""
+    """Entity importance over the KG's IRI→IRI edges. Fixed 10-round
+    power method (damping 0.85, uniform dangling redistribution) so the
+    unrolled SQL oracle computes the identical recurrence. Output is the
+    rank scaled by the node count (Σrank = 1 → scaled values are O(1))
+    rounded to 5 dp: double summation is task-order dependent on both
+    engines, so the compare precision must dominate the accumulated
+    error (~1e-12 after 10 rounds) — at step 1e-5 a boundary flap needs
+    a true value within 1e-12 of a half-way point, p≈1e-7 per node."""
     from jsonld_spark.operators.graphstats import pagerank
     t = q_jsonld_doc_triples(spark, sf_dir)
     edges = t.where(F.col("obj_kind") == "iri") \
              .select(F.col("subj").alias("src"),
                      F.col("obj_value").alias("dst"))
-    return pagerank(edges, max_iter=10, tol=None) \
-        .select("node", F.round("rank", 9).alias("rank"))
+    pr = pagerank(edges, max_iter=10, tol=None)
+    # pagerank's result is lineage-cut, so the double read (rows + the
+    # 1-row count) never recomputes the iterations
+    n = pr.agg(F.count(F.lit(1)).alias("_n"))
+    return (pr.crossJoin(F.broadcast(n))
+            .select("node", F.round(F.col("rank") * F.col("_n"), 5)
+                    .alias("scaled_rank")))
 
 
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,30 +748,42 @@ SELECT 'doc-'||doc_id AS doc_id,
 FROM documents
 """
 
-_LANG_SCORE = {
-    lang: " + ".join(
-        f"CAST((length(' '||lower(text)||' ') - "
-        f"length(replace(' '||lower(text)||' ', '{p}', ''))) / {len(p)} AS BIGINT)"
-        for p in probes)
-    for lang, probes in
-    {"en": [" the ", " and ", " of "],
-     "de": [" der ", " und ", " die "],
-     "fr": [" le ", " et ", " les "]}.items()
-}
+def _lang_pieces() -> tuple[list[str], str, str]:
+    """SQL building blocks mirroring ``textstats.lang_id``, generated
+    from the SAME ``LANG_PROBES`` dict — one source of truth for the
+    27-language stopword profiles, so widening the model can never
+    desync the oracle. Returns (langs, score-column SQL over a padded
+    text column named ``t``, lang_pred CASE over the score columns).
+    Tie-break = language-code order, all-zero → 'und', identical to the
+    Spark when-chain."""
+    from jsonld_spark.operators.textstats import LANG_PROBES
+    langs = sorted(LANG_PROBES)
+    score = {
+        lang: " + ".join(
+            f"CAST((length(t) - length(replace(t, '{p}', ''))) "
+            f"/ {len(p)} AS BIGINT)"
+            for p in LANG_PROBES[lang])
+        for lang in langs}
+    cols = ",\n         ".join(f"{score[la]} AS score_{la}" for la in langs)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = [f"CASE WHEN {best} = 0 THEN 'und'"]
+    case += [f"            WHEN score_{la} = {best} THEN '{la}'"
+             for la in langs[:-1]]
+    case.append(f"            ELSE '{langs[-1]}' END AS lang_pred")
+    return langs, cols, "\n".join(case)
 
-_LANG_ORACLE = f"""
-WITH s AS (
-  SELECT doc_id, {_LANG_SCORE['de']} AS score_de,
-         {_LANG_SCORE['en']} AS score_en, {_LANG_SCORE['fr']} AS score_fr
-  FROM documents)
-SELECT doc_id,
-       CASE WHEN greatest(score_de, score_en, score_fr) = 0 THEN 'und'
-            WHEN score_de = greatest(score_de, score_en, score_fr) THEN 'de'
-            WHEN score_en = greatest(score_de, score_en, score_fr) THEN 'en'
-            ELSE 'fr' END AS lang_pred,
-       score_de, score_en, score_fr
-FROM s
+
+def _lang_oracle() -> str:
+    langs, cols, case = _lang_pieces()
+    score_sel = ", ".join(f"score_{la}" for la in langs)
+    return f"""
+WITH tt AS (SELECT doc_id, ' '||lower(text)||' ' AS t FROM documents),
+s AS (SELECT doc_id, {cols} FROM tt)
+SELECT doc_id, {case}, {score_sel} FROM s
 """
+
+
+_LANG_ORACLE = _lang_oracle()
 
 _COSINE_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
@@ -979,20 +1002,9 @@ reach(node, r) AS (
 comp AS (SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY node),
 p3 AS (SELECT p2.* FROM p2 JOIN comp ON p2.doc_id = comp.doc_id
        WHERE comp.rep = comp.doc_id),
-s AS (
-  SELECT doc_id, {_LANG_SCORE['de']} AS score_de,
-         {_LANG_SCORE['en']} AS score_en, {_LANG_SCORE['fr']} AS score_fr,
-         quality
-  FROM p3),
-lang AS (
-  SELECT doc_id, quality,
-         CASE WHEN greatest(score_de, score_en, score_fr) = 0 THEN 'und'
-              WHEN score_de = greatest(score_de, score_en, score_fr)
-                THEN 'de'
-              WHEN score_en = greatest(score_de, score_en, score_fr)
-                THEN 'en'
-              ELSE 'fr' END AS lang_pred
-  FROM s)
+tt AS (SELECT doc_id, quality, ' '||lower(text)||' ' AS t FROM p3),
+s AS (SELECT doc_id, quality, {_lang_pieces()[1]} FROM tt),
+lang AS (SELECT doc_id, quality, {_lang_pieces()[2]} FROM s)
 SELECT doc_id, lang_pred, quality FROM lang
 WHERE {_sample_bucket_sql()} <
       CASE lang_pred WHEN 'en' THEN 800000
@@ -1345,6 +1357,47 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration power method over the KG's IRI→IRI edges
+    — the same recurrence ``q_pagerank`` pins (``max_iter=10``,
+    ``tol=None``, uniform dangling redistribution, Σrank = 1). One CTE
+    trio per round: per-dst contribution sum, dangling mass, new ranks."""
+    # MATERIALIZED is load-bearing: inlined, each r{i} expands 3× per
+    # round → 3^n_iter copies of the parquet scan (fd exhaustion)
+    ctes = [
+        f"t AS MATERIALIZED ({_DOC_TRIPLES_ORACLE})",
+        "e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj_value AS dst "
+        "FROM t WHERE obj_kind = 'iri' AND subj IS NOT NULL "
+        "AND obj_value IS NOT NULL)",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED "
+        "(SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"c{i} AS MATERIALIZED "
+            f"(SELECT e.dst AS node, sum(r.rank / deg.d) AS _c "
+            f"FROM e JOIN r{i} r ON e.src = r.node "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst)")
+        ctes.append(
+            f"d{i} AS MATERIALIZED "
+            f"(SELECT coalesce(sum(r.rank), 0) AS dang "
+            f"FROM r{i} r LEFT JOIN deg ON r.node = deg.src "
+            f"WHERE deg.src IS NULL)")
+        ctes.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT n.node, "
+            f"(1 - {damping}) / (SELECT n FROM nn) "
+            f"+ {damping} * (coalesce(c._c, 0) "
+            f"+ (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(rank * (SELECT n FROM nn), 5) "
+              f"AS scaled_rank FROM r{n_iter}")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
@@ -1396,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hubs": _TOP_HUBS_ORACLE.format(
             degrees=_GRAPH_DEGREES_ORACLE.format(
                 triples=_DOC_TRIPLES_ORACLE)),
+        "pagerank": _pagerank_oracle(),
         "simhash": _SIMHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_neardup": _neardup_oracle(),

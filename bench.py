@@ -205,7 +205,17 @@ def _throughput_at(cpus: str, repl: str, attempts: int = 3) -> dict:
                 f"(rc={out.returncode}); stderr tail:\n"
                 + out.stderr[-3000:] + "\n")
             continue
-        r = json.loads(out.stdout.strip().splitlines()[-1])
+        try:
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+        except (IndexError, ValueError) as e:
+            # rc=0 with empty/garbled stdout happens when the JVM dies
+            # after the result line was meant to print — same transient
+            # class as a nonzero rc, so retry rather than abort
+            sys.stderr.write(
+                f"--throughput cpus={cpus} repl={repl} attempt produced "
+                f"unparseable stdout ({e}); stdout tail:\n"
+                + out.stdout[-1000:] + "\n")
+            continue
         if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
             best = r
     if best is None:

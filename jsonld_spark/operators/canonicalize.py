@@ -108,14 +108,58 @@ def _canonize_group(doc_ids: list, quads: list[Quad], component: str,
     out["n_labels"].extend([namer.counter] * n)
 
 
-def _canonize_partition(batches):
+# Per-component row cap for the canonicalization kernels. Components
+# are doc-local by construction (pipeline bnode labels are doc-prefixed)
+# so real ones are tiny; a dataset whose bnode graph forms one giant
+# component would otherwise funnel into a single task and die as an
+# opaque executor OOM deep in the hash loop. The streaming count below
+# fails fast — by name — while batches are still arriving, before the
+# partition is fully materialized or any exponential HND work starts.
+MAX_COMPONENT_ROWS = 2_000_000
+
+
+class ComponentTooLargeError(RuntimeError):
+    """A single bnode component exceeds MAX_COMPONENT_ROWS quads."""
+
+    def __init__(self, component, n_rows: int, cap: int):
+        self.component, self.n_rows, self.cap = component, n_rows, cap
+        super().__init__(
+            f"bnode component {component!r} has at least {n_rows} quads "
+            f"(cap {cap}): exact canonicalization of one component is "
+            f"single-task by nature. Split the input (bnode labels "
+            f"shared across this many documents usually indicate a "
+            f"label-collision bug upstream) or raise "
+            f"canonicalize.MAX_COMPONENT_ROWS if the memory is truly "
+            f"available.")
+
+
+def _collect_batches(batches, cap: int):
+    """Accumulate a partition's Arrow batches, counting rows per
+    component as they stream in; raises ComponentTooLargeError the
+    moment any single component passes the cap. ``cap`` is captured
+    into the kernel closure ON THE DRIVER (executor workers re-import
+    the module, so a module global set driver-side would not reach
+    them)."""
+    counts: dict = {}
+    pdfs = []
+    for pdf in batches:
+        for comp, n in pdf["component"].value_counts().items():
+            total = counts.get(comp, 0) + int(n)
+            counts[comp] = total
+            if total > cap:
+                raise ComponentTooLargeError(comp, total, cap)
+        pdfs.append(pdf)
+    return pdfs
+
+
+def _canonize_partition(batches, cap: int = MAX_COMPONENT_ROWS):
     """mapInPandas kernel: the partition holds complete components
     (guaranteed by repartition('component')); regroup across Arrow
     batches in-Python and canonicalize each component. Components are
     doc-sized, so output columns accumulate in plain lists across the
     whole partition — one output DataFrame, not one per group (per-group
     DataFrame construction dominated an applyInPandas variant ~10×)."""
-    pdfs = list(batches)
+    pdfs = _collect_batches(batches, cap)
     if not pdfs:
         return
     pdf = pd.concat(pdfs, ignore_index=True)
@@ -231,8 +275,11 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
 
     # the kernel output is read twice (per-component offsets + the final
     # join side) — materialize so the canonicalization pass runs once
-    canon = cut_lineage(keyed.repartition("component")
-                        .mapInPandas(_canonize_partition, _CANON_SCHEMA))
+    cap = MAX_COMPONENT_ROWS  # driver-side read → shipped in closure
+    canon = cut_lineage(
+        keyed.repartition("component")
+        .mapInPandas(lambda it: _canonize_partition(it, cap),
+                     _CANON_SCHEMA))
 
     # deterministic disjoint label ranges: order components by canonical
     # hash; one row per component, but at 10^12 docs that is ~10^12 rows
@@ -332,11 +379,11 @@ def _rows_to_sorted_quads(pdf) -> list[Quad]:
     return quads
 
 
-def _fd_hash_partition(batches):
+def _fd_hash_partition(batches, cap: int = MAX_COMPONENT_ROWS):
     """mapInPandas kernel: per component, every bnode's first-degree hash
     (NormalizeUtils hashQuads — pure content function)."""
     import pandas as pd
-    pdfs = list(batches)
+    pdfs = _collect_batches(batches, cap)
     if not pdfs:
         return
     pdf = pd.concat(pdfs, ignore_index=True)
@@ -464,8 +511,11 @@ def _canonicalize_reference(triples: DataFrame, max_iter: int) -> DataFrame:
               .join(comps.withColumnRenamed("node", "_b0"), "_b0")
               .drop("_b0"))
 
-    binfo = cut_lineage(keyed.repartition("component")
-                        .mapInPandas(_fd_hash_partition, _BINFO_SCHEMA))
+    cap = MAX_COMPONENT_ROWS  # driver-side read → shipped in closure
+    binfo = cut_lineage(
+        keyed.repartition("component")
+        .mapInPandas(lambda it: _fd_hash_partition(it, cap),
+                     _BINFO_SCHEMA))
     counts = binfo.groupBy("fd_hash").agg(F.count(F.lit(1)).alias("_cnt"))
     with_counts = binfo.join(counts, "fd_hash")
     uniq = (with_counts.where(F.col("_cnt") == 1)

@@ -242,6 +242,35 @@ def ngram_jaccard_pairs(queries: DataFrame, corpus: DataFrame, n: int = 3,
     return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
+def _bit_mask(i: int):
+    """Single-bit mask as a signed-long literal; bit 63 is the sign bit,
+    whose two's-complement value is negative (1<<63 overflows BIGINT)."""
+    return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+
+
+def _simhash_from_hashes(hashes, bits: int):
+    """SimHash of a token-hash array in ONE aggregate pass: accumulate a
+    ``bits``-long array of ±1 votes per element, then fold set bits into
+    the hash. The naive per-bit formulation (one ``F.aggregate`` per
+    bit) re-evaluates the token-hash ``transform`` subtree per bit —
+    Catalyst does not CSE across aggregate lambda trees — a ``bits``×
+    constant on the scan; this walks the array once."""
+    masks = F.array(*[_bit_mask(i) for i in range(bits)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
+                                    F.lit(1)).otherwise(F.lit(-1))))
+    return F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b))
+
+
 def simhash32(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash with the cross-engine md5 token hash: per-bit
@@ -249,16 +278,8 @@ def simhash32(docs: DataFrame, text_col: str = "text",
     ``simhash``)."""
     tokens = F.split(F.col(text_col), " ")
     hashes = F.transform(tokens, lambda tok: h32(tok, 0))
-    sim = F.lit(0).cast("long")
-    for i in range(32):
-        vote = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(1 << i).cast("long")) != 0,
-                F.lit(1)).otherwise(F.lit(-1)))
-        sim = sim + F.when(vote > 0, F.lit(1 << i).cast("long")) \
-                     .otherwise(F.lit(0).cast("long"))
-    return docs.select(id_col, sim.alias("simhash"))
+    return docs.select(id_col,
+                       _simhash_from_hashes(hashes, 32).alias("simhash"))
 
 
 def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3,
@@ -303,19 +324,8 @@ def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3,
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    token-hash bits, built from array/aggregate expressions."""
+    token-hash bits, one aggregate pass over the token-hash array."""
     tokens = F.split(F.col(text_col), r"\s+")
     hashes = F.transform(tokens, lambda tok: F.xxhash64(tok))
-    bit_cols = []
-    for i in range(bits):
-        # +1 when bit set, -1 otherwise, summed over tokens
-        vote = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0,
-                                        F.lit(1)).otherwise(F.lit(-1)))
-        bit_cols.append(F.when(vote > 0, F.lit(1 << i).cast("long"))
-                        .otherwise(F.lit(0).cast("long")))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim.bitwiseOR(c)
-    return docs.select(id_col, sim.alias("simhash"))
+    return docs.select(id_col,
+                       _simhash_from_hashes(hashes, bits).alias("simhash"))

@@ -357,9 +357,12 @@ def upsert_documents(new_triples: DataFrame, out_dir: str,
              .parquet(_index_path(out_dir)))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for p in emptied:  # dynamic overwrite can't write an empty bucket
-        _delete_path(spark, f"{_data_path(out_dir)}/part={p}")
-        _delete_path(spark, f"{_index_path(out_dir)}/part={p}")
+    # manifest rows BEFORE the empty-bucket deletes: crashing between
+    # the two leaves a 0-row manifest + a stale dir — detected as
+    # `mismatch` and repaired by replaying the same upsert (the doc
+    # index still routes the bucket into `affected`). The old order
+    # (delete first) could strand a stale non-zero manifest row with no
+    # data AND no index partition, which a replay can never repair.
     wall = time.time() - t0
     now = time.time()
     manifest_rows = [(int(r["part"]), int(r["n_rows"]),
@@ -371,6 +374,9 @@ def upsert_documents(new_triples: DataFrame, out_dir: str,
                        now, n_buckets, input_id) for p in emptied]
     (spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA)
      .coalesce(1).write.mode("append").parquet(_manifest_path(out_dir)))
+    for p in emptied:  # dynamic overwrite can't write an empty bucket
+        _delete_path(spark, f"{_data_path(out_dir)}/part={p}")
+        _delete_path(spark, f"{_index_path(out_dir)}/part={p}")
     n_rows = sum(int(r["n_rows"]) for r in stats)
     return {"affected": len(affected), "docs_changed": int(n_changed),
             "rows": int(n_rows), "deleted_buckets": len(emptied),

@@ -89,10 +89,11 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     from .dedup import dedup_clusters
     from .textstats import fingerprint, lang_id, quality_score
 
-    q = quality_score(docs, text_col).where(F.col("quality") >= min_quality)
+    q = quality_score(docs, text_col, id_col) \
+        .where(F.col("quality") >= min_quality)
     passed = docs.join(q, id_col)
 
-    fp = fingerprint(passed, text_col)
+    fp = fingerprint(passed, text_col, id_col)
     exact_keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
     passed = passed.join(exact_keep.select(id_col), id_col)
 
@@ -102,7 +103,7 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
                         .select(id_col)
     passed = passed.join(near_keep, id_col)
 
-    langs = lang_id(passed, text_col).select(id_col, "lang_pred")
+    langs = lang_id(passed, text_col, id_col).select(id_col, "lang_pred")
     out = passed.join(langs, id_col)
     if lang_fractions is not None:
         out = stratified_hash_sample(out, lang_fractions, "lang_pred",

@@ -213,9 +213,12 @@ def train_ivf_centroids(embeddings: DataFrame, k: int = 16,
     """Spherical k-means codebook for ``ivf_assign`` — Lloyd's
     iterations entirely as DataFrame ops:
 
-    * init: the k vectors with the smallest content hash — a pure
-      function of the data (same input ⇒ same codebook on any cluster /
-      partitioning), unlike ``takeSample``;
+    * init: the k DISTINCT vectors with the smallest content hash — a
+      pure function of the data (same input ⇒ same codebook on any
+      cluster / partitioning, unlike ``takeSample``); the vector string
+      itself is the tie-break, so hash collisions can't make the
+      selection order partitioning-dependent, and duplicate vectors are
+      dropped first so no two seeds start identical;
     * assign: ``ivf_assign`` (dot-product argmax, one scan, no
       shuffle beyond the explode);
     * update: element-wise mean per list via posexplode + two-level
@@ -227,9 +230,11 @@ def train_ivf_centroids(embeddings: DataFrame, k: int = 16,
     The returned plain list feeds ``ivf_assign``/``ivf_cosine_topk`` as
     driver-side literals, keeping assignment a pure JVM expression."""
     import math
+    vstr = F.col(vec_col).cast("string")
     init = (embeddings
-            .select(vec_col)
-            .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+            .select(vec_col, vstr.alias("_vs"))
+            .dropDuplicates(["_vs"])
+            .orderBy(F.xxhash64(F.col("_vs")), F.col("_vs"))
             .limit(k).collect())
     if not init:
         return []

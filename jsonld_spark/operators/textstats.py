@@ -10,11 +10,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tiny per-language stopword probes; counted by substring occurrences
+# Per-language stopword/function-word probes, counted by substring
+# occurrences. Latin/Cyrillic/Arabic/Devanagari probes are space-padded
+# whole words; CJK probes are bare substrings (no word spacing in those
+# scripts). Scores are occurrence counts — the argmax is a standard
+# stopword-profile language identifier. 27 languages; ties broken by
+# language-code order, all-zero → 'und'. Every probe is a plain string,
+# so the identical formula is expressible in any SQL dialect (the
+# CORRECTNESS oracle is generated from this dict — keep them literal).
 LANG_PROBES = {
-    "en": [" the ", " and ", " of "],
-    "de": [" der ", " und ", " die "],
-    "fr": [" le ", " et ", " les "],
+    "en": [" the ", " and ", " of ", " to ", " in ", " is "],
+    "de": [" der ", " und ", " die ", " das ", " nicht ", " ist "],
+    "fr": [" le ", " et ", " les ", " des ", " est ", " dans "],
+    "es": [" el ", " que ", " los ", " las ", " por ", " una "],
+    "pt": [" não ", " uma ", " com ", " para ", " são ", " dos "],
+    "it": [" che ", " per ", " della ", " gli ", " sono ", " nel "],
+    "nl": [" het ", " een ", " niet ", " van ", " zijn ", " voor "],
+    "sv": [" och ", " att ", " det ", " som ", " för ", " är "],
+    "da": [" og ", " det ", " til ", " ikke ", " på ", " med "],
+    "no": [" og ", " det ", " ikke ", " på ", " til ", " av "],
+    "fi": [" ja ", " on ", " ei ", " että ", " oli ", " mutta "],
+    "pl": [" nie ", " się ", " jest ", " oraz ", " przez ", " tym "],
+    "cs": [" není ", " jsou ", " ale ", " jako ", " podle ", " však "],
+    "ro": [" și ", " este ", " din ", " care ", " pentru ", " sunt "],
+    "hu": [" és ", " nem ", " hogy ", " egy ", " van ", " mint "],
+    "tr": [" bir ", " ve ", " için ", " ile ", " olarak ", " değil "],
+    "id": [" yang ", " dan ", " untuk ", " dengan ", " tidak ", " dari "],
+    "vi": [" của ", " và ", " không ", " được ", " trong ", " người "],
+    "ru": [" и ", " не ", " что ", " это ", " как ", " для "],
+    "uk": [" і ", " не ", " що ", " для ", " але ", " або "],
+    "ar": [" في ", " من ", " على ", " إلى ", " هذا ", " التي "],
+    "hi": [" है ", " और ", " के ", " में ", " की ", " का "],
+    "ja": ["の", "に", "は", "を", "です", "した"],
+    "zh": ["的", "是", "了", "在", "我们", "这个"],
+    "ko": ["의", "에서", "입니다", "그리고", "하는", "있는"],
+    "el": [" και ", " του ", " της ", " είναι ", " από ", " για "],
 }
 
 
@@ -25,13 +55,14 @@ def occurrences(col: Column, needle: str) -> Column:
             / F.lit(len(needle))).cast("long")
 
 
-def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_stats(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics: char count, whitespace-token count,
     mean token length, uppercase ratio proxy."""
     t = F.col(text_col)
     n_tokens = F.size(F.split(t, " "))
     return docs.select(
-        "doc_id",
+        id_col,
         F.length(t).alias("n_chars_actual"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(F.length(F.replace(t, F.lit(" "), F.lit(""))) /
@@ -39,7 +70,8 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax of stopword-probe hit counts, 'und'
     (undetermined) when all probes miss. Deterministic tie-break by
     language code order."""
@@ -51,7 +83,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in sorted(LANG_PROBES, reverse=True):
         pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score == 0, F.lit("und")).otherwise(pred)
-    sel = [F.col("doc_id"), pred.alias("lang_pred")]
+    sel = [F.col(id_col), pred.alias("lang_pred")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_PROBES)]
     return docs.select(*sel)
 
@@ -61,16 +93,18 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 
 
-def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def token_count_bpe(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
     """BPE-ish token counting via a single vectorized regex — the cheap
     proxy for tokenizer-cost estimation over a training corpus."""
     return docs.select(
-        "doc_id",
+        id_col,
         F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
          .cast("long").alias("n_bpe_tokens"))
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
     """Composite quality score in [0,1]: length saturation, alphanumeric
     cleanliness, stopword presence. Every term is a plain column
     expression with an exact SQL equivalent."""
@@ -88,17 +122,19 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     q = 0.4 * len_score + 0.3 * clean_score + 0.3 * stop_score
     # no explicit rounding: the expression is the same IEEE op sequence as
     # the SQL oracle, so raw doubles already agree bit-for-bit
-    return docs.select("doc_id", q.alias("quality"))
+    return docs.select(id_col, q.alias("quality"))
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
     """Whitespace-normalized lowercase MD5 fingerprint — the exact-dedup
     key that survives formatting noise."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    return docs.select("doc_id", F.md5(norm).alias("fp"))
+    return docs.select(id_col, F.md5(norm).alias("fp"))
 
 
-def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_profile(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
     """Corpus-level profile per predicted language: doc count, total/
     mean BPE-ish token counts, and EXACT p50/p95 token-count percentiles
     (``percentile``, not approx — the profile is the go/no-go artifact
@@ -106,9 +142,9 @@ def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     percentiles are cheap; swap to ``percentile_approx`` only if groups
     reach billions of rows). Every aggregate derives from integer sums,
     so results are deterministic under any task order."""
-    lang = lang_id(docs, text_col).select("doc_id", "lang_pred")
-    toks = token_count_bpe(docs, text_col)
-    j = lang.join(toks, "doc_id")
+    lang = lang_id(docs, text_col, id_col).select(id_col, "lang_pred")
+    toks = token_count_bpe(docs, text_col, id_col)
+    j = lang.join(toks, id_col)
     return (j.groupBy("lang_pred")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_bpe_tokens").cast("long").alias("total_tokens"),

@@ -187,3 +187,21 @@ def test_literal_starting_with_c14n_not_rewritten(spark, labels):
     assert lits == {"_:c14n7", "_:c14n notes"}
     # and none of them became NULL
     assert out.where(F.col("obj_value").isNull()).count() == 0
+
+
+def test_giant_component_raises_named_error(spark, monkeypatch):
+    """Adversarial input: one bnode chain spanning the whole dataset —
+    a single connected component the per-component kernel would have to
+    canonicalize in one task. The streaming row-count guard must raise
+    the typed, named error (not an opaque executor OOM), and it must
+    fire for the fd-hash path too."""
+    from jsonld_spark.operators import canonicalize as C
+    monkeypatch.setattr(C, "MAX_COMPONENT_ROWS", 50)
+    rows = [("d0", "@default", f"_:b{i}", "http://ex.org/p", "bnode",
+             f"_:b{i+1}", None, None) for i in range(200)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(Exception, match="bnode component .* quads"):
+        canonicalize_triples(df).collect()
+    from jsonld_spark.operators.canonicalize import _canonicalize_reference
+    with pytest.raises(Exception, match="bnode component .* quads"):
+        _canonicalize_reference(df, max_iter=50).collect()
