@@ -9,6 +9,7 @@ can't perturb the hash).
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -50,6 +51,29 @@ def q_jsonld_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.sources.interleaved import interleaved_from_documents
     interleaved = interleaved_from_documents(spark, sf_dir)
     return docs_to_triples(interleaved).select(
+        "doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+        "obj_datatype", "obj_lang")
+
+
+def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME triple extraction through Structured Streaming: land the
+    interleaved docs as files, run the availableNow ingest stream
+    (checkpointed file sink, exactly-once), read the landed table back.
+    Oracle: identical SQL to ``jsonld_doc_triples`` — stream must equal
+    batch must equal the independent DuckDB derivation."""
+    import os
+    import tempfile
+
+    from jsonld_spark.sources.interleaved import interleaved_from_documents
+    from jsonld_spark.streaming.ingest import start_triple_ingest
+    tmp = tempfile.mkdtemp(prefix="jsonld_stream_q_")
+    input_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    interleaved_from_documents(spark, sf_dir).write.parquet(input_dir)
+    q = start_triple_ingest(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select(
         "doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
         "obj_datatype", "obj_lang")
 
@@ -534,6 +558,29 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"))
 
 
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a LANDED int8 IVF index: build the quantized inverted
+    lists (partitioned by list_id), probe with partition pruning,
+    int8-prefilter, exact rerank on the full-precision column. Same
+    oracle as ivf_topk — the compact path must reproduce the exact IVF
+    results bit-for-bit."""
+    import tempfile
+
+    from jsonld_spark.operators.similarity import (build_ivf_index,
+                                                   search_ivf_index)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    idx_dir = tempfile.mkdtemp(prefix="jsonld_ivf_idx_") + "/index"
+    cents = _ivf_centroids()
+    build_ivf_index(emb, cents, idx_dir)
+    return search_ivf_index(spark, idx_dir, emb, queries, cents, k=10,
+                            nprobe=2, oversample=4).select(
+        "query_id", "neighbor_id", F.col("sim").cast("double").alias("sim"),
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (the 10^9-vector scale
     path; brute-force cosine_topk is the exact baseline)."""
@@ -563,6 +610,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.textstats import token_count_bpe
     return token_count_bpe(_read(spark, sf_dir, "documents"))
+
+
+def q_token_count_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BPE under a merge table trained in-engine on the same
+    corpus (distributed word count → driver merge loop → Arrow-batched
+    encode). Oracle: a landed expected parquet produced by a fully
+    independent non-Spark execution of the same public algorithm
+    (scripts/gen_bpe_expected.py) — DuckDB can't replay BPE merges but
+    can compare landed counts."""
+    from jsonld_spark.operators.textstats import (token_count_vocab,
+                                                  train_bpe)
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=200)
+    return token_count_vocab(docs, merges) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("n_vocab_tokens").cast("long").alias("n_vocab_tokens"))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "token_count_bpe": q_token_count_bpe,
+        "token_count_vocab": q_token_count_vocab,
+        "streaming_triples": q_streaming_triples,
+        "ivf_index_topk": q_ivf_index_topk,
         "quality_score": q_quality_score,
         "entity_link": q_entity_link,
         "cc_components": q_cc_components,
@@ -1401,6 +1467,7 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
+        "streaming_triples": _DOC_TRIPLES_ORACLE,
         "canonicalize_anon": _CANON_ORACLE,
         "compact_docs": _COMPACT_ORACLE,
         "hetero_compact": _HETERO_ORACLE,
@@ -1421,8 +1488,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _ann_oracle(),
         "ivf_topk": _ivf_oracle(),
+        "ivf_index_topk": _ivf_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
         "token_count_bpe": _TOKEN_BPE_ORACLE,
+        "token_count_vocab": (
+            "SELECT doc_id, n_vocab_tokens FROM '"
+            + _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "tests", "data",
+                            "token_count_vocab_sf001.parquet")
+            + "'"),
         "quality_score": _QUALITY_ORACLE,
         "entity_link": _ENTITY_LINK_ORACLE,
         "nquads_media_lines": _NQ_MEDIA_ORACLE,

@@ -300,3 +300,105 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def _approx_cos(qvec: Column, scale: Column, vnorm: Column,
+                query_vec: Column, qnorm: Column) -> Column:
+    """Approximate cosine from an int8-quantized corpus vector against a
+    full-precision query: scale·(qvec·query) / (‖v‖·‖q‖). Only the
+    numerator is quantized; the stored exact norm keeps the estimate
+    unbiased to ~1/254 relative error per component."""
+    return (scale * _dot(qvec, query_vec)) / (vnorm * qnorm)
+
+
+def quantize_int8_cols(vec_col: str = "embedding") -> list[Column]:
+    """(qvec tinyint[], scale float, vnorm float) columns for an int8
+    vector representation: symmetric per-vector scaling to [-127, 127]
+    plus the exact L2 norm captured at quantization time. 1 byte/dim vs
+    8 (double) or 4 (float32) — the shuffle/storage compaction for ANN
+    candidate generation; exact scoring stays on the original column."""
+    v = F.col(vec_col)
+    scale = (F.greatest(F.array_max(F.transform(v, F.abs)),
+                        F.lit(1e-30)) / F.lit(127.0)).cast("float")
+    qvec = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return [qvec.alias("qvec"), scale.alias("scale"),
+            _norm(v).cast("float").alias("vnorm")]
+
+
+def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
+                    out_dir: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF inverted lists as an int8-quantized parquet
+    index, partitioned by ``list_id``.
+
+    The 100 TB layout: the index holds (vec_id, qvec tinyint[], scale,
+    vnorm) — 1 byte/dim + 8 bytes vs 8 bytes/dim for raw doubles, ≥8×
+    smaller — and ``search_ivf_index`` reads ONLY the probed lists via
+    partition pruning, so a query touches nprobe/k of the index bytes.
+    Full-precision vectors stay in the embeddings table and are fetched
+    only for the exact rerank of the few approx-survivors (at scale,
+    keep that table bucketed by ``vec_id`` so the fetch join is
+    co-located, not a scan)."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, nprobe=1)
+    (assigned.select("list_id", F.col(id_col).alias("vec_id"),
+                     *quantize_int8_cols(vec_col))
+     .write.mode("overwrite").partitionBy("list_id").parquet(out_dir))
+
+
+def search_ivf_index(spark, index_dir: str, embeddings: DataFrame,
+                     queries: DataFrame, centroids: list[list[float]],
+                     k: int = 10, nprobe: int = 2, oversample: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 4,
+                     exclude_self: bool = True) -> DataFrame:
+    """ANN over a landed int8 IVF index: probe → approx-score → exact
+    rerank.
+
+    1. assign each query to its ``nprobe`` nearest lists (driver-side
+       literal centroids, pure column math);
+    2. read ONLY those list partitions of the index (`.where(list_id
+       IN ...)` → parquet partition pruning — the scan's
+       PartitionFilters, not a post-read filter);
+    3. approximate cosine against the broadcast queries (int8 numerator,
+       stored exact norms) keeps the top ``k·oversample`` per query;
+    4. survivors join back to the full-precision embeddings column for
+       the exact cosine, identical rounding/tie-break as
+       ``ivf_cosine_topk``.
+
+    With adequate ``oversample`` the int8 prefilter (~0.4% worst-case
+    per-component error) does not perturb the exact top-k — verified by
+    equality tests against ``ivf_cosine_topk``."""
+    q_l = (ivf_assign(
+        queries.withColumnRenamed("query_id", id_col)
+               .withColumnRenamed("query_vec", vec_col),
+        centroids, id_col, vec_col, nprobe=nprobe)
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"), "list_id"))
+    probed = sorted({r["list_id"] for r in
+                     q_l.select("list_id").distinct().collect()})
+    idx = spark.read.parquet(index_dir).where(F.col("list_id").isin(probed))
+    j = idx.join(F.broadcast(q_l), "list_id")
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    qnorm = _norm(F.col("query_vec"))
+    approx = _approx_cos(F.col("qvec"), F.col("scale"), F.col("vnorm"),
+                         F.col("query_vec"), qnorm)
+    scored = (j.select("query_id", "vec_id", approx.alias("_a"))
+              .dropDuplicates(["query_id", "vec_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_a"),
+                                               F.asc("vec_id"))
+    surv = (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k * oversample)
+            .select("query_id", F.col("vec_id").alias("_nid")))
+    # exact rerank on the full-precision column; survivors are tiny
+    # (k·oversample·|queries| rows) so they broadcast
+    full = embeddings.join(F.broadcast(surv),
+                           F.col(id_col) == F.col("_nid")) \
+        .join(F.broadcast(queries), "query_id")
+    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
+    rescored = full.select("query_id", F.col("_nid").alias("neighbor_id"),
+                           sim.alias("sim"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))

@@ -7,6 +7,7 @@ scoring, token counting, document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,3 +153,46 @@ def corpus_profile(docs: DataFrame, text_col: str = "text",
                          / F.count(F.lit(1)), 6).alias("avg_tokens"),
                  F.percentile("n_bpe_tokens", 0.5).alias("p50_tokens"),
                  F.percentile("n_bpe_tokens", 0.95).alias("p95_tokens")))
+
+
+def train_bpe(docs: DataFrame, text_col: str = "text",
+              num_merges: int = 200,
+              max_words: int = 1_000_000) -> list[tuple[str, str]]:
+    """Train a BPE merge table in-engine (like ``train_ivf_centroids``
+    trains its codebook): the corpus scan — word counting over the
+    pre-tokenization regex — is fully distributed; the inherently
+    sequential merge loop runs driver-side on the compact top-
+    ``max_words`` word-frequency table (TakeOrderedAndProject → a few
+    MB on the driver even from a 100 TB corpus). Deterministic: word
+    order ties break lexicographically, merge ties break by
+    (count DESC, pair ASC) inside ``bpe_train``."""
+    from ..functions.bpe import bpe_train
+    words = (docs.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(BPE_ISH_PATTERN), 0))
+        .alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    top = words.orderBy(F.desc("n"), F.asc("w")).limit(max_words).collect()
+    return bpe_train({r["w"]: int(r["n"]) for r in top}, num_merges)
+
+
+def token_count_vocab(docs: DataFrame,
+                      merges: list[tuple[str, str]] | list[list[str]],
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """True-BPE token counts under a trained merge table (vs the regex
+    proxy ``token_count_bpe``). The merge ranks ship inside the UDF
+    closure (broadcast once per executor); the Arrow-batched kernel
+    memoizes encoded length per distinct word, so the merge replay runs
+    once per word-form per batch, not per occurrence."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        from ..functions.bpe import encode_text_len
+        cache: dict[str, int] = {}
+        return s.map(lambda t: None if t is None
+                     else encode_text_len(t, ranks, cache))
+
+    return docs.select(id_col, _count(F.col(text_col))
+                       .alias("n_vocab_tokens"))
