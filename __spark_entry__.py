@@ -818,18 +818,30 @@ def _lang_pieces() -> tuple[list[str], str, str]:
     """SQL building blocks mirroring ``textstats.lang_id``, generated
     from the SAME ``LANG_PROBES`` dict — one source of truth for the
     27-language stopword profiles, so widening the model can never
-    desync the oracle. Returns (langs, score-column SQL over a padded
-    text column named ``t``, lang_pred CASE over the score columns).
-    Tie-break = language-code order, all-zero → 'und', identical to the
-    Spark when-chain."""
+    desync the oracle. Returns (langs, score-column SQL over ``lt`` =
+    lowered text / ``toks`` = its space-split tokens, lang_pred CASE
+    over the score columns). Space-padded probes score by token
+    membership, bare (CJK) probes by substring occurrences — identical
+    to ``textstats._lang_scores``. Tie-break = language-code order,
+    all-zero → 'und', identical to the Spark when-chain."""
     from jsonld_spark.operators.textstats import LANG_PROBES
     langs = sorted(LANG_PROBES)
-    score = {
-        lang: " + ".join(
-            f"CAST((length(t) - length(replace(t, '{p}', ''))) "
-            f"/ {len(p)} AS BIGINT)"
-            for p in LANG_PROBES[lang])
-        for lang in langs}
+
+    def _score(probes: list[str]) -> str:
+        words = [p.strip() for p in probes if p.startswith(" ")]
+        subs = [p for p in probes if not p.startswith(" ")]
+        parts = []
+        if words:
+            inlist = ", ".join(f"'{w}'" for w in words)
+            parts.append(
+                f"CAST(len(list_filter(toks, t -> t IN ({inlist}))) "
+                f"AS BIGINT)")
+        parts += [
+            f"CAST((length(lt) - length(replace(lt, '{p}', ''))) "
+            f"/ {len(p)} AS BIGINT)" for p in subs]
+        return " + ".join(parts)
+
+    score = {lang: _score(LANG_PROBES[lang]) for lang in langs}
     cols = ",\n         ".join(f"{score[la]} AS score_{la}" for la in langs)
     best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
     case = [f"CASE WHEN {best} = 0 THEN 'und'"]
@@ -843,7 +855,8 @@ def _lang_oracle() -> str:
     langs, cols, case = _lang_pieces()
     score_sel = ", ".join(f"score_{la}" for la in langs)
     return f"""
-WITH tt AS (SELECT doc_id, ' '||lower(text)||' ' AS t FROM documents),
+WITH tt AS (SELECT doc_id, lower(text) AS lt,
+                   string_split(lower(text), ' ') AS toks FROM documents),
 s AS (SELECT doc_id, {cols} FROM tt)
 SELECT doc_id, {case}, {score_sel} FROM s
 """
@@ -1068,7 +1081,8 @@ reach(node, r) AS (
 comp AS (SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY node),
 p3 AS (SELECT p2.* FROM p2 JOIN comp ON p2.doc_id = comp.doc_id
        WHERE comp.rep = comp.doc_id),
-tt AS (SELECT doc_id, quality, ' '||lower(text)||' ' AS t FROM p3),
+tt AS (SELECT doc_id, quality, lower(text) AS lt,
+             string_split(lower(text), ' ') AS toks FROM p3),
 s AS (SELECT doc_id, quality, {_lang_pieces()[1]} FROM tt),
 lang AS (SELECT doc_id, quality, {_lang_pieces()[2]} FROM s)
 SELECT doc_id, lang_pred, quality FROM lang

@@ -58,6 +58,12 @@ EXTENDED = [
     "curate_corpus",
     "embedding_clusters",
     "ivf_topk",
+    # round-3 operators
+    "token_count_vocab",
+    "ivf_index_topk",
+    "streaming_triples",
+    "event_sessions",
+    "lang_id",
 ]
 
 

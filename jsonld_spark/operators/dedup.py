@@ -122,7 +122,8 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_len: int = 5,
                             num_hashes: int = 16, bands: int = 4,
                             hash_fn: str = "xxhash64",
-                            shingle: str = "char") -> DataFrame:
+                            shingle: str = "char",
+                            eager_cut: bool = True) -> DataFrame:
     """LSH banding: equal band-hash ⇒ candidate pair (id_a < id_b).
     Shuffle is O(n·bands) bucket rows — never the cross product.
 
@@ -130,11 +131,16 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     projection collapse from re-inlining the k·|shingles| hash
     expressions into the band hashes and again into both sides of the
     self-join — re-inlined they evaluate O(bands²) times per row inside
-    the Generate node (measured 30× slower). The candidate pairs are
-    eagerly materialized (lineage cut) so the cache can be RELEASED
-    before returning — a persist left behind held executor storage for
-    the session lifetime. At warehouse scale the signatures are a landed
-    table for the same reason."""
+    the Generate node (measured 30× slower). With ``eager_cut`` (the
+    default) the candidate pairs are eagerly materialized (lineage cut)
+    so the cache can be RELEASED before returning — a persist left
+    behind held executor storage for the session lifetime (the round-1
+    leak). ``eager_cut=False`` returns the lazy plan with the persist
+    still live — for callers that consume the pairs exactly once and
+    manage the cache lifetime themselves (call ``.unpersist()`` on the
+    returned frame's ``_minhash_sigs`` attribute), and for benchmarking
+    the cut's cost (BENCH/SF1.md quantifies it). At warehouse scale the
+    signatures are a landed table and neither mode's tradeoff exists."""
     sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
                               num_hashes, hash_fn, shingle).persist()
     try:
@@ -147,9 +153,13 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                  .select(F.col(f"a.{id_col}").alias("id_a"),
                          F.col(f"b.{id_col}").alias("id_b"))
                  .dropDuplicates())
+        if not eager_cut:
+            pairs._minhash_sigs = sigs
+            return pairs
         return cut_lineage(pairs)
     finally:
-        sigs.unpersist()
+        if eager_cut:
+            sigs.unpersist()
 
 
 def minhash_pairs_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,

@@ -11,10 +11,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Per-language stopword/function-word probes, counted by substring
-# occurrences. Latin/Cyrillic/Arabic/Devanagari probes are space-padded
-# whole words; CJK probes are bare substrings (no word spacing in those
-# scripts). Scores are occurrence counts — the argmax is a standard
+# Per-language stopword/function-word probes. Space-padded probes are
+# whole words, scored by membership of the space-split tokens (one
+# shared tokenize pass); bare probes (CJK — no word spacing in those
+# scripts) score by substring occurrences. The argmax is a standard
 # stopword-profile language identifier. 27 languages; ties broken by
 # language-code order, all-zero → 'und'. Every probe is a plain string,
 # so the identical formula is expressible in any SQL dialect (the
@@ -75,18 +75,63 @@ def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax of stopword-probe hit counts, 'und'
     (undetermined) when all probes miss. Deterministic tie-break by
-    language code order."""
-    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    scores = {lang: sum((occurrences(t, p) for p in probes), F.lit(0).cast("long"))
-              for lang, probes in LANG_PROBES.items()}
-    best_score = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in sorted(LANG_PROBES, reverse=True):
-        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
-    pred = F.when(best_score == 0, F.lit("und")).otherwise(pred)
+    language code order.
+
+    Plan shape: word probes score via explode → broadcast probe-table
+    join → pivot count. The aggregation is a hard optimizer boundary,
+    so the 27 score columns reach the argmax when-chain as plain
+    attributes — expression formulations (one filter/aggregate per
+    language over a shared token array) get re-inlined by
+    CollapseProject into every one of the ~3×27 references the argmax
+    makes, and higher-order lambdas are neither codegen'd nor
+    subexpression-eliminated (measured 10-100× blowup at 27 languages).
+    The shuffle is (id, lang, partial count) rows, map-side combined —
+    at most #langs rows per doc. CJK probes (bare substrings, no word
+    boundaries) stay as occurrence expressions: 18 probes over 3
+    score columns is within the cheap zone."""
+    spark = docs.sparkSession
+    langs = sorted(LANG_PROBES)
+    lt = F.lower(F.col(text_col))
+    word_rows = [(p.strip(), lang) for lang, probes in LANG_PROBES.items()
+                 for p in probes if p.startswith(" ")]
+    probe_df = spark.createDataFrame(word_rows, "tok string, lang string")
+    toks = docs.select(id_col, F.explode(F.split(lt, " ")).alias("tok"))
+    hits = (toks.join(F.broadcast(probe_df), "tok")
+            .groupBy(id_col).pivot("lang", langs)
+            .agg(F.count(F.lit(1))))
+    # CJK substring scores are computed BEFORE the join: the join is an
+    # optimizer boundary, so the argmax below sees them as attributes —
+    # computed after the join they'd be re-inlined into all ~27 CASE
+    # branches (hundreds of interpreted string scans per row)
+    cjk_cols = []
+    for lang in langs:
+        subs = [p for p in LANG_PROBES[lang] if not p.startswith(" ")]
+        if subs:
+            sc = sum((occurrences(lt, p) for p in subs),
+                     F.lit(0).cast("long"))
+            cjk_cols.append(sc.alias(f"_sub_{lang}"))
+    base = docs.select(id_col, *cjk_cols).join(hits, id_col, "left")
+    sub_names = {c._jc.toString().split(" AS ")[-1].strip("`")
+                 for c in cjk_cols}
+    scores: dict[str, Column] = {}
+    for lang in langs:
+        sc = F.coalesce(F.col(f"`{lang}`"), F.lit(0)).cast("long")
+        if f"_sub_{lang}" in sub_names:
+            sc = sc + F.col(f"_sub_{lang}")
+        scores[lang] = sc
+    # array argmax, not a 27-branch when-chain: the chain repeats the
+    # 27-term greatest() per branch — a ~27x bigger expression tree that
+    # cost seconds of Catalyst planning + codegen compile per query.
+    # array_position takes the FIRST maximum = language-code order, the
+    # same deterministic tie-break the chain encoded.
+    score_arr = F.array(*[scores[la] for la in langs])
+    best = F.array_max(score_arr)
+    pred = F.when(best == F.lit(0).cast("long"), F.lit("und")).otherwise(
+        F.element_at(F.array(*[F.lit(la) for la in langs]),
+                     F.array_position(score_arr, best).cast("int")))
     sel = [F.col(id_col), pred.alias("lang_pred")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_PROBES)]
-    return docs.select(*sel)
+    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return base.select(*sel)
 
 
 # simplified GPT-2-style token classes: letter runs, digit runs,
