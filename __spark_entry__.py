@@ -389,13 +389,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("jaccard").cast("double").alias("jaccard"))
 
 
+# Banded-LSH geometry for the embedding near-dup/cluster queries.
+# 10 planes/band -> 1024 buckets per band: candidate volume ~ Σb² ≈
+# n²/1024 per band instead of n²/16 (4 planes/band OOM'd the bucket
+# join at 10× data — bucket count must outgrow n for LSH banding to
+# stay subquadratic; grow planes/band ~log₂(n) at larger scale).
+# 8 bands keep OR-amplified recall ≈0.97 at sim 0.95 (0.9^10 per band).
+_EMB_PLANES_N = 80
+_EMB_BANDS = 8
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via banded LSH candidates + exact cosine verify
     (the 10^9-vector path; the all-pairs self-join stays available as the
     recall baseline with planes=None)."""
     from jsonld_spark.operators.similarity import embedding_neardup
     return embedding_neardup(_read(spark, sf_dir, "embeddings"),
-                             threshold=0.4, planes=_lsh_planes(16), bands=4) \
+                             threshold=0.4,
+                             planes=_lsh_planes(_EMB_PLANES_N),
+                             bands=_EMB_BANDS) \
         .select(F.col("id_a").cast("long").alias("id_a"),
                 F.col("id_b").cast("long").alias("id_b"),
                 F.col("sim").cast("double").alias("sim"))
@@ -407,8 +419,9 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the identical banded candidate + verify SQL."""
     from jsonld_spark.operators.similarity import embedding_clusters
     return embedding_clusters(_read(spark, sf_dir, "embeddings"),
-                              threshold=0.4, planes=_lsh_planes(16),
-                              bands=4) \
+                              threshold=0.4,
+                              planes=_lsh_planes(_EMB_PLANES_N),
+                              bands=_EMB_BANDS) \
         .select(F.col("vec_id").cast("long").alias("vec_id"),
                 F.col("rep").cast("long").alias("rep"),
                 F.col("cluster_n").cast("long").alias("cluster_n"))
@@ -1211,9 +1224,10 @@ FROM g q JOIN g c ON q.doc_id < c.doc_id
 WHERE q.doc_id % 97 = 0
 """
 
-def _neardup_oracle(bands: int = 4) -> str:
+def _neardup_oracle(bands: int | None = None) -> str:
     """Mirrors the banded-LSH candidate generation + exact verify."""
-    planes = _lsh_planes(16)
+    bands = _EMB_BANDS if bands is None else bands
+    planes = _lsh_planes(_EMB_PLANES_N)
     per = len(planes) // bands
     band_selects = []
     for b in range(bands):

@@ -86,17 +86,27 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
     # lazy composition: the bucket expressions are cheap (bands × a few
     # plane dots), so evaluating them once per join side costs less than
     # a cache/checkpoint boundary would (unlike minhash, whose per-
-    # shingle hash tree re-inlines O(bands²) — see dedup.py)
-    banded = banded_lsh_buckets(embeddings, planes, bands, id_col, vec_col)
-    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("v_a"))
-    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("v_b"))
+    # shingle hash tree re-inlines O(bands²) — see dedup.py).
+    # The bucket self-join carries IDS ONLY: a popular bucket with B
+    # members expands to B² candidate rows, and carrying both vectors
+    # through that expansion multiplies its bytes by the vector width
+    # (measured heap OOM at 200k × 64-dim with replica-heavy buckets).
+    # Vectors re-join by id AFTER the pair dedup — two narrow shuffles
+    # of the deduped pairs instead of vector payload inside the blowup.
+    banded = banded_lsh_buckets(embeddings, planes, bands, id_col,
+                                vec_col).select(id_col, "band", "bucket")
+    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     cand = (a.join(b, ["band", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    va = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("v_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("v_b"))
     sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
-    return (cand.select("id_a", "id_b", sim.alias("sim"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", sim.alias("sim"))
             .where(F.col("sim") >= threshold))
 
 
@@ -134,18 +144,29 @@ def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
             f"bands={bands}; remainder planes would be silently unused")
     if per > 62:
         raise ValueError(f"{per} planes per band overflows a long bucket")
-    band_buckets = []
-    for b in range(bands):
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(planes[b * per:(b + 1) * per]):
-            d = _dot(F.col(vec_col),
-                     F.array(*[F.lit(float(x)) for x in plane]))
-            bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")) \
-                               .otherwise(F.lit(0).cast("long"))
-        band_buckets.append(bucket)
+    # ONE expression tree: sign bits for all planes computed once from a
+    # nested array literal, band buckets derived by slicing that shared
+    # array. The per-plane formulation built one dot-aggregate subtree
+    # per plane and re-chained them per band — at 80 planes that cost
+    # seconds of Catalyst planning per query and re-evaluated the dots
+    # per band reference.
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p])
+                           for p in planes])
+    signs = F.transform(
+        planes_lit,
+        lambda pl: F.when(_dot(F.col(vec_col), pl) > 0,
+                          F.lit(1).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(per)])
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.zip_with(F.slice(signs, b * per + 1, per), weights,
+                       lambda s, w: s * w),
+            F.lit(0).cast("long"), lambda acc, x: acc + x))
     return embeddings.select(
         id_col, vec_col,
-        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"))
+        F.posexplode(buckets).alias("band", "bucket"))
 
 
 def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
