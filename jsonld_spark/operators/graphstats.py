@@ -114,17 +114,21 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                            .select("src", "dst",
                                    (F.lit(1.0) / F.col("_deg")).alias("_w")))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    dang_nodes = nodes.join(out_deg.select(F.col("src").alias("node")),
-                            "node", "left_anti")
     for i in range(max_iter):
         contribs = (weighted.join(ranks.withColumnRenamed("node", "src"),
                                   "src")
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") * F.col("_w")).alias("_c")))
-        # dangling mass joins in as a broadcast 1-row aggregate — no
-        # driver action per round, the whole round stays one lazy plan
-        dang = dang_nodes.join(ranks, "node") \
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        # dangling mass = 1 − Σ contributions: per-src edge weights sum
+        # to 1, so Σ_dst Σ_src rank·w = Σ rank(non-dangling), and total
+        # rank is 1 by construction. A 1-row aggregate over the contribs
+        # exchange (reused by ReuseExchange) replaces the former
+        # dangling-node join+agg — one join and one shuffle less per
+        # round; FP drift vs the exact dangling sum is ~1e-16/round,
+        # far below the 5-dp compare precision.
+        dang = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("_c"), F.lit(0.0)))
+            .alias("_dang"))
         ranks_new = (nodes.join(contribs.withColumnRenamed("dst", "node"),
                                 "node", "left")
                      .crossJoin(F.broadcast(dang))
