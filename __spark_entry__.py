@@ -625,6 +625,31 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(_read(spark, sf_dir, "documents"))
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-preprocessing resize plumbing: binary media → (W,H,
+    content_hex) through the Arrow-batched kernel (deterministic fake
+    codec, SQL-mirrored)."""
+    from jsonld_spark.operators.multimodal import (resize_media,
+                                                   synth_media_from_documents)
+    docs = _read(spark, sf_dir, "documents")
+    return resize_media(synth_media_from_documents(docs), 224, 224) \
+        .select("doc_id", "media_ref",
+                F.col("width").cast("int").alias("width"),
+                F.col("height").cast("int").alias("height"), "content_hex")
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one media row fans out to 4 frame
+    rows inside the Arrow batch (deterministic fake demuxer)."""
+    from jsonld_spark.operators.multimodal import (sample_frames,
+                                                   synth_media_from_documents)
+    docs = _read(spark, sf_dir, "documents")
+    return sample_frames(synth_media_from_documents(docs), 4) \
+        .select("doc_id", "media_ref",
+                F.col("frame_idx").cast("int").alias("frame_idx"),
+                "frame_sig")
+
+
 def q_token_count_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE under a merge table trained in-engine on the same
     corpus (distributed word count → driver merge loop → Arrow-batched
@@ -774,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "token_count_bpe": q_token_count_bpe,
         "token_count_vocab": q_token_count_vocab,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "streaming_triples": q_streaming_triples,
         "ivf_index_topk": q_ivf_index_topk,
         "quality_score": q_quality_score,
@@ -1518,6 +1545,22 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_oracle(),
         "ivf_index_topk": _ivf_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
+        "media_resize": """
+            SELECT doc_id,
+                   'https://media.example/img/'||doc_id||'.jpg' AS media_ref,
+                   CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+                   md5(md5(CAST(doc_id AS VARCHAR))||'|224x224')
+                     AS content_hex
+            FROM documents
+        """,
+        "media_frames": """
+            SELECT doc_id,
+                   'https://media.example/img/'||doc_id||'.jpg' AS media_ref,
+                   CAST(i AS INT) AS frame_idx,
+                   md5(md5(CAST(doc_id AS VARCHAR))||'|frame|'||i)
+                     AS frame_sig
+            FROM documents, (SELECT unnest(range(0, 4)) AS i)
+        """,
         "token_count_bpe": _TOKEN_BPE_ORACLE,
         "token_count_vocab": (
             "SELECT doc_id, n_vocab_tokens FROM '"

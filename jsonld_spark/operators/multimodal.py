@@ -121,3 +121,92 @@ def extract_media_features(media: DataFrame,
 
     return (media.select("doc_id", "media_ref", "content")
             .mapInPandas(extract, FEATURE_SCHEMA))
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("content_hex", T.StringType()),
+])
+
+
+def resize_media(media: DataFrame, width: int = 224,
+                 height: int = 224) -> DataFrame:
+    """Resize the media payload to (width, height) — the standard
+    vision-model preprocessing stage. Real path: PIL decode → resize →
+    re-encode per element inside the Arrow batch (absent here). Fake
+    path: output bytes = md5 digest of (content_hex | WxH) — a pure
+    content function with the same schema/batch shape, reproducible in
+    the SQL oracle, so the distributed plumbing is exercised end to
+    end and a real codec swaps in by replacing one inner function."""
+
+    def resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            out_hex = []
+            for c in pdf["content"]:
+                b = bytes(c)
+                if _HAS_PIL:  # pragma: no cover - real decode+resize
+                    img = decode_image(b).resize((width, height))
+                    out_hex.append(img.tobytes().hex())
+                else:
+                    out_hex.append(hashlib.md5(
+                        f"{b.hex()}|{width}x{height}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "content_hex": out_hex,
+            })
+
+    return (media.select("doc_id", "media_ref", "content")
+            .mapInPandas(resize, RESIZE_SCHEMA))
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_sig", T.StringType()),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform frame sampling from a video payload: ``n_frames`` rows
+    per media item. Real path: a container demuxer seeks to frame
+    i/n_frames and decodes (no codec libs here). Fake path: frame_sig =
+    md5(content_hex | 'frame' | i) — deterministic per (content, index),
+    SQL-reproducible. One input row fans out to n_frames output rows
+    inside the Arrow batch, the exact shape a real sampler produces."""
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+
+    def sample(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            ids, refs, idxs, sigs = [], [], [], []
+            for doc_id, ref, c in zip(pdf["doc_id"], pdf["media_ref"],
+                                      pdf["content"]):
+                hx = bytes(c).hex()
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    refs.append(ref)
+                    idxs.append(i)
+                    sigs.append(hashlib.md5(
+                        f"{hx}|frame|{i}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "media_ref": refs,
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_sig": sigs,
+            })
+
+    return (media.select("doc_id", "media_ref", "content")
+            .mapInPandas(sample, FRAME_SCHEMA))
