@@ -625,6 +625,25 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(_read(spark, sf_dir, "documents"))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: emails / IPv4s / long digit runs replaced by [TYPE]
+    tokens, per-class counts from the original text."""
+    from jsonld_spark.operators.textstats import redact_pii
+    return redact_pii(_read(spark, sf_dir, "documents")) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "n_email", "n_ipv4", "n_number", "redacted")
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: drop lines shared by more than
+    max_docs documents, reassemble the rest in order."""
+    from jsonld_spark.operators.textstats import strip_boilerplate
+    return strip_boilerplate(_read(spark, sf_dir, "documents"),
+                             max_docs=10) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "clean_text", "n_lines_kept")
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vision-preprocessing resize plumbing: binary media → (W,H,
     content_hex) through the Arrow-batched kernel (deterministic fake
@@ -800,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "token_count_vocab": q_token_count_vocab,
         "media_resize": q_media_resize,
+        "redact_pii": q_redact_pii,
+        "strip_boilerplate": q_strip_boilerplate,
         "media_frames": q_media_frames,
         "streaming_triples": q_streaming_triples,
         "ivf_index_topk": q_ivf_index_topk,
@@ -1519,6 +1540,41 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
               f"AS scaled_rank FROM r{n_iter}")
 
 
+_PII_ORACLE = r''' 
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS BIGINT)
+         AS n_number,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g'),
+         '\b[0-9]{9,}\b', '[NUMBER]', 'g') AS redacted
+FROM documents
+ '''
+
+_BOILER_ORACLE = ''' 
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts
+            FROM documents),
+lx AS (SELECT doc_id, unnest(list_transform(parts,
+           (x, i) -> {'line': x, 'pos': i})) AS u FROM ls),
+lines AS (SELECT doc_id, u.line AS line, u.pos AS pos FROM lx),
+freq AS (
+  SELECT md5(trim(line)) AS h, count(DISTINCT doc_id) AS n_docs
+  FROM lines WHERE length(trim(line)) >= 10 GROUP BY md5(trim(line))),
+boiler AS (SELECT h FROM freq WHERE n_docs > 10),
+keep AS (SELECT doc_id, pos, line FROM lines
+         WHERE md5(trim(line)) NOT IN (SELECT h FROM boiler))
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines_kept
+FROM keep GROUP BY doc_id
+ '''
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "jsonld_doc_triples": _DOC_TRIPLES_ORACLE,
@@ -1545,6 +1601,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_oracle(),
         "ivf_index_topk": _ivf_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
+        "redact_pii": _PII_ORACLE,
+        "strip_boilerplate": _BOILER_ORACLE,
         "media_resize": """
             SELECT doc_id,
                    'https://media.example/img/'||doc_id||'.jpg' AS media_ref,

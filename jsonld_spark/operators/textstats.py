@@ -241,3 +241,73 @@ def token_count_vocab(docs: DataFrame,
 
     return docs.select(id_col, _count(F.col(text_col))
                        .alias("n_vocab_tokens"))
+
+
+# PII patterns: pragmatic training-data-redaction classes (emails,
+# long digit runs standing in for phone/account numbers, IPv4). Kept
+# simple & anchorless so the identical regex runs in any SQL dialect.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("number", r"\b[0-9]{9,}\b"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Replace PII-shaped spans with ``[TYPE]`` tokens and count the
+    redactions per class — the standard pre-training scrub stage. One
+    chained vectorized regexp_replace per class (JVM regex, no Python);
+    counts come from regexp_count on the ORIGINAL text so classes
+    never shadow each other's counts."""
+    out = F.col(text_col)
+    sel = [F.col(id_col)]
+    for name, pat in PII_PATTERNS:
+        sel.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                   .cast("long").alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return docs.select(*sel, out.alias("redacted"))
+
+
+def line_frequencies(docs: DataFrame, text_col: str = "text",
+                     min_len: int = 10) -> DataFrame:
+    """(line_hash, n_docs) for every distinct normalized line — the
+    corpus-wide frequency table behind boilerplate removal (CCNet-style:
+    a line appearing in many documents is chrome, not content). Lines
+    under ``min_len`` chars are ignored (punctuation rows, bullets).
+    distinct() before the count so a line repeated inside ONE document
+    counts once."""
+    lines = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("line"))
+    norm = F.trim(F.col("line"))
+    return (lines.select("doc_id", F.md5(norm).alias("line_hash"))
+            .where(F.length(norm) >= min_len)
+            .distinct()
+            .groupBy("line_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+def strip_boilerplate(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_docs: int = 10,
+                      min_len: int = 10) -> DataFrame:
+    """Remove lines appearing in more than ``max_docs`` documents
+    (navigation chrome, cookie banners, license headers) and keep the
+    rest in order. Two passes over the corpus: the frequency table
+    (aggregated, then broadcast-joined against the exploded lines —
+    boilerplate tables are tiny relative to the corpus) and the
+    filtered reassembly via posexplode + sort by position."""
+    freq = line_frequencies(docs, text_col, min_len)
+    boiler = freq.where(F.col("n_docs") > max_docs).select("line_hash")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
+    keep = (lines.withColumn("line_hash", F.md5(F.trim(F.col("line"))))
+            .join(F.broadcast(boiler), "line_hash", "left_anti"))
+    return (keep.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"]),
+                "\n").alias("clean_text"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines_kept")))
