@@ -72,7 +72,12 @@ def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(tmp, "ckpt")
     interleaved_from_documents(spark, sf_dir).write.parquet(input_dir)
     q = start_triple_ingest(spark, input_dir, out_dir, ckpt)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # timeout returns False (no raise): reading the sink now would
+        # silently return a partial table and leave the stream running
+        q.stop()
+        raise TimeoutError("availableNow ingest stream did not finish "
+                           "within 600s; sink left incomplete")
     return spark.read.parquet(out_dir).select(
         "doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
         "obj_datatype", "obj_lang")
@@ -389,14 +394,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("jaccard").cast("double").alias("jaccard"))
 
 
-# Banded-LSH geometry for the embedding near-dup/cluster queries.
-# 10 planes/band -> 1024 buckets per band: candidate volume ~ Σb² ≈
-# n²/1024 per band instead of n²/16 (4 planes/band OOM'd the bucket
-# join at 10× data — bucket count must outgrow n for LSH banding to
-# stay subquadratic; grow planes/band ~log₂(n) at larger scale).
-# 8 bands keep OR-amplified recall ≈0.97 at sim 0.95 (0.9^10 per band).
-_EMB_PLANES_N = 80
-_EMB_BANDS = 8
+# Banded-LSH geometry for the embedding near-dup/cluster queries =
+# similarity.lsh_geometry(0.4, target_recall=0.55): this corpus's
+# planted near-dups top out at cosine ~0.5-0.6, so the wired threshold
+# is 0.4 — a regime where P(plane agrees)≈0.63 makes high LSH recall
+# impossible without near-brute-force candidates (the helper's
+# docstring carries the math). 6 planes × 13 bands = recall 0.57 at
+# sim 0.4 (round-2's 4×4 gave 0.50 at MORE expected candidates:
+# 0.25·C(n,2) vs 0.20 here) and ~1.0 in the production ≥0.95 regime.
+# Candidate rows carry ids only, so volume costs narrow shuffle rows,
+# not vector payload.
+from jsonld_spark.operators.similarity import lsh_geometry as _lshg
+
+_EMB_PLANES_PER_BAND, _EMB_BANDS = _lshg(0.4, target_recall=0.55)
+_EMB_PLANES_N = _EMB_PLANES_PER_BAND * _EMB_BANDS
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,7 +916,8 @@ def _lang_pieces() -> tuple[list[str], str, str]:
     score = {lang: _score(LANG_PROBES[lang]) for lang in langs}
     cols = ",\n         ".join(f"{score[la]} AS score_{la}" for la in langs)
     best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
-    case = [f"CASE WHEN {best} = 0 THEN 'und'"]
+    case = [f"CASE WHEN nt THEN 'und'"
+            f" WHEN {best} = 0 THEN 'und'"]
     case += [f"            WHEN score_{la} = {best} THEN '{la}'"
              for la in langs[:-1]]
     case.append(f"            ELSE '{langs[-1]}' END AS lang_pred")
@@ -916,9 +928,9 @@ def _lang_oracle() -> str:
     langs, cols, case = _lang_pieces()
     score_sel = ", ".join(f"score_{la}" for la in langs)
     return f"""
-WITH tt AS (SELECT doc_id, lower(text) AS lt,
+WITH tt AS (SELECT doc_id, lower(text) AS lt, (text IS NULL) AS nt,
                    string_split(lower(text), ' ') AS toks FROM documents),
-s AS (SELECT doc_id, {cols} FROM tt)
+s AS (SELECT doc_id, nt, {cols} FROM tt)
 SELECT doc_id, {case}, {score_sel} FROM s
 """
 
@@ -1142,9 +1154,9 @@ reach(node, r) AS (
 comp AS (SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY node),
 p3 AS (SELECT p2.* FROM p2 JOIN comp ON p2.doc_id = comp.doc_id
        WHERE comp.rep = comp.doc_id),
-tt AS (SELECT doc_id, quality, lower(text) AS lt,
+tt AS (SELECT doc_id, quality, lower(text) AS lt, (text IS NULL) AS nt,
              string_split(lower(text), ' ') AS toks FROM p3),
-s AS (SELECT doc_id, quality, {_lang_pieces()[1]} FROM tt),
+s AS (SELECT doc_id, quality, nt, {_lang_pieces()[1]} FROM tt),
 lang AS (SELECT doc_id, quality, {_lang_pieces()[2]} FROM s)
 SELECT doc_id, lang_pred, quality FROM lang
 WHERE {_sample_bucket_sql()} <
@@ -1393,7 +1405,7 @@ FROM h
 
 _TOKEN_BPE_ORACLE = r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0B]+'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
 """

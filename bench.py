@@ -64,6 +64,10 @@ EXTENDED = [
     "streaming_triples",
     "event_sessions",
     "lang_id",
+    "redact_pii",
+    "strip_boilerplate",
+    "media_resize",
+    "media_frames",
 ]
 
 

@@ -24,8 +24,10 @@ import re
 # here to avoid an operators→functions→operators import cycle): letter
 # runs, digit runs, punctuation runs; whitespace separates words. Input
 # is lowercased first, so A-Z matching is inert but keeps the Spark
-# (Java regex) and Python pre-tokenizations byte-identical.
-WORD_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+")
+# (Java regex) and Python pre-tokenizations byte-identical. Whitespace
+# is the explicit ASCII class: Python \s is Unicode-aware while Java's
+# is not, so \s here would tokenize U+00A0 etc. differently per engine.
+WORD_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0B]+")
 
 EOW = "</w>"
 

@@ -153,13 +153,16 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                  .select(F.col(f"a.{id_col}").alias("id_a"),
                          F.col(f"b.{id_col}").alias("id_b"))
                  .dropDuplicates())
-        if not eager_cut:
-            pairs._minhash_sigs = sigs
-            return pairs
+    except BaseException:
+        sigs.unpersist()  # never leak the cache on a failed build
+        raise
+    if not eager_cut:
+        pairs._minhash_sigs = sigs
+        return pairs
+    try:
         return cut_lineage(pairs)
     finally:
-        if eager_cut:
-            sigs.unpersist()
+        sigs.unpersist()
 
 
 def minhash_pairs_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
@@ -254,7 +257,11 @@ def ngram_jaccard_pairs(queries: DataFrame, corpus: DataFrame, n: int = 3,
 
 def _bit_mask(i: int):
     """Single-bit mask as a signed-long literal; bit 63 is the sign bit,
-    whose two's-complement value is negative (1<<63 overflows BIGINT)."""
+    whose two's-complement value is negative (1<<63 overflows BIGINT).
+    Raises beyond 63 — a long holds 64 bits, and silently folding
+    higher positions onto the sign bit would collide vote masks."""
+    if i > 63:
+        raise ValueError(f"bit {i} does not fit a 64-bit simhash")
     return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
 
 

@@ -76,8 +76,16 @@ def sessionize_chunked(events: DataFrame, gap_s: int = 1800,
     ``sessionize`` row-for-row.
     """
     t = _ts_double(ts_col)
+    # NULL timestamps: the single-pass window sorts them first (each
+    # null row its own session — prev lag is null every time); routing
+    # them to a dedicated lowest-ordered chunk reproduces that exactly
+    # (floor(null) would otherwise make a null chunk whose ordering vs
+    # real chunks is undefined)
+    null_chunk = F.lit(-(1 << 60)).cast("long")
     ev = events.withColumn("_t", t) \
-               .withColumn("_chunk", F.floor(F.col("_t") / chunk_s))
+               .withColumn("_chunk",
+                           F.when(t.isNull(), null_chunk)
+                            .otherwise(F.floor(F.col("_t") / chunk_s)))
     w = Window.partitionBy(user_col, "_chunk").orderBy("_t", order_tiebreak)
     prev = F.lag("_t").over(w)
     marked = ev.withColumn(

@@ -125,6 +125,46 @@ def embedding_clusters(embeddings: DataFrame, threshold: float = 0.95,
     return label_clusters(embeddings, pairs, id_col)
 
 
+def lsh_geometry(threshold: float, target_recall: float = 0.9,
+                 candidate_budget: float = 0.25,
+                 max_planes_per_band: int = 16,
+                 max_bands: int = 16) -> tuple[int, int]:
+    """(planes_per_band, bands) for banded random-hyperplane LSH, from
+    the standard collision probability P(agree) = 1 - acos(sim)/π:
+    recall = 1 - (1 - P^p)^b, expected random-pair candidate fraction
+    ≈ b·(1/2)^p. Picks the most selective p (fewest candidates) whose
+    band count for ``target_recall`` fits ``max_bands`` (band rows cost
+    n·b shuffle rows — unbounded b would trade one blowup for another)
+    with candidate fraction within ``candidate_budget``; if nothing
+    fits, the closest-to-target fallback.
+
+    The math makes the low-threshold regime honest: at sim 0.4
+    (P≈0.63) high recall is unreachable without near-brute-force
+    candidate volume — LSH pays off at production near-dup thresholds
+    (0.9+), where a selective geometry gets ~0.99 recall at ~1e-4 of
+    the pairs."""
+    import math
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    prob = 1.0 - math.acos(threshold) / math.pi
+    best = None
+    for p in range(max_planes_per_band, 0, -1):
+        miss = 1.0 - prob ** p
+        if miss >= 1.0:
+            continue
+        b = max(1, math.ceil(math.log(1.0 - target_recall)
+                             / math.log(miss)))
+        if b > max_bands:
+            if best is None:
+                best = (p, min(b, max_bands))
+            continue
+        if b * 0.5 ** p <= candidate_budget:
+            return p, b
+        if best is None:
+            best = (p, b)
+    return best if best else (1, max_bands)
+
+
 def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
                        bands: int, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

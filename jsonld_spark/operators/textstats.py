@@ -110,15 +110,19 @@ def lang_id(docs: DataFrame, text_col: str = "text",
             sc = sum((occurrences(lt, p) for p in subs),
                      F.lit(0).cast("long"))
             cjk_cols.append(sc.alias(f"_sub_{lang}"))
-    base = docs.select(id_col, *cjk_cols).join(hits, id_col, "left")
-    sub_names = {c._jc.toString().split(" AS ")[-1].strip("`")
-                 for c in cjk_cols}
+    base = docs.select(id_col, F.col(text_col).isNull().alias("_nt"),
+                       *cjk_cols).join(hits, id_col, "left")
+    sub_langs = {lang for lang in langs
+                 if any(not p.startswith(" ") for p in LANG_PROBES[lang])}
     scores: dict[str, Column] = {}
     for lang in langs:
         sc = F.coalesce(F.col(f"`{lang}`"), F.lit(0)).cast("long")
-        if f"_sub_{lang}" in sub_names:
+        if lang in sub_langs:
             sc = sc + F.col(f"_sub_{lang}")
-        scores[lang] = sc
+        # NULL text → NULL scores (matching the SQL oracle, where every
+        # probe expression over NULL is NULL) — without this the word
+        # scores would coalesce to 0 while the oracle's stay NULL
+        scores[lang] = F.when(F.col("_nt"), F.lit(None).cast("long"))                         .otherwise(sc)
     # array argmax, not a 27-branch when-chain: the chain repeats the
     # 27-term greatest() per branch — a ~27x bigger expression tree that
     # cost seconds of Catalyst planning + codegen compile per query.
@@ -126,7 +130,8 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     # same deterministic tie-break the chain encoded.
     score_arr = F.array(*[scores[la] for la in langs])
     best = F.array_max(score_arr)
-    pred = F.when(best == F.lit(0).cast("long"), F.lit("und")).otherwise(
+    pred = F.when(F.col("_nt") | (best == F.lit(0).cast("long")),
+                  F.lit("und")).otherwise(
         F.element_at(F.array(*[F.lit(la) for la in langs]),
                      F.array_position(score_arr, best).cast("int")))
     sel = [F.col(id_col), pred.alias("lang_pred")]
@@ -136,7 +141,12 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 
 # simplified GPT-2-style token classes: letter runs, digit runs,
 # punctuation runs (whitespace separates, contributes no token)
-BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+# whitespace spelled out: Java \s is ASCII-only, Python \s is
+# Unicode-aware, RE2 \s lacks \x0B — the explicit class means all
+# three engines (Spark, the pure-Python BPE kernels, DuckDB oracles)
+# pre-tokenize identically even on exotic whitespace
+BPE_ISH_PATTERN = (r"[a-zA-Z]+|[0-9]+"
+                   r"|[^a-zA-Z0-9 \t\n\r\f\x0B]+")
 
 
 def token_count_bpe(docs: DataFrame, text_col: str = "text",
@@ -270,7 +280,8 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
 
 
 def line_frequencies(docs: DataFrame, text_col: str = "text",
-                     min_len: int = 10) -> DataFrame:
+                     min_len: int = 10,
+                     id_col: str = "doc_id") -> DataFrame:
     """(line_hash, n_docs) for every distinct normalized line — the
     corpus-wide frequency table behind boilerplate removal (CCNet-style:
     a line appearing in many documents is chrome, not content). Lines
@@ -278,10 +289,10 @@ def line_frequencies(docs: DataFrame, text_col: str = "text",
     distinct() before the count so a line repeated inside ONE document
     counts once."""
     lines = docs.select(
-        F.col("doc_id"),
+        F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\n")).alias("line"))
     norm = F.trim(F.col("line"))
-    return (lines.select("doc_id", F.md5(norm).alias("line_hash"))
+    return (lines.select(id_col, F.md5(norm).alias("line_hash"))
             .where(F.length(norm) >= min_len)
             .distinct()
             .groupBy("line_hash")
@@ -297,7 +308,7 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
     (aggregated, then broadcast-joined against the exploded lines —
     boilerplate tables are tiny relative to the corpus) and the
     filtered reassembly via posexplode + sort by position."""
-    freq = line_frequencies(docs, text_col, min_len)
+    freq = line_frequencies(docs, text_col, min_len, id_col)
     boiler = freq.where(F.col("n_docs") > max_docs).select("line_hash")
     lines = docs.select(
         F.col(id_col),

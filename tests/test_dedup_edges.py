@@ -141,3 +141,27 @@ def test_simhash_neardup_exact_vs_bruteforce(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="divide"):
         simhash_neardup_pairs(sims, max_hamming=4, bits=32)
+
+
+def test_minhash_eager_and_lazy_cut_agree(spark):
+    from jsonld_spark.operators.dedup import minhash_candidate_pairs
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over the lazy dog")
+         for i in range(30)], "doc_id long, text string")
+    eager = {(r.id_a, r.id_b) for r in
+             minhash_candidate_pairs(docs, shingle_len=5, num_hashes=16,
+                                     bands=4).collect()}
+    lazy_df = minhash_candidate_pairs(docs, shingle_len=5, num_hashes=16,
+                                      bands=4, eager_cut=False)
+    lazy = {(r.id_a, r.id_b) for r in lazy_df.collect()}
+    lazy_df._minhash_sigs.unpersist()
+    assert eager == lazy and len(eager) > 0
+
+
+def test_simhash_rejects_oversized_bits(spark):
+    import pytest as _pytest
+
+    from jsonld_spark.operators.dedup import simhash
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="64-bit"):
+        simhash(docs, bits=70).collect()

@@ -66,3 +66,14 @@ def test_curate_corpus_funnel_properties(spark):
         assert kept_fp.count() == kept_fp.select("fp").distinct().count()
     finally:
         out.unpersist()
+
+
+def test_lang_id_null_text_is_und(spark):
+    """NULL text → lang_pred 'und' with NULL scores, matching the SQL
+    oracle's NULL-probe semantics on both sides."""
+    from jsonld_spark.operators.textstats import lang_id
+    docs = spark.createDataFrame([(1, None), (2, "the cat and the dog")],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in lang_id(docs).collect()}
+    assert got[1].lang_pred == "und" and got[1].score_en is None
+    assert got[2].lang_pred == "en" and got[2].score_en > 0

@@ -103,3 +103,23 @@ def test_chunked_equals_single_pass_hot_user(spark):
          for r in session_stats(ev, gap_s=1800, chunked=True,
                                 chunk_s=3600).collect()}
     assert a == b
+
+
+def test_chunked_equals_single_pass_null_timestamps(spark):
+    """NULL timestamps: each null row is its own session (lag is null
+    every time) and real events start fresh after them — chunked mode
+    must number identically via its dedicated null chunk."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.sessions import sessionize_chunked
+    df = spark.createDataFrame(
+        [(0, 1, None, 1.0), (1, 1, None, 1.0), (2, 1, 100, 1.0),
+         (3, 1, 150, 1.0), (4, 1, 5000, 1.0), (5, 2, 10, 1.0)],
+        "event_id long, user_id long, ts_s long, value double")
+    ev = df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    want = {r.event_id: r.session_idx
+            for r in sessionize(ev, gap_s=1800).collect()}
+    got = {r.event_id: r.session_idx
+           for r in sessionize_chunked(ev, gap_s=1800, chunk_s=1000)
+           .collect()}
+    assert got == want

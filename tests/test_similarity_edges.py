@@ -97,3 +97,20 @@ def test_train_ivf_centroids_matches_numpy_kmeans(spark):
         by_cluster.setdefault(r.vec_id // 30, set()).add(r.list_id)
     assert all(len(v) == 1 for v in by_cluster.values())
     assert len(set().union(*by_cluster.values())) == 3
+
+
+def test_lsh_geometry_math():
+    from jsonld_spark.operators.similarity import lsh_geometry
+    import math
+    import pytest as _pytest
+    p, b = lsh_geometry(0.4, target_recall=0.55)
+    prob = 1 - math.acos(0.4) / math.pi
+    assert 1 - (1 - prob ** p) ** b >= 0.55      # meets target
+    assert b * 0.5 ** p <= 0.25                  # within budget
+    assert b <= 16                               # band-row bound
+    p2, b2 = lsh_geometry(0.95)
+    prob2 = 1 - math.acos(0.95) / math.pi
+    assert 1 - (1 - prob2 ** p2) ** b2 >= 0.9
+    assert b2 * 0.5 ** p2 < 0.01                 # selective regime
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_geometry(1.5)
