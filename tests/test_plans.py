@@ -158,3 +158,59 @@ def test_top_hubs_takes_ordered_topk(spark):
     q = E.queries()["top_hubs"](spark, SF_ORACLE)
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunked_sessionize_has_no_whole_user_event_window(spark):
+    """The chunked mode's event-level windows must partition by
+    (user, chunk) — a window over just the user would reintroduce the
+    whole-history-per-user task bound the mode exists to remove. Only
+    the chunk-summary pass (one row per chunk) may partition by user
+    alone."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.sessions import sessionize_chunked
+    ev = spark.range(10).select(
+        F.col("id").alias("event_id"), F.lit(1).alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+        F.lit(1.0).alias("value"))
+    plan = sessionize_chunked(ev)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    import re
+    # every Window over lag/row-frame sums on _t must carry _chunk in
+    # its partition spec
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "_t#" in spec or "_new#" in spec:
+            assert "_chunk#" in spec, f"event window missing _chunk: {spec}"
+
+
+def test_token_count_vocab_prunes_scan_and_uses_arrow(spark):
+    """The BPE-count scan must read only (doc_id, text), and the kernel
+    must be Arrow-batched (ArrowEvalPython), never row-at-a-time
+    (BatchEvalPython)."""
+    q = E.queries()["token_count_vocab"](spark, SF_ORACLE)
+    plan = _plan(q)
+    import re
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert any("doc_id" in s and "text" in s and "lang" not in s
+               for s in schemas), schemas
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_index_build_writes_tinyint_vectors(spark, tmp_path):
+    """The landed IVF index must store int8 (tinyint) vectors — the
+    whole point of the compact representation."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.similarity import build_ivf_index
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float") + 0.1
+                  for i in range(4)]).alias("embedding"))
+    out = str(tmp_path / "idx")
+    build_ivf_index(emb, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+                    out)
+    idx = spark.read.parquet(out)
+    assert dict(idx.dtypes)["qvec"] == "array<tinyint>"
+    assert dict(idx.dtypes)["scale"] == "float"
