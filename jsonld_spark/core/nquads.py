@@ -8,6 +8,7 @@ regex (:260-372).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from .context import RDF_LANGSTRING, XSD_STRING
 from .rdf import Quad
@@ -20,7 +21,23 @@ _SPECIAL = {"\b": "\\b", "\n": "\\n", "\t": "\\t", "\f": "\\f",
             "\r": "\\r", '"': '\\"', "\\": "\\\\"}
 
 
+# fast path: strings of plain ASCII (the overwhelming majority of IRIs,
+# predicates, and synthetic literals) escape to themselves — one regex
+# probe instead of a per-character Python loop. The memo caps at 64k
+# entries because predicates/datatypes/common values repeat heavily
+# inside a canonicalization kernel partition (measured 4-5 escape calls
+# per quad).
+_PLAIN_RE = re.compile(r'[ -!#-\[\]-~]*\Z')  # printable ASCII minus " and \
+
+
 def escape(s: str) -> str:
+    if _PLAIN_RE.match(s):
+        return s
+    return _escape_slow(s)
+
+
+@lru_cache(maxsize=65536)
+def _escape_slow(s: str) -> str:
     out = []
     for ch in s:
         cp = ord(ch)
