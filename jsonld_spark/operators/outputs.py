@@ -151,9 +151,14 @@ def jsonld_transform_docs(rows: DataFrame, op: str,
 
 
 def _rows_to_quads(g) -> list[Quad]:
-    return [Quad(r.graph if r.graph != "@default" else "@default",
-                 r.subj, r.pred, r.obj_kind, r.obj_value,
-                 r.obj_datatype, r.obj_lang) for r in g.itertuples()]
+    # column .tolist() + zip, not itertuples: per-row pandas indexing is
+    # ~10x the cost of list iteration in these kernels (see the same
+    # rewrite in operators/canonicalize.py)
+    cols = [g[c].tolist() for c in ("graph", "subj", "pred", "obj_kind",
+                                    "obj_value", "obj_datatype",
+                                    "obj_lang")]
+    return [Quad(gr if gr != "@default" else "@default", *rest)
+            for gr, *rest in zip(*cols)]
 
 
 def jsonld_from_triples(triples: DataFrame, group_col: str = "doc_id",
