@@ -14,6 +14,7 @@ cache driver-side).
 
 from __future__ import annotations
 
+import json as _json
 from typing import Any, Callable
 
 from .errors import JsonLdError
@@ -141,6 +142,40 @@ class Context:
     # ------------------------------------------------------------------
     def parse(self, local_context: Any, remote_contexts: list[str] | None = None,
               parsing_a_remote_context: bool = False) -> "Context":
+        """Context Processing with a pristine-state memo: when parsing
+        starts from an empty context (the per-document case — millions
+        of documents share a handful of inline contexts), the parsed
+        result is cached on the options object keyed by (base, canonical
+        context JSON). The result is read-only by contract (every caller
+        clones before extending; the algorithm never mutates an active
+        context in place), so sharing one instance across documents is
+        safe — and its lazily-built inverse map gets built once instead
+        of per document. Errors are never cached (failed parses re-run)."""
+        if (remote_contexts is None and not parsing_a_remote_context
+                and not self.term_definitions and self.vocab is None
+                and self.language is None):
+            memo = getattr(self.options, "_ctx_parse_memo", None)
+            if memo is None:
+                memo = {}
+                self.options._ctx_parse_memo = memo
+            try:
+                key = (self.base,
+                       _json.dumps(local_context, sort_keys=True))
+            except (TypeError, ValueError):
+                key = None
+            if key is not None:
+                hit = memo.get(key)
+                if hit is None:
+                    hit = self._parse_impl(local_context, [], False)
+                    if len(memo) < 4096:
+                        memo[key] = hit
+                return hit
+        return self._parse_impl(local_context, remote_contexts,
+                                parsing_a_remote_context)
+
+    def _parse_impl(self, local_context: Any,
+                    remote_contexts: list[str] | None = None,
+                    parsing_a_remote_context: bool = False) -> "Context":
         if remote_contexts is None:
             remote_contexts = []
         result = self.clone()
