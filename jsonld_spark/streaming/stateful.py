@@ -72,3 +72,79 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_idx", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start", T.DoubleType()),
+    T.StructField("last", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+    T.StructField("idx", T.LongType()),
+])
+
+
+def stream_sessionize(events: DataFrame, gap_s: int = 1800,
+                      ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    — the per-user open session lives in explicit GroupState across
+    micro-batches; a CLOSED session row (same shape as the batch
+    ``session_stats`` rollup) is emitted the moment a later event
+    exceeds ``gap_s``.
+
+    Contract: micro-batches must arrive per-user time-ordered (true for
+    time-partitioned file feeds and for any source after a watermark
+    sort) — an event older than the open session's last timestamp would
+    belong to an already-emitted session, which no online sessionizer
+    can retract. Each user's final session stays open (in state) until
+    more events arrive — the streaming-correct behavior; an
+    event-time-timeout flush is one ``GroupStateTimeout`` away if the
+    feed should force-close idle sessions."""
+    gap = float(gap_s)
+
+    def update(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        if state.exists:
+            start, last, n, total, idx = state.get
+        else:
+            start, last, n, total, idx = None, None, 0, 0.0, 0
+        closed = []
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if batches:
+            df = pd.concat(batches).sort_values(["_t", "event_id"])
+            for t, v in zip(df["_t"].tolist(), df["value"].tolist()):
+                t, v = float(t), float(v)
+                if last is None:
+                    start, last, n, total = t, t, 1, v
+                elif t - last > gap:
+                    closed.append((user_id, idx, n,
+                                   round(last - start, 6),
+                                   round(total, 2)))
+                    idx += 1
+                    start, last, n, total = t, t, 1, v
+                else:
+                    last, n, total = t, n + 1, total + v
+        state.update((start, last, n, total, idx))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_idx", "n_events", "duration_s",
+                "total_value"])
+
+    prepared = events.select(
+        "user_id", "event_id", "value",
+        F.col(ts_col).cast("timestamp").cast("double").alias("_t"))
+    return (prepared.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

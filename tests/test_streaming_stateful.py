@@ -63,3 +63,42 @@ def test_stream_user_totals_matches_batch(spark, tmp_path):
     w = {r.user_id: (r.n_events, round(r.total_value, 6))
          for r in want.collect()}
     assert g == w
+
+
+def test_stream_sessionize_closed_sessions_equal_batch(spark, tmp_path):
+    """Streaming sessionization over a two-file time-partitioned feed:
+    the closed-session rows must equal the batch session_stats rollup
+    minus each user's final (still-open) session — including sessions
+    that straddle the micro-batch boundary."""
+    from jsonld_spark.operators.sessions import session_stats
+    from jsonld_spark.streaming.stateful import stream_sessionize
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    split_ts = events.select(
+        F.percentile(tsd, F.lit(0.5)).alias("p")).first()["p"]
+    inp = str(tmp_path / "ev")
+    # time-partitioned files: batch 1 = early half, batch 2 = late half
+    events.where(tsd < split_ts).write.mode("append").parquet(f"{inp}/f1")
+    events.where(tsd >= split_ts).write.mode("append") \
+        .parquet(f"{inp}/f2")
+    schema = events.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inp}/*"))
+    out = str(tmp_path / "out")
+    _run_stream(stream_sessionize(stream, gap_s=1800), out,
+                str(tmp_path / "ck"))
+
+    got = {(r.user_id, r.session_idx): (r.n_events, r.duration_s,
+                                        r.total_value)
+           for r in spark.read.parquet(out).collect()}
+    batch = session_stats(events, gap_s=1800).collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r.user_id] = max(last_idx.get(r.user_id, -1),
+                                  r.session_idx)
+    want = {(r.user_id, r.session_idx): (r.n_events, r.duration_s,
+                                         r.total_value)
+            for r in batch if r.session_idx < last_idx[r.user_id]}
+    assert got == want and len(want) > 0
