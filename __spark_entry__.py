@@ -354,6 +354,26 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_simhash_neardup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE contract for simhash near-dup: equal hashes collapse to
+    (rep, size) groups first, the exact Hamming band join runs over
+    DISTINCT hash values only, and the output is rep-level pairs +
+    group sizes — linear in distinct hashes where the id-level pair
+    contract (``simhash_neardup``) is quadratic in dup-group size."""
+    from jsonld_spark.operators.dedup import simhash32, simhash_neardup_groups
+    sims = simhash32(_read(spark, sf_dir, "documents"))
+    _groups, rep_pairs = simhash_neardup_groups(sims, max_hamming=3,
+                                                bits=32)
+    return rep_pairs.select(
+        F.col("hash_a").cast("long").alias("hash_a"),
+        F.col("hash_b").cast("long").alias("hash_b"),
+        F.col("rep_a").cast("long").alias("rep_a"),
+        F.col("rep_b").cast("long").alias("rep_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_minhash_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash over WORD 3-grams (same gram universe as ngram_jaccard)
     — the corpus×corpus scale path for n-gram similarity."""
@@ -406,7 +426,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not vector payload.
 from jsonld_spark.operators.similarity import lsh_geometry as _lshg
 
-_EMB_PLANES_PER_BAND, _EMB_BANDS = _lshg(0.4, target_recall=0.55)
+_EMB_GEOM = _lshg(0.4, target_recall=0.55)  # 6×13, achieved_recall≈0.57
+_EMB_PLANES_PER_BAND, _EMB_BANDS = _EMB_GEOM.planes_per_band, _EMB_GEOM.bands
 _EMB_PLANES_N = _EMB_PLANES_PER_BAND * _EMB_BANDS
 
 
@@ -436,6 +457,76 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").cast("long").alias("vec_id"),
                 F.col("rep").cast("long").alias("rep"),
                 F.col("cluster_n").cast("long").alias("cluster_n"))
+
+
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-landed-corpus embedding near-dup: vectors with
+    vec_id % 4 == 0 play the incoming batch; the rest are the corpus
+    whose int8 IVF index is already landed (built here from the same
+    codebook). Candidates = shared inverted list (partition-pruned
+    probe), int8 prefilter with the provably-safe margin, exact verify
+    at the threshold — the corpus is never re-scanned per batch. Mirror
+    of ``minhash_incremental`` for the embedding path."""
+    import tempfile
+
+    from jsonld_spark.operators.similarity import (
+        build_ivf_index, embedding_neardup_incremental)
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    idx_dir = tempfile.mkdtemp(prefix="jsonld_ivf_incr_") + "/index"
+    cents = _ivf_centroids()
+    build_ivf_index(corpus, cents, idx_dir)
+    return embedding_neardup_incremental(
+        spark, idx_dir, corpus, new, cents, threshold=0.4, nprobe=2) \
+        .select(F.col("new_id").cast("long").alias("new_id"),
+                F.col("corpus_id").cast("long").alias("corpus_id"),
+                F.col("sim").cast("double").alias("sim"))
+
+
+# Production-regime LSH geometry: threshold 0.9 → 12 planes × 14 bands,
+# predicted recall 0.906 AT the 0.9 boundary (planted pairs sit at
+# ~0.98 where recall is ~1.0) with expected random-pair candidate
+# fraction 0.0034 — the selective regime real near-dup pipelines run,
+# vs the near-brute-force 0.4 regime the planted-similarity corpus
+# forces on `embedding_neardup`.
+_HI_DIM = 64
+_HI_PLANT_OFFSET = 1_000_000
+
+
+def _hi_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ planted high-sim copies: every 20th vector gets a
+    deterministic perturbed twin (v[i] + 0.2·v[(i+1) mod d], id offset
+    +1e6) at cosine ≈0.98 to its source — the ≥0.9 pairs the base
+    corpus lacks. The identical arithmetic is mirrored in the oracle
+    SQL (double-precision elementwise, engine-independent)."""
+    v = F.col("embedding").cast("array<double>")
+    perturbed = F.transform(
+        v, lambda x, i: x + F.lit(0.2)
+        * F.element_at(v, (i + 1) % F.lit(_HI_DIM) + 1))
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(_HI_PLANT_OFFSET)).alias("vec_id"),
+        perturbed.alias("embedding"))
+    return emb.select("vec_id", v.alias("embedding")).unionByName(planted)
+
+
+def q_embedding_neardup_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup in the PRODUCTION regime (threshold 0.9):
+    selective banded LSH from ``lsh_geometry(0.9)`` over the corpus
+    plus planted ~0.98-cosine twins. Candidate volume is ~0.3% of pair
+    space (vs ~20% in the 0.4 regime) — the end-to-end check that the
+    selective geometry actually finds the high-sim pairs."""
+    from jsonld_spark.operators.similarity import (embedding_neardup,
+                                                   lsh_geometry)
+    g = lsh_geometry(0.9)
+    corpus = _hi_corpus(_read(spark, sf_dir, "embeddings"))
+    return embedding_neardup(
+        corpus, threshold=0.9,
+        planes=_lsh_planes(g.planes_per_band * g.bands, _HI_DIM),
+        bands=g.bands) \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                F.col("sim").cast("double").alias("sim"))
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,6 +589,48 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_events").cast("long").alias("n_events"),
                 F.col("duration_s").cast("double").alias("duration_s"),
                 F.col("total_value").cast("double").alias("total_value"))
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-state streaming (``applyInPandasWithState``): gap-based
+    sessionization over a time-partitioned two-file feed (early half /
+    late half, one file per micro-batch so sessions straddle the batch
+    boundary). The emitted CLOSED sessions must equal the batch
+    ``session_stats`` rollup minus each user's final (still-open)
+    session — which is exactly what the oracle computes in SQL."""
+    import os
+    import tempfile
+
+    from jsonld_spark.streaming.stateful import stream_sessionize
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    split_ts = events.select(
+        F.percentile(tsd, F.lit(0.5)).alias("p")).first()["p"]
+    tmp = tempfile.mkdtemp(prefix="jsonld_stream_sess_")
+    inp = os.path.join(tmp, "in")
+    # coalesce(1): exactly one file per time half, so micro-batches
+    # arrive per-user time-ordered (the operator's documented contract)
+    events.where(tsd < split_ts).coalesce(1) \
+        .write.mode("append").parquet(f"{inp}/f1")
+    events.where(tsd >= split_ts).coalesce(1) \
+        .write.mode("append").parquet(f"{inp}/f2")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inp}/*"))
+    out = os.path.join(tmp, "out")
+    q = (stream_sessionize(stream, gap_s=1800).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("availableNow sessionize stream did not "
+                           "finish within 600s; sink left incomplete")
+    return spark.read.parquet(out).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("duration_s").cast("double").alias("duration_s"),
+        F.col("total_value").cast("double").alias("total_value"))
 
 
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_neardup_reps": q_simhash_neardup_reps,
         "minhash_word_pairs": q_minhash_word_pairs,
         "graph_degrees": q_graph_degrees,
         "predicate_histogram": q_predicate_histogram,
@@ -819,7 +953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_hi": q_embedding_neardup_hi,
+        "embedding_incremental": q_embedding_incremental,
         "embedding_clusters": q_embedding_clusters,
+        "streaming_sessions": q_streaming_sessions,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1091,6 +1228,33 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
+_SIMHASH_REPS_ORACLE = """
+WITH s AS ({sim}),
+g AS (SELECT simhash, min(doc_id) AS rep, count(*) AS group_n
+      FROM s GROUP BY simhash),
+banded AS (
+  SELECT simhash, 0 AS band, (simhash >> 0) & 255 AS val FROM g
+  UNION ALL
+  SELECT simhash, 1, (simhash >> 8) & 255 FROM g
+  UNION ALL
+  SELECT simhash, 2, (simhash >> 16) & 255 FROM g
+  UNION ALL
+  SELECT simhash, 3, (simhash >> 24) & 255 FROM g),
+cand AS (
+  SELECT DISTINCT a.simhash AS hash_a, b.simhash AS hash_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.simhash < b.simhash),
+hp AS (
+  SELECT hash_a, hash_b,
+         CAST(bit_count(xor(hash_a, hash_b)) AS BIGINT) AS hamming
+  FROM cand WHERE bit_count(xor(hash_a, hash_b)) <= 3)
+SELECT hp.hash_a, hp.hash_b, ga.rep AS rep_a, gb.rep AS rep_b,
+       ga.group_n AS n_a, gb.group_n AS n_b, hp.hamming
+FROM hp JOIN g ga ON ga.simhash = hp.hash_a
+        JOIN g gb ON gb.simhash = hp.hash_b
+"""
+
+
 def _sample_bucket_sql(key: str = "CAST(doc_id AS VARCHAR)",
                        salt: str = "s0") -> str:
     """Mirror of sampling._bucket (md5 path): h32(key||'|salt') % M."""
@@ -1325,6 +1489,87 @@ reach(node, r) AS (
 comp AS (SELECT node AS vec_id, min(r) AS rep FROM reach GROUP BY node),
 sizes AS (SELECT rep, count(*) AS cluster_n FROM comp GROUP BY rep)
 SELECT c.vec_id, c.rep, s.cluster_n FROM comp c JOIN sizes s USING (rep)
+"""
+
+
+_IVF_ASSIGN_SQL = """
+    SELECT vec_id, v, list_id FROM (
+      SELECT e.vec_id, e.v, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, c.c) DESC,
+                        c.list_id DESC) AS rn
+      FROM {src} e CROSS JOIN cents c) WHERE rn <= {n}"""
+
+
+def _embedding_incr_oracle(threshold: float = 0.4, nprobe: int = 2) -> str:
+    """IVF-list candidate generation + exact verify for the incremental
+    path: a (new, corpus) pair is a candidate iff the corpus vector's
+    single list is among the new vector's ``nprobe`` probed lists —
+    identical to the landed-index probe (the int8 prefilter is a proven
+    superset, so it is invisible to the result set)."""
+    cents = _ivf_centroids()
+    values = ", ".join(
+        f"({i}, [{','.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT * FROM (VALUES {values}) t(list_id, c)),
+corp AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+newb AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+ca AS ({_IVF_ASSIGN_SQL.format(src='corp', n=1)}),
+na AS ({_IVF_ASSIGN_SQL.format(src='newb', n=nprobe)}),
+cand AS (
+  SELECT DISTINCT na.vec_id AS new_id, ca.vec_id AS corpus_id
+  FROM ca JOIN na USING (list_id) WHERE ca.vec_id <> na.vec_id)
+SELECT c.new_id, c.corpus_id,
+       round(list_cosine_similarity(ec.v, en.v), 4) AS sim
+FROM cand c JOIN e ec ON ec.vec_id = c.corpus_id
+            JOIN e en ON en.vec_id = c.new_id
+WHERE round(list_cosine_similarity(ec.v, en.v), 4) >= {threshold}
+"""
+
+
+def _neardup_hi_oracle(threshold: float = 0.9) -> str:
+    """Production-regime banded LSH over embeddings ∪ planted perturbed
+    twins — same plane literals and band split as the Spark query."""
+    g = _lshg(threshold)
+    per, bands = g.planes_per_band, g.bands
+    planes = _lsh_planes(per * bands, _HI_DIM)
+    band_selects = []
+    for b in range(bands):
+        lits = ["[" + ",".join(repr(x) for x in p) + "]"
+                for p in planes[b * per:(b + 1) * per]]
+        bucket = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)" for i, lit in enumerate(lits))
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM e")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_HI_PLANT_OFFSET} AS vec_id,
+         list_transform(v, (x, i) -> x + 0.2 * v[(i % {_HI_DIM}) + 1]) AS v
+  FROM base WHERE vec_id % 20 = 0),
+banded AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {threshold}
+"""
+
+
+_STREAM_SESSIONS_ORACLE = """
+WITH sess AS ({sess}),
+m AS (SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS mx
+      FROM sess)
+SELECT user_id, session_idx, n_events, duration_s, total_value
+FROM m WHERE session_idx < mx
 """
 
 
@@ -1656,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "simhash_neardup":
             _SIMHASH_NEARDUP_ORACLE.format(sim=_SIMHASH_ORACLE),
+        "simhash_neardup_reps":
+            _SIMHASH_REPS_ORACLE.format(sim=_SIMHASH_ORACLE),
         "minhash_word_pairs": _MINHASH_WORD_ORACLE,
         "graph_degrees":
             _GRAPH_DEGREES_ORACLE.format(triples=_DOC_TRIPLES_ORACLE),
@@ -1668,7 +1915,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_neardup": _neardup_oracle(),
+        "embedding_neardup_hi": _neardup_hi_oracle(),
+        "embedding_incremental": _embedding_incr_oracle(),
         "embedding_clusters": _embedding_clusters_oracle(),
+        "streaming_sessions": _STREAM_SESSIONS_ORACLE.format(
+            sess=_EVENT_SESSIONS_ORACLE),
         "doc_stats": """
             SELECT doc_id, length(text) AS n_chars_actual,
                    len(string_split(text, ' ')) AS n_tokens,

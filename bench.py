@@ -68,6 +68,11 @@ EXTENDED = [
     "strip_boilerplate",
     "media_resize",
     "media_frames",
+    # round-4 operators
+    "simhash_neardup_reps",
+    "embedding_neardup_hi",
+    "embedding_incremental",
+    "streaming_sessions",
 ]
 
 

@@ -128,13 +128,20 @@ class Context:
         self.term_definitions: dict[str, dict | None] = {}
         self._inverse: dict | None = None
 
-    def clone(self) -> "Context":
+    def clone(self, share_inverse: bool = False) -> "Context":
         c = Context(self.options)
         c.base = self.base
         c.vocab = self.vocab
         c.language = self.language
         c.term_definitions = {k: (dict(v) if v is not None else None)
                               for k, v in self.term_definitions.items()}
+        if share_inverse:
+            # the inverse map is read-only once built (get_inverse builds
+            # then only reads), so memo clones can share it instead of
+            # each document rebuilding it; safe because every mutation
+            # path (a further parse) goes through _parse_impl's plain
+            # clone(), which drops the shared reference
+            c._inverse = self._inverse
         return c
 
     # ------------------------------------------------------------------
@@ -146,11 +153,14 @@ class Context:
         starts from an empty context (the per-document case — millions
         of documents share a handful of inline contexts), the parsed
         result is cached on the options object keyed by (base, canonical
-        context JSON). The result is read-only by contract (every caller
-        clones before extending; the algorithm never mutates an active
-        context in place), so sharing one instance across documents is
-        safe — and its lazily-built inverse map gets built once instead
-        of per document. Errors are never cached (failed parses re-run)."""
+        context JSON). Each hit returns a CLONE of the memoized context
+        (cheap: a handful of small dict copies) rather than the shared
+        instance, so a future call site that mutates its returned
+        context can only corrupt its own document, never every later
+        document hitting the memo entry. The clone shares the memo
+        entry's lazily-built inverse map (read-only once built), so the
+        per-document inverse rebuild the memo was added to avoid stays
+        avoided. Errors are never cached (failed parses re-run)."""
         if (remote_contexts is None and not parsing_a_remote_context
                 and not self.term_definitions and self.vocab is None
                 and self.language is None):
@@ -167,9 +177,13 @@ class Context:
                 hit = memo.get(key)
                 if hit is None:
                     hit = self._parse_impl(local_context, [], False)
+                    # build the inverse once on the memo entry (a small
+                    # pure dict walk) so every clone shares a BUILT map
+                    # instead of each first compaction rebuilding it
+                    hit.get_inverse()
                     if len(memo) < 4096:
                         memo[key] = hit
-                return hit
+                return hit.clone(share_inverse=True)
         return self._parse_impl(local_context, remote_contexts,
                                 parsing_a_remote_context)
 

@@ -33,10 +33,20 @@ _PLAIN_RE = re.compile(r'[ -!#-\[\]-~]*\Z')  # printable ASCII minus " and \
 def escape(s: str) -> str:
     if _PLAIN_RE.match(s):
         return s
+    # only short strings consult the memo: it targets the repeating
+    # predicates/datatypes/short values, and an unbounded-entry-size
+    # cache over distinct large non-ASCII literals could pin hundreds
+    # of MB in a long-lived executor Python process
+    if len(s) <= 256:
+        return _escape_cached(s)
     return _escape_slow(s)
 
 
 @lru_cache(maxsize=65536)
+def _escape_cached(s: str) -> str:
+    return _escape_slow(s)
+
+
 def _escape_slow(s: str) -> str:
     out = []
     for ch in s:

@@ -123,7 +123,8 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             num_hashes: int = 16, bands: int = 4,
                             hash_fn: str = "xxhash64",
                             shingle: str = "char",
-                            eager_cut: bool = True) -> DataFrame:
+                            eager_cut: bool = True
+                            ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """LSH banding: equal band-hash ⇒ candidate pair (id_a < id_b).
     Shuffle is O(n·bands) bucket rows — never the cross product.
 
@@ -135,12 +136,15 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     default) the candidate pairs are eagerly materialized (lineage cut)
     so the cache can be RELEASED before returning — a persist left
     behind held executor storage for the session lifetime (the round-1
-    leak). ``eager_cut=False`` returns the lazy plan with the persist
-    still live — for callers that consume the pairs exactly once and
-    manage the cache lifetime themselves (call ``.unpersist()`` on the
-    returned frame's ``_minhash_sigs`` attribute), and for benchmarking
-    the cut's cost (BENCH/SF1.md quantifies it). At warehouse scale the
-    signatures are a landed table and neither mode's tradeoff exists."""
+    leak). ``eager_cut=False`` returns an explicit ``(pairs, sigs)``
+    TUPLE with the persist still live — for callers that consume the
+    pairs exactly once and manage the cache lifetime themselves (call
+    ``sigs.unpersist()`` when done; a tuple, not an attribute on the
+    DataFrame, because any transformation would return a new frame
+    without the attribute and silently lose the only unpersist handle),
+    and for benchmarking the cut's cost (BENCH/SF1.md quantifies it).
+    At warehouse scale the signatures are a landed table and neither
+    mode's tradeoff exists."""
     sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
                               num_hashes, hash_fn, shingle).persist()
     try:
@@ -157,8 +161,7 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
         sigs.unpersist()  # never leak the cache on a failed build
         raise
     if not eager_cut:
-        pairs._minhash_sigs = sigs
-        return pairs
+        return pairs, sigs
     try:
         return cut_lineage(pairs)
     finally:
@@ -299,43 +302,134 @@ def simhash32(docs: DataFrame, text_col: str = "text",
                        _simhash_from_hashes(hashes, 32).alias("simhash"))
 
 
-def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3,
-                          bits: int = 32, id_col: str = "doc_id",
-                          sim_col: str = "simhash") -> DataFrame:
-    """EXACT Hamming-threshold self-join over simhash values: every pair
-    with ``hamming(a, b) <= max_hamming`` — by bit-sampling, not a cross
-    product. Split the ``bits``-bit hash into ``max_hamming + 1`` bands;
-    by pigeonhole, any pair within the threshold agrees on at least one
-    whole band, so a per-band equi-join generates a candidate superset
-    and ``bit_count(a XOR b)`` verifies exactly. Shuffle is
-    O(n·(max_hamming+1)) band rows; recall is 1.0 by construction
-    (unlike probabilistic LSH banding).
+def simhash_groups(sims: DataFrame, id_col: str = "doc_id",
+                   sim_col: str = "simhash") -> DataFrame:
+    """One row per DISTINCT simhash value: (simhash, rep = min id,
+    group_n = member count). Groups ARE the Hamming-0 near-dup classes
+    — exact replicas share a hash by construction — and collapsing to
+    them BEFORE any pair generation is what keeps simhash near-dup
+    linear in distinct hashes: a real crawl has million-copy
+    boilerplate groups, and anything pair-shaped inside a group is
+    O(g²)."""
+    return (sims.groupBy(sim_col)
+            .agg(F.min(id_col).alias("rep"),
+                 F.count(F.lit(1)).cast("long").alias("group_n")))
 
-    ``sims``: (id, simhash) from ``simhash32``/``simhash``; ``bits``
-    must be divisible by ``max_hamming + 1``."""
+
+def _check_simhash_bands(max_hamming: int, bits: int) -> int:
     bands = max_hamming + 1
     if bits % bands != 0:
         raise ValueError(
             f"bits={bits} must divide into {bands} bands "
             f"(max_hamming={max_hamming}); pad max_hamming or bits")
+    return bands
+
+
+def simhash_hash_pairs(hashes: DataFrame, max_hamming: int = 3,
+                       bits: int = 32,
+                       sim_col: str = "simhash") -> DataFrame:
+    """EXACT Hamming-threshold pairs over DISTINCT simhash VALUES
+    (hash_a < hash_b, 1 <= hamming <= max_hamming) — by bit-sampling,
+    not a cross product. Split the ``bits``-bit hash into
+    ``max_hamming + 1`` bands; by pigeonhole, any pair within the
+    threshold agrees on at least one whole band, so a per-band
+    equi-join generates a candidate superset and ``bit_count(a XOR b)``
+    verifies exactly. Shuffle is O(distinct_hashes·(max_hamming+1))
+    band rows; recall is 1.0 by construction (unlike probabilistic LSH
+    banding).
+
+    ``hashes`` must be distinct on ``sim_col`` (use ``simhash_groups``)
+    — that precondition is the scale contract: banding the raw
+    per-document table instead replicates every duplicate group into
+    every band and the join output goes quadratic in group size."""
+    bands = _check_simhash_bands(max_hamming, bits)
     width = bits // bands
     mask = (1 << width) - 1
     vals = [F.shiftright(F.col(sim_col), b * width)
             .bitwiseAND(F.lit(mask).cast("long")) for b in range(bands)]
-    banded = sims.select(
-        id_col, sim_col,
-        F.posexplode(F.array(*vals)).alias("band", "val"))
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col(sim_col).alias("_sa"), "band", "val")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col(sim_col).alias("_sb"), "band", "val")
+    banded = hashes.select(
+        sim_col, F.posexplode(F.array(*vals)).alias("band", "val"))
+    a = banded.select(F.col(sim_col).alias("hash_a"), "band", "val")
+    b = banded.select(F.col(sim_col).alias("hash_b"), "band", "val")
     cand = (a.join(b, ["band", "val"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return (cand.select("id_a", "id_b",
+            .where(F.col("hash_a") < F.col("hash_b"))
+            .dropDuplicates(["hash_a", "hash_b"]))
+    hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+    return (cand.select("hash_a", "hash_b",
                         hamming.cast("long").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def simhash_neardup_groups(sims: DataFrame, max_hamming: int = 3,
+                           bits: int = 32, id_col: str = "doc_id",
+                           sim_col: str = "simhash"
+                           ) -> tuple[DataFrame, DataFrame]:
+    """The 100 TB simhash near-dup contract: ``(groups, rep_pairs)``.
+
+    * ``groups``: (simhash, rep, group_n) — the Hamming-0 equivalence
+      classes; in-group pairs are implied (every member pair is
+      Hamming 0) and never materialized.
+    * ``rep_pairs``: (hash_a, hash_b, rep_a, rep_b, n_a, n_b, hamming)
+      — one row per DISTINCT-hash pair within the threshold, carrying
+      both groups' representatives and sizes. Cross-group id-level
+      pairs are recoverable by joining membership on either hash, and
+      downstream clustering needs only these rep-level edges plus the
+      groups.
+
+    Everything is linear in DISTINCT hashes (band join included) — the
+    id-level pair expansion (``simhash_neardup_pairs``) is the only
+    quadratic object, and it is opt-in output, not plan."""
+    groups = simhash_groups(sims, id_col, sim_col)
+    hp = simhash_hash_pairs(groups.select(sim_col), max_hamming, bits,
+                            sim_col)
+    ga = groups.select(F.col(sim_col).alias("hash_a"),
+                       F.col("rep").alias("rep_a"),
+                       F.col("group_n").alias("n_a"))
+    gb = groups.select(F.col(sim_col).alias("hash_b"),
+                       F.col("rep").alias("rep_b"),
+                       F.col("group_n").alias("n_b"))
+    rep_pairs = (hp.join(ga, "hash_a").join(gb, "hash_b")
+                 .select("hash_a", "hash_b", "rep_a", "rep_b",
+                         "n_a", "n_b", "hamming"))
+    return groups, rep_pairs
+
+
+def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3,
+                          bits: int = 32, id_col: str = "doc_id",
+                          sim_col: str = "simhash") -> DataFrame:
+    """ALL id-level pairs with ``hamming(a, b) <= max_hamming``
+    (id_a < id_b) — the small-scale compatibility contract. The output
+    SET is inherently quadratic in exact-duplicate group size (every
+    in-group pair is a true Hamming-0 result), so at crawl scale use
+    ``simhash_neardup_groups`` and keep pairs implicit.
+
+    The PLAN is collapse-first even here: equal simhashes collapse to
+    one row before the band join (``simhash_hash_pairs`` over distinct
+    values), then the id-level output is reconstructed as
+    (in-group expansion) ∪ (hash-pair membership expansion) — two
+    straight equi-joins whose output is exactly the result set, with no
+    per-band duplication of duplicate groups and no dropDuplicates over
+    a group-size-squared candidate blowup (round-3 measured 47× wall at
+    10× data from that; post-collapse the sf1 ratio is ~output-bound)."""
+    member = sims.select(id_col, sim_col)
+    hashes = member.select(sim_col).distinct()
+    hp = simhash_hash_pairs(hashes, max_hamming, bits, sim_col)
+    in_group = (member.alias("x")
+                .join(member.alias("y"), [
+                    F.col(f"x.{sim_col}") == F.col(f"y.{sim_col}"),
+                    F.col(f"x.{id_col}") < F.col(f"y.{id_col}")])
+                .select(F.col(f"x.{id_col}").alias("id_a"),
+                        F.col(f"y.{id_col}").alias("id_b"),
+                        F.lit(0).cast("long").alias("hamming")))
+    ma = member.select(F.col(sim_col).alias("hash_a"),
+                       F.col(id_col).alias("_ia"))
+    mb = member.select(F.col(sim_col).alias("hash_b"),
+                       F.col(id_col).alias("_ib"))
+    cross = (hp.join(ma, "hash_a").join(mb, "hash_b")
+             .select(F.least("_ia", "_ib").alias("id_a"),
+                     F.greatest("_ia", "_ib").alias("id_b"),
+                     "hamming"))
+    return in_group.unionByName(cross)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -11,8 +11,12 @@ double precision — JVM-side, no Python.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..session import cut_lineage
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -118,19 +122,44 @@ def embedding_clusters(embeddings: DataFrame, threshold: float = 0.95,
     """Transitive embedding near-dup clusters: every vector labeled with
     the min id reachable through chains of cosine-≥threshold pairs
     (banded-LSH candidates when ``planes`` given — the scale path) plus
-    the cluster size. Same contract as text ``dedup_clusters``."""
+    the cluster size. Same contract as text ``dedup_clusters``.
+
+    The verified pairs are lineage-cut before clustering: the CC
+    fixpoint reads its edge set once per round, and without the cut each
+    read re-derives the banded candidate join + exact-cosine verify
+    (measured as the top sf0.1 bench cost in round 3 — the same pattern
+    ``minhash_candidate_pairs`` cuts eagerly)."""
     from .linking import label_clusters
-    pairs = embedding_neardup(embeddings, threshold, id_col, vec_col,
-                              round_to, planes, bands)
+    pairs = cut_lineage(embedding_neardup(embeddings, threshold, id_col,
+                                          vec_col, round_to, planes, bands))
     return label_clusters(embeddings, pairs, id_col)
+
+
+class LshGeometry(NamedTuple):
+    """Banded-LSH geometry plus its HONEST predicted quality: callers
+    can assert ``achieved_recall >= needed`` instead of trusting a
+    silently-capped fallback, and log ``candidate_fraction`` (expected
+    random-pair candidate volume as a fraction of all pairs)."""
+    planes_per_band: int
+    bands: int
+    achieved_recall: float
+    candidate_fraction: float
+
+
+def lsh_recall(threshold: float, planes_per_band: int, bands: int) -> float:
+    """Predicted recall of a (p, b) banded random-hyperplane geometry at
+    cosine ``threshold``: 1 - (1 - P^p)^b with P = 1 - acos(sim)/π."""
+    import math
+    prob = 1.0 - math.acos(threshold) / math.pi
+    return 1.0 - (1.0 - prob ** planes_per_band) ** bands
 
 
 def lsh_geometry(threshold: float, target_recall: float = 0.9,
                  candidate_budget: float = 0.25,
                  max_planes_per_band: int = 16,
-                 max_bands: int = 16) -> tuple[int, int]:
-    """(planes_per_band, bands) for banded random-hyperplane LSH, from
-    the standard collision probability P(agree) = 1 - acos(sim)/π:
+                 max_bands: int = 16) -> LshGeometry:
+    """Geometry for banded random-hyperplane LSH, from the standard
+    collision probability P(agree) = 1 - acos(sim)/π:
     recall = 1 - (1 - P^p)^b, expected random-pair candidate fraction
     ≈ b·(1/2)^p. Picks the most selective p (fewest candidates) whose
     band count for ``target_recall`` fits ``max_bands`` (band rows cost
@@ -138,15 +167,27 @@ def lsh_geometry(threshold: float, target_recall: float = 0.9,
     with candidate fraction within ``candidate_budget``; if nothing
     fits, the closest-to-target fallback.
 
+    Returns an ``LshGeometry`` carrying the geometry's ACTUAL predicted
+    recall and candidate fraction — when the fallback undercuts
+    ``target_recall`` (unreachable within the band budget) a warning is
+    emitted and ``achieved_recall`` says by how much, so no caller can
+    mistake the capped geometry for a target-meeting one.
+
     The math makes the low-threshold regime honest: at sim 0.4
     (P≈0.63) high recall is unreachable without near-brute-force
     candidate volume — LSH pays off at production near-dup thresholds
     (0.9+), where a selective geometry gets ~0.99 recall at ~1e-4 of
     the pairs."""
     import math
+    import warnings
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
     prob = 1.0 - math.acos(threshold) / math.pi
+
+    def _geom(p: int, b: int) -> LshGeometry:
+        return LshGeometry(p, b, 1.0 - (1.0 - prob ** p) ** b,
+                           b * 0.5 ** p)
+
     best = None
     for p in range(max_planes_per_band, 0, -1):
         miss = 1.0 - prob ** p
@@ -156,13 +197,21 @@ def lsh_geometry(threshold: float, target_recall: float = 0.9,
                              / math.log(miss)))
         if b > max_bands:
             if best is None:
-                best = (p, min(b, max_bands))
+                best = _geom(p, min(b, max_bands))
             continue
         if b * 0.5 ** p <= candidate_budget:
-            return p, b
+            return _geom(p, b)
         if best is None:
-            best = (p, b)
-    return best if best else (1, max_bands)
+            best = _geom(p, b)
+    out = best if best else _geom(1, max_bands)
+    if out.achieved_recall < target_recall:
+        warnings.warn(
+            f"lsh_geometry: target_recall={target_recall} unreachable at "
+            f"threshold={threshold} within max_bands={max_bands}/"
+            f"candidate_budget={candidate_budget}; returning "
+            f"{out.planes_per_band}x{out.bands} with achieved_recall="
+            f"{out.achieved_recall:.3f}", stacklevel=2)
+    return out
 
 
 def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
@@ -363,6 +412,79 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def embedding_neardup_incremental(spark, index_dir: str,
+                                  corpus: DataFrame, new_batch: DataFrame,
+                                  centroids: list[list[float]],
+                                  threshold: float = 0.9, nprobe: int = 2,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  round_to: int = 4,
+                                  prefilter_margin: float | None = None,
+                                  broadcast_max_rows: int = 1_000_000
+                                  ) -> DataFrame:
+    """Near-dup pairs of a NEW batch of vectors against a LANDED corpus
+    — "dedup tonight's embeddings against the whole corpus", the mirror
+    of ``minhash_pairs_incremental`` for the embedding path. Returns
+    (new_id, corpus_id, sim) with exact cosine ≥ ``threshold``.
+
+    Candidates come from the landed int8 IVF index
+    (``build_ivf_index``), never a batch×corpus join: each new vector
+    probes its ``nprobe`` nearest lists, ONLY those list partitions are
+    read (parquet partition pruning), the int8 approximate cosine
+    prefilters with a PROVABLY-safe margin, and survivors exact-verify
+    against the full-precision corpus column. Corpus vectors are never
+    re-scanned or re-quantized per batch — the index is computed once
+    when the corpus lands.
+
+    Prefilter safety: the int8 numerator's cosine error is bounded by
+    ‖ε‖·‖q‖/(‖v‖·‖q‖) ≤ √d·(scale/2)/‖v‖ ≤ √d/254 (scale =
+    max|v|/127 ≤ ‖v‖/127, stored norms exact), so filtering at
+    ``threshold − (√d/254 + 10^−round_to)`` can never drop a pair the
+    exact verify would keep — the output is EXACTLY the
+    (list-collision → exact ≥ threshold) set, reproducible in SQL.
+
+    The probed index side joins the (typically small) new batch with a
+    size-adaptive broadcast: bounded-count probe under
+    ``broadcast_max_rows``, shuffled join above it (note the join key
+    ``list_id`` has only k distinct values — a huge batch should be
+    split into broadcastable chunks rather than shuffled through k
+    reducers). Recall contract: a pair is found iff the new vector's
+    probed lists include the corpus vector's list — same coarse-
+    quantization recall as ``ivf_cosine_topk`` with the same
+    ``nprobe``."""
+    import math
+    dim = len(centroids[0])
+    if prefilter_margin is None:
+        prefilter_margin = math.sqrt(dim) / 254.0 + 10.0 ** (-round_to)
+    n_l = (ivf_assign(new_batch, centroids, id_col, vec_col, nprobe=nprobe)
+           .select(F.col(id_col).alias("new_id"),
+                   F.col(vec_col).alias("_nv"), "list_id"))
+    small = False
+    if broadcast_max_rows:
+        n_l = cut_lineage(n_l)
+        small = (n_l.limit(broadcast_max_rows + 1).count()
+                 <= broadcast_max_rows)
+    hint = F.broadcast if small else (lambda df: df)
+    probed = sorted({r["list_id"] for r in
+                     n_l.select("list_id").distinct().collect()})
+    idx = spark.read.parquet(index_dir).where(F.col("list_id").isin(probed))
+    j = (idx.join(hint(n_l), "list_id")
+         .where(F.col("vec_id") != F.col("new_id")))
+    approx = _approx_cos(F.col("qvec"), F.col("scale"), F.col("vnorm"),
+                         F.col("_nv"), _norm(F.col("_nv")))
+    cand = (j.where(approx >= threshold - prefilter_margin)
+            .select("new_id", F.col("vec_id").alias("corpus_id"))
+            .dropDuplicates(["new_id", "corpus_id"]))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(vec_col).alias("_cv"))
+    nv = new_batch.select(F.col(id_col).alias("new_id"),
+                          F.col(vec_col).alias("_nv2"))
+    sim = F.round(cosine(F.col("_cv"), F.col("_nv2")), round_to)
+    return (cand.join(cv, "corpus_id").join(nv, "new_id")
+            .select("new_id", "corpus_id", sim.alias("sim"))
+            .where(F.col("sim") >= threshold))
+
+
 def _approx_cos(qvec: Column, scale: Column, vnorm: Column,
                 query_vec: Column, qnorm: Column) -> Column:
     """Approximate cosine from an int8-quantized corpus vector against a
@@ -372,18 +494,29 @@ def _approx_cos(qvec: Column, scale: Column, vnorm: Column,
     return (scale * _dot(qvec, query_vec)) / (vnorm * qnorm)
 
 
-def quantize_int8_cols(vec_col: str = "embedding") -> list[Column]:
-    """(qvec tinyint[], scale float, vnorm float) columns for an int8
-    vector representation: symmetric per-vector scaling to [-127, 127]
-    plus the exact L2 norm captured at quantization time. 1 byte/dim vs
-    8 (double) or 4 (float32) — the shuffle/storage compaction for ANN
-    candidate generation; exact scoring stays on the original column."""
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add (qvec tinyint[], scale float, vnorm float) columns for an
+    int8 vector representation: symmetric per-vector scaling to
+    [-127, 127] plus the exact L2 norm captured at quantization time.
+    1 byte/dim vs 8 (double) or 4 (float32) — the shuffle/storage
+    compaction for ANN candidate generation; exact scoring stays on the
+    original column.
+
+    Two projections, not one: ``scale`` (an array_max over the whole
+    vector) is materialized as a plain attribute BEFORE the per-element
+    quantize lambda references it. Inlined into the lambda body it
+    would be re-evaluated per component — O(d²) per vector; Catalyst
+    does not CSE into lambda bodies, and CollapseProject keeps the
+    split because ``scale`` is non-cheap with two references (the
+    lambda and the output column)."""
     v = F.col(vec_col)
     scale = (F.greatest(F.array_max(F.transform(v, F.abs)),
                         F.lit(1e-30)) / F.lit(127.0)).cast("float")
-    qvec = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
-    return [qvec.alias("qvec"), scale.alias("scale"),
-            _norm(v).cast("float").alias("vnorm")]
+    staged = df.withColumn("scale", scale) \
+               .withColumn("vnorm", _norm(v).cast("float"))
+    qvec = F.transform(v, lambda x: F.round(x / F.col("scale"))
+                       .cast("tinyint"))
+    return staged.withColumn("qvec", qvec)
 
 
 def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
@@ -401,8 +534,9 @@ def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
     keep that table bucketed by ``vec_id`` so the fetch join is
     co-located, not a scan)."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col, nprobe=1)
-    (assigned.select("list_id", F.col(id_col).alias("vec_id"),
-                     *quantize_int8_cols(vec_col))
+    (quantize_int8(assigned, vec_col)
+     .select("list_id", F.col(id_col).alias("vec_id"), "qvec", "scale",
+             "vnorm")
      .write.mode("overwrite").partitionBy("list_id").parquet(out_dir))
 
 

@@ -301,20 +301,36 @@ def line_frequencies(docs: DataFrame, text_col: str = "text",
 
 def strip_boilerplate(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_docs: int = 10,
-                      min_len: int = 10) -> DataFrame:
+                      min_len: int = 10,
+                      broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """Remove lines appearing in more than ``max_docs`` documents
     (navigation chrome, cookie banners, license headers) and keep the
-    rest in order. Two passes over the corpus: the frequency table
-    (aggregated, then broadcast-joined against the exploded lines —
-    boilerplate tables are tiny relative to the corpus) and the
-    filtered reassembly via posexplode + sort by position."""
+    rest in order. Two passes over the corpus: the frequency table and
+    the filtered reassembly via posexplode + sort by position.
+
+    The anti-join against the boilerplate table is size-adaptive (the
+    ``link_triples`` pattern): the table is lineage-cut once (so the
+    probe and the join share one computation of the corpus-wide
+    aggregate), then a bounded count decides — broadcast under
+    ``broadcast_max_rows``, plain shuffled left-anti above it (AQE picks
+    the physical join). Web boilerplate is heavy-tailed: at 100 TB the
+    >``max_docs`` line set is NOT reliably tiny, and an unconditional
+    broadcast would OOM the driver. ``broadcast_max_rows=0`` forces the
+    shuffled path (skips the probe materialization entirely)."""
+    from ..session import cut_lineage
     freq = line_frequencies(docs, text_col, min_len, id_col)
     boiler = freq.where(F.col("n_docs") > max_docs).select("line_hash")
+    small = False
+    if broadcast_max_rows:
+        boiler = cut_lineage(boiler)
+        small = (boiler.limit(broadcast_max_rows + 1).count()
+                 <= broadcast_max_rows)
+    hint = F.broadcast if small else (lambda df: df)
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
     keep = (lines.withColumn("line_hash", F.md5(F.trim(F.col("line"))))
-            .join(F.broadcast(boiler), "line_hash", "left_anti"))
+            .join(hint(boiler), "line_hash", "left_anti"))
     return (keep.groupBy(id_col)
             .agg(F.array_join(
                 F.transform(

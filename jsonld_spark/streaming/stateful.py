@@ -141,6 +141,14 @@ def stream_sessionize(events: DataFrame, gap_s: int = 1800,
     prepared = events.select(
         "user_id", "event_id", "value",
         F.col(ts_col).cast("timestamp").cast("double").alias("_t"))
+    # null/unparseable timestamps cast to null → NaN in pandas, and a
+    # NaN poisons the open-session state (NaN - last > gap is always
+    # False, so the session never closes and emits NaN durations).
+    # They are dropped here: an event with no event time has no place
+    # on a session timeline. (Batch `sessionize` gives each null-ts row
+    # its own session — callers needing that semantic must pre-assign
+    # timestamps; for stream/batch comparisons filter nulls from both.)
+    prepared = prepared.where(F.col("_t").isNotNull())
     return (prepared.groupBy("user_id")
             .applyInPandasWithState(
                 update,

@@ -38,14 +38,15 @@ def main() -> None:
         best, rows = None, 0
         for _ in range(n_runs):
             t0 = time.time()
-            pairs = minhash_candidate_pairs(docs, shingle_len=5,
-                                            num_hashes=16, bands=4,
-                                            hash_fn="md5",
-                                            eager_cut=eager)
+            out = minhash_candidate_pairs(docs, shingle_len=5,
+                                          num_hashes=16, bands=4,
+                                          hash_fn="md5",
+                                          eager_cut=eager)
+            pairs, sigs = out if not eager else (out, None)
             rows = pairs.count()
             wall = time.time() - t0
-            if not eager:
-                pairs._minhash_sigs.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
             if best is None or wall < best:
                 best = wall
         return round(best, 3), rows

@@ -42,3 +42,21 @@ def test_serialize_roundtrip_simple_terms():
 
 def test_serialize_empty_context():
     assert _ctx({}).serialize() == {}
+
+
+def test_ctx_parse_memo_returns_isolated_clones():
+    """ADVICE r3: a memo hit must be a clone — a caller mutating its
+    returned context may only corrupt its own document, never every
+    later document sharing the memo entry. The lazily-built inverse
+    stays shared (read-only once built)."""
+    from jsonld_spark.core.context import Context, JsonLdOptions
+    opts = JsonLdOptions()
+    ctx = {"name": "http://x/name"}
+    c1 = Context(opts).parse(ctx)
+    c2 = Context(opts).parse(ctx)
+    assert c1 is not c2
+    c1.term_definitions["name"]["@id"] = "http://CORRUPT/"
+    c3 = Context(opts).parse(ctx)
+    assert c3.term_definitions["name"]["@id"] == "http://x/name"
+    # the built inverse map is shared across clones, not rebuilt per doc
+    assert c2.get_inverse() is c3.get_inverse()

@@ -151,11 +151,55 @@ def test_minhash_eager_and_lazy_cut_agree(spark):
     eager = {(r.id_a, r.id_b) for r in
              minhash_candidate_pairs(docs, shingle_len=5, num_hashes=16,
                                      bands=4).collect()}
-    lazy_df = minhash_candidate_pairs(docs, shingle_len=5, num_hashes=16,
-                                      bands=4, eager_cut=False)
-    lazy = {(r.id_a, r.id_b) for r in lazy_df.collect()}
-    lazy_df._minhash_sigs.unpersist()
+    lazy_df, sigs = minhash_candidate_pairs(docs, shingle_len=5,
+                                            num_hashes=16, bands=4,
+                                            eager_cut=False)
+    # transformations no longer lose the unpersist handle (it's an
+    # explicit tuple member, not a monkey-patched attribute)
+    lazy = {(r.id_a, r.id_b) for r in
+            lazy_df.where(F.lit(True)).collect()}
+    sigs.unpersist()
     assert eager == lazy and len(eager) > 0
+
+
+def test_simhash_neardup_collapses_giant_dup_groups(spark):
+    """The 100 TB contract (VERDICT r3 #1): a giant exact-duplicate
+    group must collapse to ONE representative row before the band join
+    — the rep-level output is linear in distinct hashes, and the
+    quadratic id-level pair set exists only as the opt-in compat
+    expansion."""
+    from jsonld_spark.operators.dedup import (simhash_neardup_groups,
+                                              simhash_neardup_pairs)
+    rows = ([(i, 0b1010) for i in range(50)]          # 50-copy group
+            + [(100, 0b1011), (101, 0b1011)]          # hamming-1 group
+            + [(200, (1 << 31) - 1)])                 # far away
+    sims = spark.createDataFrame(rows, "doc_id long, simhash long")
+    groups, rep_pairs = simhash_neardup_groups(sims, max_hamming=3,
+                                               bits=32)
+    g = {r.simhash: (r.rep, r.group_n) for r in groups.collect()}
+    assert g[0b1010] == (0, 50) and g[0b1011] == (100, 2)
+    assert g[(1 << 31) - 1] == (200, 1)
+    rp = [(r.hash_a, r.hash_b, r.rep_a, r.rep_b, r.n_a, r.n_b, r.hamming)
+          for r in rep_pairs.collect()]
+    # ONE row covers the entire 50×2 cross-group relationship
+    assert rp == [(0b1010, 0b1011, 0, 100, 50, 2, 1)]
+    # compat expansion reproduces the full id-level pair set exactly
+    pairs = simhash_neardup_pairs(sims, max_hamming=3, bits=32).collect()
+    in_group = 50 * 49 // 2 + 1
+    cross = 50 * 2
+    assert len(pairs) == in_group + cross
+    assert all(p.id_a < p.id_b for p in pairs)
+    assert sum(1 for p in pairs if p.hamming == 0) == in_group
+    assert sum(1 for p in pairs if p.hamming == 1) == cross
+
+
+def test_simhash_hash_pairs_requires_band_divisibility(spark):
+    import pytest as _pytest
+
+    from jsonld_spark.operators.dedup import simhash_hash_pairs
+    hashes = spark.createDataFrame([(1,)], "simhash long")
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_hash_pairs(hashes, max_hamming=4, bits=32)
 
 
 def test_simhash_rejects_oversized_bits(spark):

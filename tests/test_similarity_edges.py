@@ -103,14 +103,114 @@ def test_lsh_geometry_math():
     from jsonld_spark.operators.similarity import lsh_geometry
     import math
     import pytest as _pytest
-    p, b = lsh_geometry(0.4, target_recall=0.55)
+    g = lsh_geometry(0.4, target_recall=0.55)
+    p, b = g.planes_per_band, g.bands
     prob = 1 - math.acos(0.4) / math.pi
     assert 1 - (1 - prob ** p) ** b >= 0.55      # meets target
+    assert abs(g.achieved_recall - (1 - (1 - prob ** p) ** b)) < 1e-12
     assert b * 0.5 ** p <= 0.25                  # within budget
+    assert abs(g.candidate_fraction - b * 0.5 ** p) < 1e-12
     assert b <= 16                               # band-row bound
-    p2, b2 = lsh_geometry(0.95)
+    g2 = lsh_geometry(0.95)
+    p2, b2 = g2.planes_per_band, g2.bands
     prob2 = 1 - math.acos(0.95) / math.pi
     assert 1 - (1 - prob2 ** p2) ** b2 >= 0.9
+    assert g2.achieved_recall >= 0.9
     assert b2 * 0.5 ** p2 < 0.01                 # selective regime
     with _pytest.raises(ValueError, match="threshold"):
         lsh_geometry(1.5)
+    # unreachable target → fallback warns and reports the honest recall
+    with _pytest.warns(UserWarning, match="achieved_recall"):
+        g3 = lsh_geometry(0.4, target_recall=0.99, max_bands=4)
+    assert g3.achieved_recall < 0.99
+    assert g3.bands <= 4
+
+
+def test_embedding_incremental_matches_list_collision_bruteforce(
+        spark, tmp_path):
+    """The incremental operator's result must equal the closed-form
+    candidate rule (corpus vector's single list ∈ new vector's nprobe
+    probed lists) + exact cosine ≥ threshold, computed independently in
+    numpy — and the int8 prefilter must be invisible (proven-superset
+    margin)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.similarity import (
+        build_ivf_index, embedding_neardup_incremental)
+    rs = np.random.RandomState(3)
+    vecs = rs.normal(size=(60, 8))
+    for i in range(8):  # planted cross-split near-dups
+        vecs[30 + i] = vecs[i] + 0.05 * rs.normal(size=8)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[float(x) for x in r] for r in rs.normal(size=(4, 8))]
+    corpus = emb.where(F.col("vec_id") < 30)
+    new = emb.where(F.col("vec_id") >= 30)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(corpus, cents, idx)
+    out = embedding_neardup_incremental(spark, idx, corpus, new, cents,
+                                        threshold=0.8, nprobe=2)
+    got = {(r.new_id, r.corpus_id): r.sim for r in out.collect()}
+
+    c = np.array(cents)
+
+    def probed(v, n):
+        dots = v @ c.T
+        order = sorted(range(len(cents)), key=lambda i: (-dots[i], -i))
+        return set(order[:n])
+
+    expected = {}
+    for ni in range(30, 60):
+        pl = probed(vecs[ni], 2)
+        for ci in range(30):
+            if probed(vecs[ci], 1) & pl:
+                sim = float(vecs[ni] @ vecs[ci]
+                            / (np.linalg.norm(vecs[ni])
+                               * np.linalg.norm(vecs[ci])))
+                if round(sim, 4) >= 0.8:
+                    expected[(ni, ci)] = round(sim, 4)
+    assert set(got) == set(expected) and len(got) >= 8
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 2e-4
+    # prefilter safety: removing the prefilter entirely (margin=2 →
+    # nothing filtered) must not change the result set
+    out2 = embedding_neardup_incremental(spark, idx, corpus, new, cents,
+                                         threshold=0.8, nprobe=2,
+                                         prefilter_margin=2.0)
+    assert {(r.new_id, r.corpus_id) for r in out2.collect()} == set(got)
+
+
+def test_embedding_neardup_hi_regime_selective_and_complete(spark):
+    """Production regime (threshold 0.9): the lsh_geometry(0.9)
+    geometry must find every planted ~0.99-cosine twin while touching a
+    candidate volume orders of magnitude below pair space."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.similarity import (banded_lsh_buckets,
+                                                   embedding_neardup,
+                                                   lsh_geometry)
+    rs = np.random.RandomState(11)
+    base = rs.normal(size=(200, 16))
+    planted = [(1000 + i, base[i] + 0.05 * rs.normal(size=16))
+               for i in range(10)]
+    rows = ([(i, [float(x) for x in v]) for i, v in enumerate(base)]
+            + [(j, [float(x) for x in v]) for j, v in planted])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = lsh_geometry(0.9)
+    assert g.achieved_recall >= 0.9 and g.candidate_fraction < 0.01
+    planes = [[float(x) for x in r]
+              for r in rs.normal(size=(g.planes_per_band * g.bands, 16))]
+    pairs = {(r.id_a, r.id_b): r.sim
+             for r in embedding_neardup(emb, threshold=0.9, planes=planes,
+                                        bands=g.bands).collect()}
+    # all 10 planted twins found (their sim ~0.99 → per-pair recall ~1)
+    assert sum(1 for (a, b) in pairs if b == a + 1000) == 10
+    # candidate volume: sum of C(bucket_size, 2) over (band, bucket)
+    n = 210
+    cand = (banded_lsh_buckets(emb, planes, g.bands)
+            .groupBy("band", "bucket").count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .first()[0])
+    assert cand < 0.02 * (n * (n - 1) / 2)

@@ -102,3 +102,26 @@ def test_stream_sessionize_closed_sessions_equal_batch(spark, tmp_path):
                                          r.total_value)
             for r in batch if r.session_idx < last_idx[r.user_id]}
     assert got == want and len(want) > 0
+
+
+def test_stream_sessionize_drops_null_timestamps(spark, tmp_path):
+    """ADVICE r3: a null/unparseable timestamp casts to NaN and would
+    poison the open-session state (never closes, NaN durations) — such
+    events are dropped before the state update."""
+    rows = [(1, 10, 0.0, "2024-01-01 00:00:00"),
+            (1, 11, 1.0, None),
+            (1, 12, 2.0, "2024-01-01 03:00:00")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts string")
+    inp = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(df.schema).parquet(inp)
+    out = str(tmp_path / "out")
+    _run_stream(__import__("jsonld_spark.streaming.stateful",
+                           fromlist=["stream_sessionize"])
+                .stream_sessionize(stream, gap_s=1800), out,
+                str(tmp_path / "ck"))
+    got = spark.read.parquet(out).collect()
+    # the 3h gap closes the first session; the null-ts event is absent
+    assert [(r.user_id, r.session_idx, r.n_events, r.duration_s)
+            for r in got] == [(1, 0, 1, 0.0)]
