@@ -633,6 +633,46 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").cast("double").alias("total_value"))
 
 
+def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-state streaming #2: running per-user (count, sum)
+    accumulated in GroupState across two micro-batches (two files).
+    Update mode emits a row per user per batch touching it — the final
+    state is the row with the highest event count (n is monotone), and
+    must equal the batch groupBy on the same table."""
+    import os
+    import tempfile
+
+    from jsonld_spark.streaming.stateful import stream_user_totals
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_id", "value")
+    tmp = tempfile.mkdtemp(prefix="jsonld_stream_ut_")
+    inp = os.path.join(tmp, "in")
+    # split each user's events ACROSS the two micro-batches so the
+    # GroupState genuinely accumulates across batches
+    events.where(F.col("event_id") % 2 == 0).drop("event_id").coalesce(1) \
+        .write.mode("append").parquet(f"{inp}/f1")
+    events.where(F.col("event_id") % 2 == 1).drop("event_id").coalesce(1) \
+        .write.mode("append").parquet(f"{inp}/f2")
+    stream = (spark.readStream.schema("user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(f"{inp}/*"))
+    name = "user_totals_q_" + os.path.basename(tmp)[-6:]
+    q = (stream_user_totals(stream).writeStream.format("memory")
+         .queryName(name)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("availableNow user-totals stream did not "
+                           "finish within 600s")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (spark.table(name)
+            .withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.round("total_value", 2).cast("double")
+                     .alias("total_value")))
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile with exact token-count percentiles."""
     from jsonld_spark.operators.textstats import corpus_profile
@@ -957,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental": q_embedding_incremental,
         "embedding_clusters": q_embedding_clusters,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_user_totals": q_streaming_user_totals,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1920,6 +1961,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": _embedding_clusters_oracle(),
         "streaming_sessions": _STREAM_SESSIONS_ORACLE.format(
             sess=_EVENT_SESSIONS_ORACLE),
+        "streaming_user_totals": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+        """,
         "doc_stats": """
             SELECT doc_id, length(text) AS n_chars_actual,
                    len(string_split(text, ' ')) AS n_tokens,

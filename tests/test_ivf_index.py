@@ -87,3 +87,23 @@ def test_index_is_at_least_4x_smaller(spark, setup):
 
     idx_b, ref_b = _bytes(raw_idx), _bytes(ref_dir)
     assert idx_b * 4 <= ref_b, (idx_b, ref_b)
+
+
+def test_append_to_index_equals_full_rebuild(spark, setup, tmp_path):
+    """Incremental index maintenance: building on half the corpus then
+    appending the other half must search identically to a one-shot full
+    build — the nightly-crawl landing path (dedup the batch, append the
+    survivors)."""
+    from jsonld_spark.operators.similarity import append_to_ivf_index
+    emb, cents, idx_dir, queries = setup
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    inc_dir = str(tmp_path / "inc_index")
+    build_ivf_index(half_a, cents, inc_dir)
+    append_to_ivf_index(half_b, cents, inc_dir)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.sim)  # noqa: E731
+    got = sorted(map(key, search_ivf_index(
+        spark, inc_dir, emb, queries, cents, k=10, nprobe=2).collect()))
+    want = sorted(map(key, search_ivf_index(
+        spark, idx_dir, emb, queries, cents, k=10, nprobe=2).collect()))
+    assert got == want and len(got) > 0
