@@ -683,6 +683,34 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p95_tokens").cast("double").alias("p95_tokens"))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line / dup-word /
+    top-word fractions) — the filters that catch degenerate pages."""
+    from jsonld_spark.operators.textstats import doc_repetition
+    return doc_repetition(_read(spark, sf_dir, "documents")) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("dup_line_frac", 6).alias("dup_line_frac"),
+                F.round("dup_word_frac", 6).alias("dup_word_frac"),
+                F.round("top_word_frac", 6).alias("top_word_frac"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram
+    with the (broadcast) benchmark slice doc_id % 101 == 0 — the
+    pre-training hygiene step keeping eval text out of training data.
+    n=3 here (production uses 8-13) because the synthetic corpus has no
+    exact replicas at sf0.01, so longer grams yield zero hits and the
+    hash check would be vacuous; n=3 gives a few hundred value-checked
+    rows through the identical plan."""
+    from jsonld_spark.operators.dedup import decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    corpus = docs.where(F.col("doc_id") % 101 != 0)
+    return decontaminate(corpus, bench, n=3, min_hits=1) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "n_hit_grams")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.textstats import fingerprint
     return fingerprint(_read(spark, sf_dir, "documents"))
@@ -999,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "streaming_user_totals": q_streaming_user_totals,
         "doc_stats": q_doc_stats,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1293,6 +1323,47 @@ SELECT hp.hash_a, hp.hash_b, ga.rep AS rep_a, gb.rep AS rep_b,
        ga.group_n AS n_a, gb.group_n AS n_b, hp.hamming
 FROM hp JOIN g ga ON ga.simhash = hp.hash_a
         JOIN g gb ON gb.simhash = hp.hash_b
+"""
+
+
+_DOC_REPETITION_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS rawlines,
+         string_split(text, ' ') AS words
+  FROM documents),
+fr AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(list_transform(rawlines,
+               x -> trim(x)))) / CAST(len(rawlines) AS DOUBLE), 6)
+           AS dup_line_frac,
+         round(1.0 - len(list_distinct(words))
+               / CAST(len(words) AS DOUBLE), 6) AS dup_word_frac
+  FROM base),
+w AS (SELECT doc_id, unnest(words) AS word FROM base),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+t AS (SELECT doc_id, round(max(n) / CAST(sum(n) AS DOUBLE), 6)
+             AS top_word_frac
+      FROM c GROUP BY doc_id)
+SELECT fr.doc_id, fr.dup_line_frac, fr.dup_word_frac, t.top_word_frac
+FROM fr JOIN t USING (doc_id)
+"""
+
+_DECONTAMINATE_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(toks)-2, 1)+1),
+             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+          WHERE doc_id % 101 = 0),
+corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+         WHERE doc_id % 101 <> 0),
+hits AS (SELECT DISTINCT doc_id, gram FROM corp JOIN bench USING (gram))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM hits GROUP BY doc_id HAVING count(*) >= 1
 """
 
 
@@ -1973,6 +2044,8 @@ def oracle_sql() -> dict[str, str]:
                          / len(string_split(text, ' ')), 4) AS mean_token_len
             FROM documents
         """,
+        "doc_repetition": _DOC_REPETITION_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
         "lang_id": _LANG_ORACLE,
         "corpus_profile": _CORPUS_PROFILE_ORACLE.format(
             lang=_LANG_ORACLE, tok=_TOKEN_BPE_ORACLE),

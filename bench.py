@@ -74,6 +74,8 @@ EXTENDED = [
     "embedding_incremental",
     "streaming_sessions",
     "streaming_user_totals",
+    "doc_repetition",
+    "decontaminate",
 ]
 
 

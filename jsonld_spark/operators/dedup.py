@@ -258,6 +258,33 @@ def ngram_jaccard_pairs(queries: DataFrame, corpus: DataFrame, n: int = 3,
     return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  min_hits: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least ``min_hits`` distinct word ``n``-grams with ANY benchmark
+    document — the standard pre-training hygiene step (a training doc
+    that contains eval-set text inflates benchmark scores). Returns
+    (doc_id, n_hit_grams) for flagged docs; the downstream policy is an
+    anti-join on the ids.
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets are
+    thousands of docs) — its distinct gram set is broadcast; the corpus
+    explodes to grams once and semi-joins, then a per-doc count-distinct
+    of matched grams. Never a doc×doc comparison."""
+    bench_grams = (benchmark
+                   .select(F.explode(word_ngrams(text_col, n))
+                           .alias("gram"))
+                   .distinct())
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
+    return (hits.groupBy(id_col)
+            .agg(F.count_distinct("gram").cast("long")
+                 .alias("n_hit_grams"))
+            .where(F.col("n_hit_grams") >= min_hits))
+
+
 def _bit_mask(i: int):
     """Single-bit mask as a signed-long literal; bit 63 is the sign bit,
     whose two's-complement value is negative (1<<63 overflows BIGINT).

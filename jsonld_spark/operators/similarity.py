@@ -87,18 +87,23 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
         sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
         return (j.select("id_a", "id_b", sim.alias("sim"))
                 .where(F.col("sim") >= threshold))
-    # lazy composition: the bucket expressions are cheap (bands × a few
-    # plane dots), so evaluating them once per join side costs less than
-    # a cache/checkpoint boundary would (unlike minhash, whose per-
-    # shingle hash tree re-inlines O(bands²) — see dedup.py).
-    # The bucket self-join carries IDS ONLY: a popular bucket with B
-    # members expands to B² candidate rows, and carrying both vectors
+    # The bucket ARRAYS are materialized once (lineage cut) before the
+    # self-join — the same boundary minhash_candidate_pairs puts after
+    # its signature build: without it both join sides re-plan and
+    # re-evaluate the plane expression tree (tens of planes × dot
+    # aggregates — seconds of optimizer/codegen per side per action,
+    # measured), and the checkpoint write is only n rows of
+    # (id, bands longs), not the exploded band rows.
+    # The bucket self-join then carries IDS ONLY: a popular bucket with
+    # B members expands to B² candidate rows, and carrying both vectors
     # through that expansion multiplies its bytes by the vector width
     # (measured heap OOM at 200k × 64-dim with replica-heavy buckets).
     # Vectors re-join by id AFTER the pair dedup — two narrow shuffles
     # of the deduped pairs instead of vector payload inside the blowup.
-    banded = banded_lsh_buckets(embeddings, planes, bands, id_col,
-                                vec_col).select(id_col, "band", "bucket")
+    arrays = cut_lineage(
+        lsh_bucket_arrays(embeddings, planes, bands, id_col, vec_col))
+    banded = arrays.select(
+        id_col, F.posexplode("buckets").alias("band", "bucket"))
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     cand = (a.join(b, ["band", "bucket"])
@@ -214,12 +219,10 @@ def lsh_geometry(threshold: float, target_recall: float = 0.9,
     return out
 
 
-def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
-                       bands: int, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
-    """Split ``planes`` into ``bands`` groups; one (band, bucket) row per
-    input row per band, bucket = the band's sign-bit integer. Candidate
-    generation = equi-join on (band, bucket)."""
+def _lsh_buckets_expr(planes: list[list[float]], bands: int,
+                      vec_col: str) -> Column:
+    """The banded-bucket ARRAY expression (one long per band) shared by
+    ``banded_lsh_buckets`` and ``lsh_bucket_arrays``."""
     per = len(planes) // bands
     if bands < 1 or per < 1:
         # per == 0 would make every bucket the constant 0 → the candidate
@@ -257,15 +260,34 @@ def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
                           F.lit(1).cast("long"))
                     .otherwise(F.lit(0).cast("long")))
     weights = F.array(*[F.lit(1 << i).cast("long") for i in range(per)])
-    buckets = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.aggregate(
             F.zip_with(F.slice(signs, b * per + 1, per), weights,
                        lambda s, w: s * w),
             F.lit(0).cast("long"), lambda acc, x: acc + x))
+
+
+def lsh_bucket_arrays(embeddings: DataFrame, planes: list[list[float]],
+                      bands: int, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id, buckets array<long>) — one bucket per band, pre-explode.
+    The compact form to materialize/checkpoint (n rows × bands longs);
+    explode to (band, bucket) rows afterwards."""
+    return embeddings.select(
+        id_col, _lsh_buckets_expr(planes, bands, vec_col).alias("buckets"))
+
+
+def banded_lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
+                       bands: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Split ``planes`` into ``bands`` groups; one (band, bucket) row per
+    input row per band, bucket = the band's sign-bit integer. Candidate
+    generation = equi-join on (band, bucket)."""
     return embeddings.select(
         id_col, vec_col,
-        F.posexplode(buckets).alias("band", "bucket"))
+        F.posexplode(_lsh_buckets_expr(planes, bands, vec_col))
+        .alias("band", "bucket"))
 
 
 def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],

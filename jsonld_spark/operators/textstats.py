@@ -279,6 +279,38 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     return docs.select(*sel, out.alias("redacted"))
 
 
+def doc_repetition(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document — the quality
+    filters that catch boilerplate-heavy and degenerate pages:
+
+    * ``dup_line_frac``  — 1 − distinct(trimmed lines)/lines;
+    * ``dup_word_frac``  — 1 − distinct(words)/words;
+    * ``top_word_frac``  — occurrences of the most frequent word /
+      total words (a high value means a few tokens dominate).
+
+    Line/word distincts are pure array expressions; the top-word count
+    is an explode → two-level aggregate (per-(doc, word) count, then a
+    per-doc max/sum) — partial aggregation keeps the shuffle at one row
+    per distinct (doc, word), never a hot single reducer."""
+    lines = F.transform(F.split(F.col(text_col), r"\n"), F.trim)
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        (1.0 - F.size(F.array_distinct(lines))
+         / F.size(lines).cast("double")).alias("dup_line_frac"),
+        (1.0 - F.size(F.array_distinct(words))
+         / F.size(words).cast("double")).alias("dup_word_frac"))
+    per_word = (docs
+                .select(F.col(id_col), F.explode(words).alias("word"))
+                .groupBy(id_col, "word")
+                .agg(F.count(F.lit(1)).alias("n")))
+    top = (per_word.groupBy(id_col)
+           .agg((F.max("n") / F.sum("n").cast("double"))
+                .alias("top_word_frac")))
+    return base.join(top, id_col)
+
+
 def line_frequencies(docs: DataFrame, text_col: str = "text",
                      min_len: int = 10,
                      id_col: str = "doc_id") -> DataFrame:

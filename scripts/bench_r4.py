@@ -47,7 +47,9 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         out[name] = {"sec": round(best, 3), "rows": n}
     print(json.dumps({"sf_dir": sf_dir, "cpus": int(cpus),
-                      "loadavg_pre": load_pre, "queries": out}))
+                      "loadavg_pre": load_pre,
+                      "loadavg_post": round(os.getloadavg()[0], 2),
+                      "queries": out}))
     spark.stop()
 
 

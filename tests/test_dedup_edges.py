@@ -209,3 +209,22 @@ def test_simhash_rejects_oversized_bits(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="64-bit"):
         simhash(docs, bits=70).collect()
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from jsonld_spark.operators.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix text the quick brown fox jumps over something"),
+         (2, "completely unrelated words with no overlap at all"),
+         (3, "quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_hit_grams
+           for r in decontaminate(corpus, bench, n=5).collect()}
+    assert 1 in got and 3 in got and 2 not in got
+    # min_hits raises the bar
+    strict = {r.doc_id for r in
+              decontaminate(corpus, bench, n=5, min_hits=3).collect()}
+    assert strict <= {1, 3}

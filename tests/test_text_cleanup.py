@@ -38,3 +38,17 @@ def test_strip_boilerplate_drops_shared_lines_keeps_order(spark):
     got2 = {r.doc_id: r for r in
             strip_boilerplate(docs, max_docs=20).collect()}
     assert got2[0].n_lines_kept == 3
+
+
+def test_doc_repetition_hand_computed(spark):
+    from jsonld_spark.operators.textstats import doc_repetition
+    docs = spark.createDataFrame(
+        [(1, "a a a b"),                      # 4 words, 2 distinct; top=3/4
+         (2, "x y\nx y\nz w")],               # 3 lines, 2 distinct
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in doc_repetition(docs).collect()}
+    assert abs(got[1].dup_word_frac - 0.5) < 1e-9
+    assert abs(got[1].top_word_frac - 0.75) < 1e-9
+    assert abs(got[1].dup_line_frac - 0.0) < 1e-9
+    assert abs(got[2].dup_line_frac - (1 - 2 / 3)) < 1e-9
+    assert abs(got[2].dup_word_frac - 0.0) < 1e-9
