@@ -711,6 +711,86 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_hit_grams")
 
 
+# RDFS schema for the entailment query — ONE Python literal emitted into
+# BOTH the Spark DataFrame and the oracle's SQL VALUES, so model and
+# oracle cannot desync; the CLOSURE itself is derived independently
+# (driver BFS in the operator vs WITH RECURSIVE in DuckDB).
+_KG_EX = "http://example.org/"
+_KG_SCHEMA_ROWS: list[tuple[str, str, str]] = []
+
+
+def _kg_schema_rows() -> list[tuple[str, str, str]]:
+    if not _KG_SCHEMA_ROWS:
+        from jsonld_spark.operators.kg import (DOMAIN, RANGE, SUB_CLASS,
+                                               SUB_PROP)
+        c = _KG_EX + "class/"
+        _KG_SCHEMA_ROWS.extend(
+            [(f"{c}C{i}", SUB_CLASS, f"{c}C{(i - 1) // 2}")
+             for i in range(1, 8)])
+        _KG_SCHEMA_ROWS.extend([
+            (f"{c}C0", SUB_CLASS, f"{c}Resource"),
+            ("http://schema.org/associatedMedia", DOMAIN, f"{c}Document"),
+            ("http://schema.org/associatedMedia", RANGE, f"{c}Media"),
+            (f"{c}Document", SUB_CLASS, f"{c}Resource"),
+            (f"{c}Media", SUB_CLASS, f"{c}Resource"),
+            ("http://purl.org/dc/terms/source", SUB_PROP,
+             _KG_EX + "provenance"),
+            (_KG_EX + "provenance", DOMAIN, f"{c}Sourced"),
+        ])
+    return _KG_SCHEMA_ROWS
+
+
+def _kg_data_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline triples + a deterministic asserted-type triple per doc
+    (class = C{doc_id % 8} from the 8-class tree) — gives rdfs9/11 real
+    multi-level work at every scale."""
+    from jsonld_spark.operators.kg import RDF_TYPE
+    triples = q_jsonld_doc_triples(spark, sf_dir).select(
+        "subj", "pred", "obj_value", "obj_kind")
+    types = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.concat(F.lit(_KG_EX + "class/C"),
+                 (F.col("doc_id") % 8).cast("string")).alias("obj_value"),
+        F.lit("iri").alias("obj_kind"))
+    return triples.unionByName(types)
+
+
+def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS entailment (rdfs2/3/5/7/9/11) of the doc KG under the
+    8-class/2-property ontology: driver-closed schema applied to the
+    fact table as a fixed 4-broadcast-join DAG — no data-side fixpoint."""
+    from jsonld_spark.operators.kg import rdfs_closure
+    schema = spark.createDataFrame(
+        _kg_schema_rows(), "subj string, pred string, obj_value string")
+    return rdfs_closure(_kg_data_triples(spark, sf_dir), schema) \
+        .select("subj", "pred", "obj")
+
+
+def q_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query: a 3-pattern star join
+    over the triples table (constants → pushed-down filters, shared
+    variable ?d → equi-joins; order/broadcast left to Catalyst+AQE)."""
+    from jsonld_spark.operators.kg import bgp_match
+    return bgp_match(q_jsonld_doc_triples(spark, sf_dir), [
+        ("?d", "http://schema.org/associatedMedia", "?media"),
+        ("?d", "http://schema.org/inLanguage", "?lang"),
+        ("?d", "http://purl.org/dc/terms/source", "?src"),
+    ])
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) language mixture weights — the
+    corpus-balancing rule feeding stratified sampling."""
+    from jsonld_spark.operators.sampling import mixture_weights
+    return mixture_weights(_read(spark, sf_dir, "documents"),
+                           group_col="lang", alpha=0.5) \
+        .select("grp", "n_docs", "n_tokens",
+                F.round("raw_share", 6).alias("raw_share"),
+                F.round("weight", 6).alias("weight"),
+                F.round("upsample", 6).alias("upsample"))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.textstats import fingerprint
     return fingerprint(_read(spark, sf_dir, "documents"))
@@ -1029,6 +1109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
+        "rdfs_entail": q_rdfs_entail,
+        "bgp_star": q_bgp_star,
+        "mixture_weights": q_mixture_weights,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1364,6 +1447,101 @@ corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
 hits AS (SELECT DISTINCT doc_id, gram FROM corp JOIN bench USING (gram))
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
 FROM hits GROUP BY doc_id HAVING count(*) >= 1
+"""
+
+
+def _kg_schema_values() -> str:
+    """The shared schema literal as SQL VALUES rows."""
+    return ",\n  ".join(f"('{s}', '{p}', '{o}')"
+                        for s, p, o in _kg_schema_rows())
+
+
+def _rdfs_entail_oracle() -> str:
+    """Independent RDFS-entailment derivation: WITH RECURSIVE closures
+    over the same schema VALUES, rule joins in plain SQL."""
+    from jsonld_spark.operators.kg import (DOMAIN, RANGE, RDF_TYPE,
+                                           SUB_CLASS, SUB_PROP)
+    return f"""
+WITH
+t0 AS MATERIALIZED ({_DOC_TRIPLES_ORACLE}),
+t AS MATERIALIZED (
+  SELECT subj, pred, obj_value, obj_kind FROM t0
+  UNION ALL
+  SELECT '{_KG_EX}doc/'||doc_id, '{RDF_TYPE}',
+         '{_KG_EX}class/C'||(doc_id % 8), 'iri'
+  FROM documents),
+sch(s, p, o) AS (VALUES {_kg_schema_values()}),
+pclo AS MATERIALIZED (
+  WITH RECURSIVE r(sub, sup) AS (
+    SELECT s, o FROM sch WHERE p = '{SUB_PROP}'
+    UNION
+    SELECT r.sub, e.o FROM r
+    JOIN sch e ON e.p = '{SUB_PROP}' AND r.sup = e.s)
+  SELECT sub, sup FROM r),
+cclo AS MATERIALIZED (
+  WITH RECURSIVE r(sub, sup) AS (
+    SELECT s, o FROM sch WHERE p = '{SUB_CLASS}'
+    UNION
+    SELECT r.sub, e.o FROM r
+    JOIN sch e ON e.p = '{SUB_CLASS}' AND r.sup = e.s)
+  SELECT sub, sup FROM r),
+dom AS (
+  SELECT s AS prop, o AS cls FROM sch WHERE p = '{DOMAIN}'
+  UNION
+  SELECT pc.sub, d.o FROM pclo pc
+  JOIN sch d ON d.s = pc.sup AND d.p = '{DOMAIN}'),
+rng AS (
+  SELECT s AS prop, o AS cls FROM sch WHERE p = '{RANGE}'
+  UNION
+  SELECT pc.sub, d.o FROM pclo pc
+  JOIN sch d ON d.s = pc.sup AND d.p = '{RANGE}'),
+ent7 AS (SELECT t.subj, pc.sup AS pred, t.obj_value AS obj
+         FROM t JOIN pclo pc ON t.pred = pc.sub),
+ent2 AS (SELECT t.subj, '{RDF_TYPE}' AS pred, d.cls AS obj
+         FROM t JOIN dom d ON t.pred = d.prop),
+ent3 AS (SELECT t.obj_value AS subj, '{RDF_TYPE}' AS pred, r.cls AS obj
+         FROM t JOIN rng r ON t.pred = r.prop
+         WHERE t.obj_kind = 'iri'),
+alltypes AS (
+  SELECT subj, obj_value AS obj FROM t WHERE pred = '{RDF_TYPE}'
+  UNION ALL SELECT subj, obj FROM ent2
+  UNION ALL SELECT subj, obj FROM ent3
+  UNION ALL SELECT subj, obj FROM ent7 WHERE pred = '{RDF_TYPE}'),
+ent9 AS (SELECT ty.subj, '{RDF_TYPE}' AS pred, cc.sup AS obj
+         FROM alltypes ty JOIN cclo cc ON ty.obj = cc.sub)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT * FROM ent7
+  UNION ALL SELECT * FROM ent2
+  UNION ALL SELECT * FROM ent3
+  UNION ALL SELECT * FROM ent9)
+"""
+
+
+_BGP_STAR_ORACLE = f"""
+WITH t AS MATERIALIZED ({_DOC_TRIPLES_ORACLE}),
+m AS (SELECT subj AS d, obj_value AS media FROM t
+      WHERE pred = 'http://schema.org/associatedMedia'),
+l AS (SELECT subj AS d, obj_value AS lang FROM t
+      WHERE pred = 'http://schema.org/inLanguage'),
+s AS (SELECT subj AS d, obj_value AS src FROM t
+      WHERE pred = 'http://purl.org/dc/terms/source')
+SELECT DISTINCT d, media, lang, src
+FROM m JOIN l USING (d) JOIN s USING (d)
+"""
+
+_MIXTURE_ORACLE = """
+WITH per AS (
+  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS tw FROM per)
+SELECT grp, n_docs, n_tokens,
+       round(n_tokens / tt, 6) AS raw_share,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw, 6) AS weight,
+       round((pow(CAST(n_tokens AS DOUBLE), 0.5) / tw)
+             / (n_tokens / tt), 6) AS upsample
+FROM per, tot
 """
 
 
@@ -2046,6 +2224,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_repetition": _DOC_REPETITION_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
+        "rdfs_entail": _rdfs_entail_oracle(),
+        "bgp_star": _BGP_STAR_ORACLE,
+        "mixture_weights": _MIXTURE_ORACLE,
         "lang_id": _LANG_ORACLE,
         "corpus_profile": _CORPUS_PROFILE_ORACLE.format(
             lang=_LANG_ORACLE, tok=_TOKEN_BPE_ORACLE),

@@ -67,6 +67,39 @@ def stratified_hash_sample(df: DataFrame, fractions: dict[str, float],
     return df.where(_bucket(keys, salt, hash_fn) < thresh)
 
 
+def mixture_weights(docs: DataFrame, group_col: str = "lang",
+                    text_col: str = "text",
+                    alpha: float = 0.7) -> DataFrame:
+    """Temperature-scaled domain/language mixture weights — the
+    multilingual-corpus balancing rule (weight ∝ tokens^alpha,
+    normalized; alpha<1 upsamples low-resource groups, alpha=1 is
+    proportional). Returns one row per group:
+    (group, n_docs, n_tokens, raw_share, weight, upsample) where
+    ``upsample`` = weight/raw_share is the per-group replication
+    factor a sampler feeds into ``stratified_hash_sample``.
+
+    One groupBy over the corpus (partial-agg token sums), then the
+    normalization joins against a single-row global aggregate —
+    broadcast by construction. Output is group-cardinality rows, tiny
+    at any corpus size."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = (docs.groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(toks).alias("n_tokens")))
+    per = per.withColumn("w_raw", F.pow(F.col("n_tokens").cast("double"),
+                                        F.lit(float(alpha))))
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"),
+                  F.sum("w_raw").alias("tot_w"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("grp"), "n_docs", "n_tokens",
+                    (F.col("n_tokens") / F.col("tot_tokens"))
+                    .alias("raw_share"),
+                    (F.col("w_raw") / F.col("tot_w")).alias("weight"),
+                    ((F.col("w_raw") / F.col("tot_w"))
+                     / (F.col("n_tokens") / F.col("tot_tokens")))
+                    .alias("upsample")))
+
+
 def curate_corpus(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", min_quality: float = 0.5,
                   lang_fractions: dict[str, float] | None = None,

@@ -1,0 +1,138 @@
+"""BGP matching and RDFS entailment over the triples DataFrame."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonld_spark.operators.kg import (
+    DOMAIN,
+    RANGE,
+    RDF_TYPE,
+    SUB_CLASS,
+    SUB_PROP,
+    bgp_match,
+    rdfs_closure,
+)
+
+EX = "http://example.org/"
+
+
+@pytest.fixture()
+def triples(spark):
+    rows = [
+        ("d1", EX + "author", "alice", "iri"),
+        ("d1", EX + "lang", "en", "literal"),
+        ("d2", EX + "author", "alice", "iri"),
+        ("d2", EX + "lang", "de", "literal"),
+        ("d3", EX + "author", "bob", "iri"),
+        ("d3", EX + "lang", "en", "literal"),
+        ("d1", EX + "cites", "d2", "iri"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string")
+
+
+def test_bgp_star_join(triples):
+    got = bgp_match(triples, [("?d", EX + "author", "?a"),
+                              ("?d", EX + "lang", "en")])
+    assert sorted((r.d, r.a) for r in got.collect()) == [
+        ("d1", "alice"), ("d3", "bob")]
+
+
+def test_bgp_chain_and_var_order(triples):
+    got = bgp_match(triples, [("?x", EX + "cites", "?y"),
+                              ("?y", EX + "author", "?a")])
+    assert got.columns == ["x", "y", "a"]
+    assert [tuple(r) for r in got.collect()] == [("d1", "d2", "alice")]
+
+
+def test_bgp_repeated_var_in_one_pattern(spark):
+    t = spark.createDataFrame(
+        [("n1", EX + "self", "n1", "iri"), ("n1", EX + "self", "n2", "iri")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    got = bgp_match(t, [("?x", EX + "self", "?x")])
+    assert [r.x for r in got.collect()] == ["n1"]
+
+
+def test_bgp_rejects_cartesian(triples):
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(triples, [("?a", EX + "lang", "en"),
+                            ("?b", EX + "author", "alice")])
+
+
+def test_bgp_rejects_empty_and_malformed(triples):
+    with pytest.raises(ValueError, match="empty"):
+        bgp_match(triples, [])
+    with pytest.raises(ValueError, match="must be"):
+        bgp_match(triples, [("?a", "p")])  # type: ignore[list-item]
+
+
+def _schema(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string")
+
+
+def test_rdfs_domain_range_and_subclass(spark, triples):
+    schema = _schema(spark, [
+        (EX + "author", DOMAIN, EX + "Doc"),
+        (EX + "author", RANGE, EX + "Person"),
+        (EX + "Doc", SUB_CLASS, EX + "Work"),
+        (EX + "Work", SUB_CLASS, EX + "Thing"),
+    ])
+    got = {(r.subj, r.pred, r.obj)
+           for r in rdfs_closure(triples, schema).collect()}
+    # rdfs2 + transitive rdfs9
+    for cls in ("Doc", "Work", "Thing"):
+        assert ("d1", RDF_TYPE, EX + cls) in got
+    # rdfs3 only for IRI objects
+    assert ("alice", RDF_TYPE, EX + "Person") in got
+    assert not any(s == "en" for s, _, _ in got)
+
+
+def test_rdfs_subproperty_carries_domain(spark, triples):
+    schema = _schema(spark, [
+        (EX + "cites", SUB_PROP, EX + "related"),
+        (EX + "related", DOMAIN, EX + "Citing"),
+    ])
+    got = {(r.subj, r.pred, r.obj)
+           for r in rdfs_closure(triples, schema).collect()}
+    assert ("d1", EX + "related", "d2") in got          # rdfs7
+    assert ("d1", RDF_TYPE, EX + "Citing") in got       # composed domain
+
+
+def test_rdfs_cycle_terminates(spark, triples):
+    schema = _schema(spark, [
+        (EX + "A", SUB_CLASS, EX + "B"),
+        (EX + "B", SUB_CLASS, EX + "A"),
+        (EX + "author", DOMAIN, EX + "A"),
+    ])
+    got = {(r.subj, r.pred, r.obj)
+           for r in rdfs_closure(triples, schema).collect()}
+    assert ("d1", RDF_TYPE, EX + "A") in got
+    assert ("d1", RDF_TYPE, EX + "B") in got
+
+
+def test_rdfs_schema_size_guard(spark, triples):
+    schema = _schema(spark, [(f"c{i}", SUB_CLASS, f"c{i+1}")
+                             for i in range(10)])
+    with pytest.raises(ValueError, match="ontology"):
+        rdfs_closure(triples, schema, max_schema_rows=5)
+
+
+def test_mixture_weights_alpha(spark):
+    from jsonld_spark.operators.sampling import mixture_weights
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c d"), (2, "en", "e f g h"), (3, "de", "x y")],
+        "doc_id long, lang string, text string")
+    got = {r.grp: r for r in
+           mixture_weights(docs, alpha=0.5).collect()}
+    assert got["en"].n_tokens == 8 and got["de"].n_tokens == 2
+    assert abs(got["en"].raw_share - 0.8) < 1e-9
+    # alpha=0.5: weights ∝ sqrt(8):sqrt(2) = 2:1
+    assert abs(got["en"].weight - 2 / 3) < 1e-9
+    assert abs(got["de"].weight - 1 / 3) < 1e-9
+    # low-resource group upsampled, high-resource downsampled
+    assert got["de"].upsample > 1 > got["en"].upsample
+    # alpha=1 reproduces raw shares
+    got1 = {r.grp: r for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert abs(got1["en"].weight - got1["en"].raw_share) < 1e-9
