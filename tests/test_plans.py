@@ -256,3 +256,30 @@ def test_simhash_band_join_runs_over_distinct_hashes(spark):
         "doc_id long, simhash long")
     groups = simhash_groups(sims)
     assert groups.count() == 2  # 1000 replicas → one banding row
+
+
+def test_bgp_constants_push_to_scan(spark, tmp_path):
+    """bgp_match's constant terms must reach the parquet scan as
+    PushedFilters (the whole point of expressing BGP as declarative
+    joins over the triples table), and shared-variable joins must never
+    degenerate to a cartesian product."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "triples")
+    spark.createDataFrame(
+        [(f"s{i}", p, f"o{i % 7}", "g0") for i in range(200)
+         for p in ("p/name", "p/knows")],
+        "subj string, pred string, obj_value string, graph string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = bgp_match(triples, [
+        ("?x", "p/knows", "?y"),
+        ("?x", "p/name", "?n"),
+    ])
+    plan = _plan(q)
+    assert "EqualTo(pred,p/knows)" in plan
+    assert "EqualTo(pred,p/name)" in plan
+    assert "CartesianProduct" not in plan
+    # scan pruned to the referenced columns — the unused graph column
+    # never leaves the parquet reader
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans and all("graph" not in s for s in scans)
