@@ -76,6 +76,9 @@ EXTENDED = [
     "streaming_user_totals",
     "doc_repetition",
     "decontaminate",
+    "rdfs_entail",
+    "bgp_star",
+    "mixture_weights",
 ]
 
 
