@@ -779,6 +779,34 @@ def q_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup: the corpus keeps the first occurrence of
+    every 10-word window; docs are reassembled from surviving spans
+    (exact-dup replicas lose every span; originals keep them all)."""
+    from jsonld_spark.operators.dedup import span_dedup
+    return span_dedup(_read(spark, sf_dir, "documents"), span_words=10) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("n_spans").cast("long").alias("n_spans"),
+                F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+                "clean_text")
+
+
+def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path parent+ over a synthetic binary-tree parent
+    edge per document (doc i -> doc i//2): iterative doubling, one
+    fixpoint join per log2(depth)."""
+    from jsonld_spark.operators.kg import property_path
+    edges = _read(spark, sf_dir, "documents").where(F.col("doc_id") >= 1) \
+        .select(
+            F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+            F.lit(_KG_EX + "parent").alias("pred"),
+            F.concat(F.lit(_KG_EX + "doc/"),
+                     F.floor(F.col("doc_id") / 2).cast("long"))
+            .alias("obj_value"))
+    return property_path(edges, _KG_EX + "parent") \
+        .select("src", "dst")
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) language mixture weights — the
     corpus-balancing rule feeding stratified sampling."""
@@ -1111,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "rdfs_entail": q_rdfs_entail,
         "bgp_star": q_bgp_star,
+        "kg_paths": q_kg_paths,
+        "span_dedup": q_span_dedup,
         "mixture_weights": q_mixture_weights,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1527,6 +1557,50 @@ s AS (SELECT subj AS d, obj_value AS src FROM t
       WHERE pred = 'http://purl.org/dc/terms/source')
 SELECT DISTINCT d, media, lang, src
 FROM m JOIN l USING (d) JOIN s USING (d)
+"""
+
+_SPAN_DEDUP_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+spl AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(words) / 10.0) AS BIGINT)),
+           i -> array_to_string(
+                  words[(CAST(i AS INT)*10+1):(CAST(i AS INT)*10+10)],
+                  ' ')) AS spans
+  FROM w),
+sp AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, len(spans))) AS INT) AS pos,
+         unnest(spans) AS span
+  FROM spl),
+k AS (SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, pos) AS rn
+      FROM sp),
+agg AS (SELECT doc_id,
+               CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_spans_kept,
+               string_agg(span, ' ' ORDER BY pos)
+                 FILTER (rn = 1) AS clean_text
+        FROM k GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(ceil(len(string_split(d.text, ' ')) / 10.0) AS BIGINT)
+         AS n_spans,
+       coalesce(a.n_spans_kept, 0) AS n_spans_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+_KG_PATHS_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT '{_KG_EX}doc/' || doc_id AS src,
+             '{_KG_EX}doc/' || (doc_id // 2) AS dst
+      FROM documents WHERE doc_id >= 1),
+p(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
+SELECT DISTINCT src, dst FROM p
 """
 
 _MIXTURE_ORACLE = """
@@ -2226,6 +2300,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_ORACLE,
         "rdfs_entail": _rdfs_entail_oracle(),
         "bgp_star": _BGP_STAR_ORACLE,
+        "kg_paths": _KG_PATHS_ORACLE,
+        "span_dedup": _SPAN_DEDUP_ORACLE,
         "mixture_weights": _MIXTURE_ORACLE,
         "lang_id": _LANG_ORACLE,
         "corpus_profile": _CORPUS_PROFILE_ORACLE.format(

@@ -78,6 +78,8 @@ EXTENDED = [
     "decontaminate",
     "rdfs_entail",
     "bgp_star",
+    "kg_paths",
+    "span_dedup",
     "mixture_weights",
 ]
 

@@ -467,3 +467,56 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     hashes = F.transform(tokens, lambda tok: F.xxhash64(tok))
     return docs.select(id_col,
                        _simhash_from_hashes(hashes, bits).alias("simhash"))
+
+
+def span_dedup(docs: DataFrame, span_words: int = 10,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Span-level exact dedup (the C4 recipe at word-window grain): the
+    corpus keeps exactly ONE occurrence of every ``span_words``-word
+    non-overlapping window — the first in (id, position) order — later
+    occurrences are dropped and each document's text is reassembled
+    from its surviving spans. Returns one row per input document:
+    (id, clean_text, n_spans, n_spans_kept).
+
+    Plan shape for 100 TB: explode to (id, pos, span) rows; the
+    first-occurrence winner per span is a groupBy(span) min over a
+    (id, pos) struct — map-side partial min, so a boilerplate span
+    repeated 10^6 times still combines locally and crosses the shuffle
+    once per input partition, not once per occurrence. Survivors are an
+    equi-join of the exploded rows against the winner table on the span
+    key (1:1 per occurrence; a hot span is many-left × one-right, the
+    shape AQE skew-split handles), then one groupBy(id) rebuilds the
+    text with an in-group sort by position. Three key-hash shuffles
+    total, no window over a skewed key, no driver state.
+    """
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    winners = (exploded
+               .groupBy("span")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("pos").alias("p"))).alias("keep")))
+    kept = (exploded.join(winners, "span")
+            .where((F.col("keep.i") == F.col(id_col))
+                   & (F.col("keep.p") == F.col("pos"))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_spans_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos"), F.col("span")))),
+                            lambda s: s["span"]), " ").alias("clean_text")))
+    # documents whose every span lost keep an empty clean_text row
+    return (docs.select(F.col(id_col), n_spans.alias("n_spans"))
+            .join(rebuilt, id_col, "left")
+            .select(id_col, "n_spans",
+                    F.coalesce("n_spans_kept", F.lit(0).cast("long"))
+                    .alias("n_spans_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))

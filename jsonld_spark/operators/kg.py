@@ -200,3 +200,50 @@ def rdfs_closure(triples: DataFrame, schema: DataFrame,
     return (ent7.select("subj", "pred", "obj")
             .unionByName(ent2).unionByName(ent3).unionByName(ent9)
             .distinct())
+
+
+def property_path(triples: DataFrame, pred: str,
+                  s_col: str = "subj", p_col: str = "pred",
+                  o_col: str = "obj_value",
+                  max_rounds: int = 20) -> DataFrame:
+    """SPARQL property path ``pred+``: every (src, dst) pair connected
+    by a directed path of one or more ``pred`` edges. Unlike
+    ``rdfs_closure`` — whose transitive relations live in a SMALL
+    schema closed driver-side — this closes a relation inside the fact
+    table itself (deployment hierarchies, part-of chains, reply-to
+    threads), so the closure runs data-side.
+
+    Iterative doubling: after round r the path set holds every pair up
+    to 2^r hops, so a diameter-D relation converges in ceil(log2 D)
+    rounds — each one self-equi-join + distinct, lineage-cut so round
+    r+1 reads a materialized table instead of replaying r rounds of
+    joins. Cycles are safe: reflexive pairs are dropped each round and
+    ``distinct`` caps growth at |V|². ``max_rounds=20`` spans paths of
+    10^6 hops; a relation that has not converged by then raises rather
+    than silently truncating. Output size is the real scale bound —
+    O(V·D) for hierarchies (fine for taxonomy/thread shapes, the
+    intended use), O(V²) for dense cyclic relations (don't).
+    """
+    from ..session import cut_lineage
+    edges = (triples.where(F.col(p_col) == pred)
+             .select(F.col(s_col).alias("src"), F.col(o_col).alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    paths = cut_lineage(edges)
+    n = paths.count()
+    for _ in range(max_rounds):
+        hop = (paths.alias("a")
+               .join(paths.alias("b"), F.col("a.dst") == F.col("b.src"))
+               .select(F.col("a.src").alias("src"),
+                       F.col("b.dst").alias("dst")))
+        grown = cut_lineage(paths.unionByName(hop)
+                            .where(F.col("src") != F.col("dst"))
+                            .distinct())
+        m = grown.count()
+        if m == n:
+            return grown
+        paths, n = grown, m
+    raise RuntimeError(
+        f"property_path: no fixpoint after {max_rounds} doubling rounds "
+        f"(paths of 2^{max_rounds} hops) — relation too deep or growing "
+        "pathologically; raise max_rounds only if that is expected")

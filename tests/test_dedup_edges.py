@@ -228,3 +228,33 @@ def test_decontaminate_flags_shared_ngrams(spark):
     strict = {r.doc_id for r in
               decontaminate(corpus, bench, n=5, min_hits=3).collect()}
     assert strict <= {1, 3}
+
+
+def test_span_dedup_first_occurrence_and_reassembly(spark):
+    from jsonld_spark.operators.dedup import span_dedup
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),       # spans: "a b", "c d"
+         (2, "c d a b"),       # both spans already seen -> empty
+         (3, "a b x y")],      # "a b" seen, keeps "x y"
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(docs, span_words=2).collect()}
+    assert (got[1].clean_text, got[1].n_spans, got[1].n_spans_kept) \
+        == ("a b c d", 2, 2)
+    assert (got[2].clean_text, got[2].n_spans_kept) == ("", 0)
+    assert (got[3].clean_text, got[3].n_spans_kept) == ("x y", 1)
+
+
+def test_span_dedup_giant_dup_group_and_partial_tail(spark):
+    from jsonld_spark.operators.dedup import span_dedup
+    # 500 replicas of one span + a doc with a partial trailing span
+    docs = spark.createDataFrame(
+        [(i, "same old boilerplate") for i in range(500)]
+        + [(1000, "same old boilerplate plus tail")],
+        "doc_id long, text string")
+    out = span_dedup(docs, span_words=3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].clean_text == "same old boilerplate"
+    assert all(got[i].n_spans_kept == 0 for i in range(1, 500))
+    # doc 1000: first span is the dup, tail span "plus tail" survives
+    assert got[1000].n_spans == 2 and got[1000].clean_text == "plus tail"
+    assert out.count() == 501

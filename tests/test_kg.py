@@ -136,3 +136,41 @@ def test_mixture_weights_alpha(spark):
     # alpha=1 reproduces raw shares
     got1 = {r.grp: r for r in mixture_weights(docs, alpha=1.0).collect()}
     assert abs(got1["en"].weight - got1["en"].raw_share) < 1e-9
+
+
+def test_property_path_chain_and_branching(spark):
+    from jsonld_spark.operators.kg import property_path
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("x", "p", "b"),                    # second branch into b
+            ("a", "other", "zzz")]              # different predicate
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string")
+    got = {(r.src, r.dst) for r in property_path(t, "p").collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "c"), ("b", "d"), ("c", "d"),
+                   ("x", "b"), ("x", "c"), ("x", "d")}
+
+
+def test_property_path_cycle_terminates(spark):
+    from jsonld_spark.operators.kg import property_path
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")],
+        "subj string, pred string, obj_value string")
+    got = {(r.src, r.dst) for r in property_path(t, "p").collect()}
+    # full 3-cycle: everyone reaches everyone else; reflexive dropped
+    assert got == {(x, y) for x in "abc" for y in "abc" if x != y}
+
+
+def test_property_path_deep_chain_log_rounds(spark):
+    from jsonld_spark.operators.kg import property_path
+    n = 200
+    t = spark.createDataFrame(
+        [(f"n{i}", "p", f"n{i+1}") for i in range(n)],
+        "subj string, pred string, obj_value string")
+    # depth 200 needs only ceil(log2(200)) = 8 doubling rounds
+    out = property_path(t, "p", max_rounds=9)
+    assert out.count() == n * (n + 1) // 2
+    # and an undersized round budget raises instead of truncating
+    import pytest
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        property_path(t, "p", max_rounds=3)
