@@ -779,6 +779,26 @@ def q_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a SPARQL OPTIONAL clause: every doc's media plus its
+    reviewer where one exists (deterministic: docs with doc_id % 3 == 0
+    carry an ex:reviewedBy triple; the other two thirds bind null)."""
+    from jsonld_spark.operators.kg import bgp_match
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value").unionByName(reviews)
+    return bgp_match(triples, [
+        ("?d", "http://schema.org/associatedMedia", "?media"),
+    ], optional=[
+        ("?d", _KG_EX + "reviewedBy", "?reviewer"),
+    ])
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style span dedup: the corpus keeps the first occurrence of
     every 10-word window; docs are reassembled from surviving spans
@@ -1139,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "rdfs_entail": q_rdfs_entail,
         "bgp_star": q_bgp_star,
+        "bgp_optional": q_bgp_optional,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
         "mixture_weights": q_mixture_weights,
@@ -1590,6 +1611,17 @@ SELECT d.doc_id,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+_BGP_OPTIONAL_ORACLE = f"""
+WITH t AS MATERIALIZED ({{doc_triples}}),
+m AS (SELECT DISTINCT subj AS d, obj_value AS media FROM t
+      WHERE pred = 'http://schema.org/associatedMedia'),
+r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
+             '{_KG_EX}reviewer/' || (doc_id % 5) AS reviewer
+      FROM documents WHERE doc_id % 3 = 0)
+SELECT m.d, m.media, r.reviewer
+FROM m LEFT JOIN r ON m.d = r.d
+""".replace("{doc_triples}", "{0}")
 
 _KG_PATHS_ORACLE = f"""
 WITH RECURSIVE

@@ -33,13 +33,42 @@ DOMAIN = RDFS + "domain"
 RANGE = RDFS + "range"
 
 
+def _pattern_step(triples: DataFrame, pat: tuple[str, str, str], i: int,
+                  pos_cols: tuple[str, str, str]) -> tuple[DataFrame,
+                                                           list[str]]:
+    """One triple pattern → (filtered projection, its variable names)."""
+    if len(pat) != 3:
+        raise ValueError(f"pattern {i} must be (s, p, o), got {pat!r}")
+    step = triples
+    rename: dict[str, str] = {}
+    for term, col in zip(pat, pos_cols):
+        if term.startswith("?"):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"pattern {i}: bare '?' term")
+            if var in rename.values():
+                # same var twice in one pattern: equality filter
+                prev = next(c for c, v in rename.items() if v == var)
+                step = step.where(F.col(col) == F.col(prev))
+            else:
+                rename[col] = var
+        else:
+            step = step.where(F.col(col) == term)
+    return (step.select(*[F.col(c).alias(v) for c, v in rename.items()]),
+            list(rename.values()))
+
+
 def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
+              optional: list[tuple[str, str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value") -> DataFrame:
     """Match a SPARQL-style basic graph pattern: ``patterns`` is a list
     of (subject, predicate, object) terms where a term starting with
     ``?`` is a variable and anything else a constant. Returns one
     column per variable (first-appearance order), one row per binding.
+    ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
+    on its shared variables, binding its new variables where it
+    matches and null where it doesn't (rows are never dropped).
 
     Plan shape: each pattern is a filtered projection of the triples
     scan — constants become pushed-down filters (``PushedFilters`` on
@@ -47,9 +76,9 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     laid out that way) — and patterns sharing a variable join on it.
     Join ORDER is left to Catalyst/AQE: selective patterns produce
     small sides that AQE converts to broadcast joins at runtime.
-    Patterns that share no variable with what came before would be a
-    cartesian product; that is almost always a query bug at scale, so
-    it raises instead of silently exploding.
+    Patterns (required or optional) that share no variable with what
+    came before would be a cartesian product; that is almost always a
+    query bug at scale, so it raises instead of silently exploding.
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -57,36 +86,33 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     out: DataFrame | None = None
     bound: list[str] = []
     for i, pat in enumerate(patterns):
-        if len(pat) != 3:
-            raise ValueError(f"pattern {i} must be (s, p, o), got {pat!r}")
-        step = triples
-        rename: dict[str, str] = {}
-        for term, col in zip(pat, pos_cols):
-            if term.startswith("?"):
-                var = term[1:]
-                if not var:
-                    raise ValueError(f"pattern {i}: bare '?' term")
-                if var in rename.values():
-                    # same var twice in one pattern: equality filter
-                    prev = next(c for c, v in rename.items() if v == var)
-                    step = step.where(F.col(col) == F.col(prev))
-                else:
-                    rename[col] = var
-            else:
-                step = step.where(F.col(col) == term)
-        step = step.select(
-            *[F.col(c).alias(v) for c, v in rename.items()])
+        step, step_vars = _pattern_step(triples, pat, i, pos_cols)
         if out is None:
-            out, bound = step, list(rename.values())
+            out, bound = step, step_vars
             continue
-        shared = [v for v in rename.values() if v in bound]
+        shared = [v for v in step_vars if v in bound]
         if not shared:
             raise ValueError(
                 f"pattern {i} shares no variable with earlier patterns "
                 "— a cartesian product; reorder or constrain the query")
         out = out.join(step, shared)
-        bound += [v for v in rename.values() if v not in bound]
-    return out.select(*bound).distinct()
+        bound += [v for v in step_vars if v not in bound]
+    # required bindings are set-distinct BEFORE optionals so an input
+    # with duplicate triples cannot multiply optional matches
+    out = out.select(*bound).distinct()
+    for i, pat in enumerate(optional or []):
+        step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+        shared = [v for v in step_vars if v in bound]
+        new = [v for v in step_vars if v not in bound]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {i} shares no variable with the "
+                "required patterns — a cartesian product")
+        if new:
+            step = step.dropDuplicates(step_vars)
+        out = out.join(step, shared, "left")
+        bound += new
+    return out.select(*bound)
 
 
 def _driver_closure(edges: list[tuple[str, str]]) -> set[tuple[str, str]]:

@@ -54,6 +54,27 @@ def test_bgp_repeated_var_in_one_pattern(spark):
     assert [r.x for r in got.collect()] == ["n1"]
 
 
+def test_bgp_optional_binds_null_where_unmatched(triples):
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")])
+    assert got.columns == ["d", "a", "c"]
+    assert sorted((r.d, r.a, r.c) for r in got.collect()) == [
+        ("d1", "alice", "d2"), ("d2", "alice", None), ("d3", "bob", None)]
+
+
+def test_bgp_optional_duplicate_triples_do_not_multiply(spark, triples):
+    dup = triples.unionByName(triples)   # every triple twice
+    got = bgp_match(dup, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")])
+    assert got.count() == 3
+
+
+def test_bgp_optional_rejects_disjoint(triples):
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(triples, [("?d", EX + "author", "?a")],
+                  optional=[("?x", EX + "lang", "en")])
+
+
 def test_bgp_rejects_cartesian(triples):
     with pytest.raises(ValueError, match="cartesian"):
         bgp_match(triples, [("?a", EX + "lang", "en"),
