@@ -799,6 +799,66 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bgp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a SPARQL FILTER: docs with their size and language,
+    restricted to nChars >= 300 (a value filter over a bound var)."""
+    from jsonld_spark.operators.kg import bgp_match
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return bgp_match(triples, [
+        ("?d", "http://example.org/nChars", "?nc"),
+        ("?d", "http://schema.org/inLanguage", "?lang"),
+    ], filters=["cast(nc as int) >= 300"])
+
+
+def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION of two branches binding different variables: docs
+    from source src1 (src unbound/null) union German docs with their
+    source bound."""
+    from jsonld_spark.operators.kg import bgp_union
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return bgp_union(triples, [
+        [("?d", "http://purl.org/dc/terms/source", "src1")],
+        [("?d", "http://schema.org/inLanguage", "de"),
+         ("?d", "http://purl.org/dc/terms/source", "?src")],
+    ])
+
+
+def q_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-style validation over doc triples with deterministic
+    injected defects: docs doc_id % 7 == 0 lose their associatedMedia
+    triple (minCount), % 13 get a .png media IRI (pattern), % 11 gain
+    a second inLanguage literal (maxCount)."""
+    from jsonld_spark.operators.kg import Shape, shacl_validate
+    ASSOC = "http://schema.org/associatedMedia"
+    LANGP = "http://schema.org/inLanguage"
+    TEXT = "http://schema.org/text"
+    t = (q_jsonld_doc_triples(spark, sf_dir)
+         .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
+                     .cast("long")))
+    base = (t.where(~((F.col("pred") == ASSOC) & (F.col("_n") % 7 == 0)))
+            .withColumn("obj_value",
+                        F.when((F.col("pred") == ASSOC)
+                               & (F.col("_n") % 13 == 0),
+                               F.regexp_replace("obj_value", "\\.jpg$",
+                                                ".png"))
+                        .otherwise(F.col("obj_value"))))
+    extra = (t.where((F.col("pred") == TEXT) & (F.col("_n") % 11 == 0))
+             .select("subj", F.lit(LANGP).alias("pred"),
+                     F.lit("literal").alias("obj_kind"),
+                     F.lit("xx").alias("obj_value"),
+                     F.lit(XSD + "string").alias("obj_datatype")))
+    cols = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype"]
+    triples = base.select(*cols).unionByName(extra.select(*cols))
+    return shacl_validate(triples, [
+        Shape("media", path=ASSOC, targets=TEXT, min_count=1,
+              max_count=1, node_kind="iri", pattern="\\.jpg$"),
+        Shape("lang", path=LANGP, targets=TEXT, max_count=1,
+              node_kind="literal"),
+    ])
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style span dedup: the corpus keeps the first occurrence of
     every 10-word window; docs are reassembled from surviving spans
@@ -1160,6 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail": q_rdfs_entail,
         "bgp_star": q_bgp_star,
         "bgp_optional": q_bgp_optional,
+        "bgp_filter": q_bgp_filter,
+        "bgp_union": q_bgp_union,
+        "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
         "mixture_weights": q_mixture_weights,
@@ -1622,6 +1685,81 @@ r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
 SELECT m.d, m.media, r.reviewer
 FROM m LEFT JOIN r ON m.d = r.d
 """.replace("{doc_triples}", "{0}")
+
+_BGP_FILTER_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+n AS (SELECT subj AS d, obj_value AS nc FROM t
+      WHERE pred = 'http://example.org/nChars'),
+l AS (SELECT subj AS d, obj_value AS lang FROM t
+      WHERE pred = 'http://schema.org/inLanguage')
+SELECT DISTINCT n.d, n.nc, l.lang
+FROM n JOIN l USING (d)
+WHERE CAST(n.nc AS INT) >= 300
+"""
+
+_BGP_UNION_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+b1 AS (SELECT DISTINCT subj AS d, CAST(NULL AS VARCHAR) AS src FROM t
+       WHERE pred = 'http://purl.org/dc/terms/source'
+         AND obj_value = 'src1'),
+b2 AS (SELECT DISTINCT g.subj AS d, s.obj_value AS src
+       FROM t g JOIN t s
+         ON g.subj = s.subj AND s.pred = 'http://purl.org/dc/terms/source'
+       WHERE g.pred = 'http://schema.org/inLanguage'
+         AND g.obj_value = 'de')
+SELECT DISTINCT d, src
+FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+"""
+
+_SHACL_ORACLE = """
+WITH t0 AS MATERIALIZED ({0}),
+tn AS (SELECT t0.*,
+              CAST(regexp_extract(doc_id, '([0-9]+)', 1) AS BIGINT) AS n
+       FROM t0),
+t AS (
+  SELECT subj, pred, obj_kind,
+         CASE WHEN pred = 'http://schema.org/associatedMedia'
+                   AND n % 13 = 0
+              THEN regexp_replace(obj_value, '\\.jpg$', '.png')
+              ELSE obj_value END AS obj_value
+  FROM tn
+  WHERE NOT (pred = 'http://schema.org/associatedMedia' AND n % 7 = 0)
+  UNION ALL
+  SELECT subj, 'http://schema.org/inLanguage', 'literal', 'xx'
+  FROM tn WHERE pred = 'http://schema.org/text' AND n % 11 = 0
+),
+focus AS (SELECT DISTINCT subj AS focus FROM t
+          WHERE pred = 'http://schema.org/text'),
+media AS (SELECT subj AS focus, obj_value AS value, obj_kind FROM t
+          WHERE pred = 'http://schema.org/associatedMedia'),
+mcnt AS (SELECT f.focus, count(DISTINCT m.value) AS cnt
+         FROM focus f LEFT JOIN media m USING (focus) GROUP BY f.focus),
+lang AS (SELECT subj AS focus, obj_value AS value, obj_kind FROM t
+         WHERE pred = 'http://schema.org/inLanguage'),
+lcnt AS (SELECT f.focus, count(DISTINCT l.value) AS cnt
+         FROM focus f LEFT JOIN lang l USING (focus) GROUP BY f.focus)
+SELECT DISTINCT * FROM (
+  SELECT 'media' AS shape_id, focus, 'minCount' AS constraint_kind,
+         CAST(cnt AS VARCHAR) AS value
+  FROM mcnt WHERE cnt < 1
+  UNION ALL
+  SELECT 'media', focus, 'maxCount', CAST(cnt AS VARCHAR)
+  FROM mcnt WHERE cnt > 1
+  UNION ALL
+  SELECT 'media', m.focus, 'nodeKind', m.value
+  FROM media m JOIN focus USING (focus) WHERE m.obj_kind <> 'iri'
+  UNION ALL
+  SELECT 'media', m.focus, 'pattern', m.value
+  FROM media m JOIN focus USING (focus)
+  WHERE NOT regexp_matches(m.value, '\\.jpg$')
+  UNION ALL
+  SELECT 'lang', focus, 'maxCount', CAST(cnt AS VARCHAR)
+  FROM lcnt WHERE cnt > 1
+  UNION ALL
+  SELECT 'lang', l.focus, 'nodeKind', l.value
+  FROM lang l JOIN focus USING (focus) WHERE l.obj_kind <> 'literal'
+)
+"""
 
 _KG_PATHS_ORACLE = f"""
 WITH RECURSIVE
@@ -2332,6 +2470,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_ORACLE,
         "rdfs_entail": _rdfs_entail_oracle(),
         "bgp_star": _BGP_STAR_ORACLE,
+        "bgp_optional": _BGP_OPTIONAL_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_filter": _BGP_FILTER_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_union": _BGP_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "kg_paths": _KG_PATHS_ORACLE,
         "span_dedup": _SPAN_DEDUP_ORACLE,
         "mixture_weights": _MIXTURE_ORACLE,

@@ -22,6 +22,8 @@ re-expressed Spark-first here:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,6 +62,7 @@ def _pattern_step(triples: DataFrame, pat: tuple[str, str, str], i: int,
 
 def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
+              filters: list[str] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value") -> DataFrame:
     """Match a SPARQL-style basic graph pattern: ``patterns`` is a list
@@ -69,6 +72,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
     on its shared variables, binding its new variables where it
     matches and null where it doesn't (rows are never dropped).
+    ``filters`` are SPARQL FILTER expressions as Spark SQL boolean
+    strings over the variable names (e.g. ``"cast(n as int) >= 300"``),
+    applied after all patterns. Like SPARQL's error-drops-the-solution
+    rule, a comparison against an unbound (null) optional variable is
+    null and the row is dropped — test for boundness explicitly with
+    ``"x IS NULL"`` / ``"x IS NOT NULL"``. Filters referencing only
+    required variables are pushed down through the joins by Catalyst.
 
     Plan shape: each pattern is a filtered projection of the triples
     scan — constants become pushed-down filters (``PushedFilters`` on
@@ -112,7 +122,41 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             step = step.dropDuplicates(step_vars)
         out = out.join(step, shared, "left")
         bound += new
-    return out.select(*bound)
+    out = out.select(*bound)
+    for expr in filters or []:
+        out = out.where(F.expr(expr))
+    return out
+
+
+def bgp_union(triples: DataFrame,
+              branches: list[list[tuple[str, str, str]]],
+              s_col: str = "subj", p_col: str = "pred",
+              o_col: str = "obj_value") -> DataFrame:
+    """SPARQL UNION: match each branch (a BGP pattern list) and take
+    the set union of the solution sets. Branches may bind different
+    variables — a variable absent from a branch is null in its rows
+    (SPARQL's unbound), and the output carries the union of all
+    variables in first-appearance order across branches.
+
+    Plan shape: each branch is an independent ``bgp_match`` join tree;
+    the union is a zero-shuffle concatenation and the final distinct
+    one hash aggregate. Branch trees are planned independently, so a
+    selective branch still broadcasts even when a sibling is large.
+    """
+    if not branches:
+        raise ValueError("empty branch list")
+    outs = [bgp_match(triples, b, s_col=s_col, p_col=p_col, o_col=o_col)
+            for b in branches]
+    all_vars: list[str] = []
+    for o in outs:
+        all_vars += [v for v in o.columns if v not in all_vars]
+    aligned = [o.select(*[F.col(v) if v in o.columns
+                          else F.lit(None).cast("string").alias(v)
+                          for v in all_vars]) for o in outs]
+    out = aligned[0]
+    for o in aligned[1:]:
+        out = out.unionByName(o)
+    return out.distinct()
 
 
 def _driver_closure(edges: list[tuple[str, str]]) -> set[tuple[str, str]]:
@@ -273,3 +317,137 @@ def property_path(triples: DataFrame, pred: str,
         f"property_path: no fixpoint after {max_rounds} doubling rounds "
         f"(paths of 2^{max_rounds} hops) — relation too deep or growing "
         "pathologically; raise max_rounds only if that is expected")
+
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+_NODE_KINDS = ("iri", "literal", "blank")
+
+
+@dataclass(frozen=True)
+class Shape:
+    """One SHACL-style property shape (the sh:property subset that
+    matters for KG-construction quality gates; cf. W3C SHACL Core).
+
+    Focus selection: ``target_class`` (subjects with rdf:type that
+    class), else ``targets`` (subjects having at least one value for
+    that predicate), else every distinct subject. ``path`` is the
+    constrained predicate. Constraint fields are independent — any
+    subset may be set:
+
+    * ``min_count`` / ``max_count`` — cardinality of DISTINCT values
+      per focus node (triple-set semantics: duplicate rows of the same
+      triple are one value node).
+    * ``node_kind`` — 'iri' | 'literal' | 'blank'.
+    * ``datatype`` — required literal datatype IRI (absent datatype on
+      a literal means xsd:string, per RDF 1.1); non-literals violate.
+    * ``pattern`` — regex the value must match (Spark ``rlike``).
+    * ``in_set`` — closed value set.
+    * ``value_class`` — values must be IRIs with rdf:type that class.
+    """
+    shape_id: str
+    path: str
+    targets: str | None = None
+    target_class: str | None = None
+    min_count: int | None = None
+    max_count: int | None = None
+    node_kind: str | None = None
+    datatype: str | None = None
+    pattern: str | None = None
+    in_set: tuple[str, ...] | None = None
+    value_class: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.node_kind is not None and self.node_kind not in _NODE_KINDS:
+            raise ValueError(f"node_kind must be one of {_NODE_KINDS}")
+        if not any(getattr(self, f) is not None for f in
+                   ("min_count", "max_count", "node_kind", "datatype",
+                    "pattern", "in_set", "value_class")):
+            raise ValueError(f"shape {self.shape_id!r} has no constraints")
+
+
+def shacl_validate(triples: DataFrame, shapes: list[Shape],
+                   s_col: str = "subj", p_col: str = "pred",
+                   o_col: str = "obj_value", kind_col: str = "obj_kind",
+                   dt_col: str = "obj_datatype",
+                   type_pred: str = RDF_TYPE) -> DataFrame:
+    """Validate the triples table against SHACL-style shapes, returning
+    violation rows (shape_id, focus, constraint_kind, value) — empty
+    when the graph conforms. ``value`` is the offending value, or the
+    observed distinct-value count for cardinality violations.
+
+    Plan shape (per shape; shapes are a small driver-side list): the
+    ``path``/target predicate filters push down to the scan; the
+    cardinality check is one subj-keyed count-distinct aggregate
+    (map-side partial agg) left-joined to the focus set; value checks
+    are filters over the path scan semi-joined to the focus set (AQE
+    broadcasts whichever side is small); ``value_class`` is an
+    anti-join against the typed-subject set. Nothing is quadratic and
+    no driver collect happens — at 10^12 docs each shape costs one or
+    two subj-keyed shuffles over only its predicate's triples.
+    """
+    if not shapes:
+        raise ValueError("empty shape list")
+    viols: list[DataFrame] = []
+    out_cols = ["shape_id", "focus", "constraint_kind", "value"]
+
+    def emit(df: DataFrame, shape_id: str, kind: str,
+             value_col) -> None:
+        viols.append(df.select(
+            F.lit(shape_id).alias("shape_id"), "focus",
+            F.lit(kind).alias("constraint_kind"),
+            value_col.cast("string").alias("value")))
+
+    for sh in shapes:
+        if sh.target_class is not None:
+            focus = triples.where((F.col(p_col) == type_pred)
+                                  & (F.col(o_col) == sh.target_class))
+        elif sh.targets is not None:
+            focus = triples.where(F.col(p_col) == sh.targets)
+        else:
+            focus = triples
+        focus = focus.select(F.col(s_col).alias("focus")).distinct()
+        vals = (triples.where(F.col(p_col) == sh.path)
+                .select(F.col(s_col).alias("focus"),
+                        F.col(o_col).alias("value"),
+                        F.col(kind_col).alias("_kind"),
+                        F.col(dt_col).alias("_dt")))
+        if sh.min_count is not None or sh.max_count is not None:
+            cnt = vals.groupBy("focus").agg(
+                F.countDistinct("value").alias("_n"))
+            card = (focus.join(cnt, "focus", "left")
+                    .withColumn("_n", F.coalesce("_n", F.lit(0))))
+            if sh.min_count is not None:
+                emit(card.where(F.col("_n") < sh.min_count),
+                     sh.shape_id, "minCount", F.col("_n"))
+            if sh.max_count is not None:
+                emit(card.where(F.col("_n") > sh.max_count),
+                     sh.shape_id, "maxCount", F.col("_n"))
+        fvals = vals.join(focus, "focus", "semi")
+        if sh.node_kind is not None:
+            emit(fvals.where(F.col("_kind") != sh.node_kind),
+                 sh.shape_id, "nodeKind", F.col("value"))
+        if sh.datatype is not None:
+            emit(fvals.where((F.col("_kind") != "literal")
+                             | (F.coalesce("_dt", F.lit(XSD_STRING))
+                                != sh.datatype)),
+                 sh.shape_id, "datatype", F.col("value"))
+        if sh.pattern is not None:
+            emit(fvals.where(~F.col("value").rlike(sh.pattern)),
+                 sh.shape_id, "pattern", F.col("value"))
+        if sh.in_set is not None:
+            emit(fvals.where(~F.col("value").isin(list(sh.in_set))),
+                 sh.shape_id, "in", F.col("value"))
+        if sh.value_class is not None:
+            typed = (triples.where((F.col(p_col) == type_pred)
+                                   & (F.col(o_col) == sh.value_class))
+                     .select(F.col(s_col).alias("value")).distinct())
+            bad_kind = fvals.where(F.col("_kind") != "iri")
+            unlinked = (fvals.where(F.col("_kind") == "iri")
+                        .join(typed, "value", "anti"))
+            emit(bad_kind.unionByName(unlinked),
+                 sh.shape_id, "class", F.col("value"))
+    out = viols[0]
+    for v in viols[1:]:
+        out = out.unionByName(v)
+    return out.select(*out_cols).distinct()

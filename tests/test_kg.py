@@ -75,6 +75,39 @@ def test_bgp_optional_rejects_disjoint(triples):
                   optional=[("?x", EX + "lang", "en")])
 
 
+def test_bgp_filter_and_unbound_comparison_drops(triples):
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    filters=["a = 'alice'"])
+    assert sorted((r.d, r.c) for r in got.collect()) == [
+        ("d1", "d2"), ("d2", None)]
+    # comparison against an unbound optional var drops the row (SPARQL
+    # error semantics); explicit IS NULL keeps it
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    filters=["c = 'd2'"])
+    assert [(r.d, r.c) for r in got.collect()] == [("d1", "d2")]
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    filters=["c IS NULL"])
+    assert sorted(r.d for r in got.collect()) == ["d2", "d3"]
+
+
+def test_bgp_union_aligns_vars_and_dedups(triples):
+    from jsonld_spark.operators.kg import bgp_union
+    got = bgp_union(triples, [
+        [("?d", EX + "lang", "en")],
+        [("?d", EX + "author", "alice"), ("?d", EX + "lang", "?l")],
+    ])
+    assert got.columns == ["d", "l"]
+    rows = sorted(((r.d, r.l) for r in got.collect()),
+                  key=lambda t: (t[0], t[1] or ""))
+    assert rows == [("d1", None), ("d1", "en"),
+                    ("d2", "de"), ("d3", None)]
+    with pytest.raises(ValueError, match="empty"):
+        bgp_union(triples, [])
+
+
 def test_bgp_rejects_cartesian(triples):
     with pytest.raises(ValueError, match="cartesian"):
         bgp_match(triples, [("?a", EX + "lang", "en"),
@@ -195,3 +228,80 @@ def test_property_path_deep_chain_log_rounds(spark):
     import pytest
     with pytest.raises(RuntimeError, match="fixpoint"):
         property_path(t, "p", max_rounds=3)
+
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+@pytest.fixture()
+def typed_triples(spark):
+    T = RDF_TYPE
+    rows = [
+        # docs: d1 conforms; d2 missing name; d3 two names + bad page
+        ("d1", T, EX + "Doc", "iri", None),
+        ("d2", T, EX + "Doc", "iri", None),
+        ("d3", T, EX + "Doc", "iri", None),
+        ("d1", EX + "name", "Alpha", "literal", XSD + "string"),
+        ("d3", EX + "name", "Beta", "literal", XSD + "string"),
+        ("d3", EX + "name", "Gamma", "literal", None),  # absent dt = string
+        ("d1", EX + "page", "http://x/p1", "iri", None),
+        ("d3", EX + "page", "not a url", "literal", None),
+        ("d1", EX + "author", "a1", "iri", None),
+        ("d3", EX + "author", "a9", "iri", None),   # a9 untyped
+        ("a1", T, EX + "Person", "iri", None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, "
+              "obj_kind string, obj_datatype string")
+
+
+def test_shacl_cardinality_and_datatype(typed_triples):
+    from jsonld_spark.operators.kg import Shape, shacl_validate
+    got = shacl_validate(typed_triples, [Shape(
+        "name", path=EX + "name", target_class=EX + "Doc",
+        min_count=1, max_count=1, datatype=XSD + "string")])
+    assert sorted((r.focus, r.constraint_kind, r.value)
+                  for r in got.collect()) == [
+        ("d2", "minCount", "0"), ("d3", "maxCount", "2")]
+
+
+def test_shacl_nodekind_pattern_in_and_class(typed_triples):
+    from jsonld_spark.operators.kg import Shape, shacl_validate
+    got = shacl_validate(typed_triples, [
+        Shape("page", path=EX + "page", target_class=EX + "Doc",
+              node_kind="iri", pattern="^https?://"),
+        Shape("auth", path=EX + "author", target_class=EX + "Doc",
+              value_class=EX + "Person"),
+        Shape("name-set", path=EX + "name", targets=EX + "name",
+              in_set=("Alpha", "Beta")),
+    ])
+    rows = sorted((r.shape_id, r.focus, r.constraint_kind, r.value)
+                  for r in got.collect())
+    assert rows == [
+        ("auth", "d3", "class", "a9"),
+        ("name-set", "d3", "in", "Gamma"),
+        ("page", "d3", "nodeKind", "not a url"),
+        ("page", "d3", "pattern", "not a url"),
+    ]
+
+
+def test_shacl_duplicate_triples_count_once(spark, typed_triples):
+    from jsonld_spark.operators.kg import Shape, shacl_validate
+    dup = typed_triples.unionByName(typed_triples)
+    got = shacl_validate(dup, [Shape(
+        "name", path=EX + "name", target_class=EX + "Doc",
+        min_count=1, max_count=1)])
+    # d1's duplicated single name is still ONE value node (no maxCount
+    # violation); d3's two distinct names still violate once
+    assert sorted((r.focus, r.constraint_kind) for r in got.collect()) == [
+        ("d2", "minCount"), ("d3", "maxCount")]
+
+
+def test_shacl_rejects_empty_and_unconstrained(typed_triples):
+    from jsonld_spark.operators.kg import Shape, shacl_validate
+    with pytest.raises(ValueError, match="empty"):
+        shacl_validate(typed_triples, [])
+    with pytest.raises(ValueError, match="no constraints"):
+        Shape("s", path=EX + "name")
+    with pytest.raises(ValueError, match="node_kind"):
+        Shape("s", path=EX + "name", node_kind="uri")
