@@ -825,6 +825,111 @@ def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_construct_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT: derive a new graph inverting associatedMedia
+    into ex:mediaOf edges, plus ex:checkedBy provenance where a
+    reviewer exists (OPTIONAL; unbound solutions skip that template
+    triple per SPARQL)."""
+    from jsonld_spark.operators.kg import construct
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value").unionByName(reviews)
+    return construct(
+        triples,
+        [("?d", "http://schema.org/associatedMedia", "?m")],
+        [("?m", _KG_EX + "mediaOf", "?d"),
+         ("?m", _KG_EX + "checkedBy", "?r")],
+        optional=[("?d", _KG_EX + "reviewedBy", "?r")])
+
+
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume KG materialization end to end: docs with
+    doc_id % 10 != 0 are materialized (subject-bucket partitions, one
+    lineage manifest each), then the remaining tenth arrive as an
+    upsert batch that ALSO re-sends docs doc_id % 20 == 5 (replacement
+    must be idempotent, not append) while docs doc_id % 30 == 7 are
+    deleted. The read-back graph must equal the one-shot oracle over
+    all docs minus the deleted ones — duplicates from a broken
+    replace-path would fail the row-count gate."""
+    import os
+    import tempfile
+
+    from jsonld_spark.operators.materialize import (materialize_graph,
+                                                    read_graph,
+                                                    upsert_documents)
+    cols = ["doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+            "obj_datatype", "obj_lang"]
+    t = (q_jsonld_doc_triples(spark, sf_dir)
+         .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
+                     .cast("long")))
+    out = os.path.join(tempfile.mkdtemp(prefix="kg_incr_q_"), "graph")
+    materialize_graph(t.where(F.col("_n") % 10 != 0).select(*cols),
+                      out, n_buckets=8, run_id="r1")
+    second = t.where((F.col("_n") % 10 == 0) | (F.col("_n") % 20 == 5)) \
+        .select(*cols)
+    deleted = (t.where(F.col("_n") % 30 == 7)
+               .select("doc_id").distinct())
+    upsert_documents(second, out, deleted_doc_ids=deleted, run_id="u1")
+    return read_graph(spark, out).select(*cols)
+
+
+def q_bgp_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS: docs with media that have NO reviewer
+    (reviewer triples exist for doc_id % 3 == 0, as in bgp_optional)."""
+    from jsonld_spark.operators.kg import bgp_match
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value").unionByName(reviews)
+    return bgp_match(triples, [
+        ("?d", "http://schema.org/associatedMedia", "?media"),
+    ], not_exists=[
+        [("?d", _KG_EX + "reviewedBy", "?r")],
+    ])
+
+
+def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-lite entailment over doc triples plus a deterministic
+    ex:under hierarchy (doc i under doc i//2, the kg_paths shape):
+    ex:under is transitive, associatedMedia has inverse ex:mediaOf,
+    and ex:sharesTopicWith (doc 2k <-> weirdly asserted one-way) is
+    symmetric."""
+    from jsonld_spark.operators.kg import (
+        INVERSE_OF, RDF_TYPE, SYMMETRIC_PROPERTY, TRANSITIVE_PROPERTY,
+        owl_closure)
+    docs = _read(spark, sf_dir, "documents")
+    iri = lambda c: F.concat(F.lit(_KG_EX + "doc/"), c.cast("string"))  # noqa: E731
+    under = docs.where(F.col("doc_id") >= 1).select(
+        iri(F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "under").alias("pred"),
+        iri(F.floor(F.col("doc_id") / 2)).alias("obj_value"),
+        F.lit("iri").alias("obj_kind"))
+    topic = docs.where(F.col("doc_id") % 2 == 0).select(
+        iri(F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "sharesTopicWith").alias("pred"),
+        iri(F.col("doc_id") + 1).alias("obj_value"),
+        F.lit("iri").alias("obj_kind"))
+    triples = (q_jsonld_doc_triples(spark, sf_dir)
+               .select("subj", "pred", "obj_value", "obj_kind")
+               .unionByName(under).unionByName(topic))
+    schema = spark.createDataFrame([
+        (_KG_EX + "under", RDF_TYPE, TRANSITIVE_PROPERTY),
+        ("http://schema.org/associatedMedia", INVERSE_OF,
+         _KG_EX + "mediaOf"),
+        (_KG_EX + "sharesTopicWith", RDF_TYPE, SYMMETRIC_PROPERTY),
+    ], "subj string, pred string, obj_value string")
+    return owl_closure(triples, schema)
+
+
 def q_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-style validation over doc triples with deterministic
     injected defects: docs doc_id % 7 == 0 lose their associatedMedia
@@ -1222,6 +1327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "bgp_filter": q_bgp_filter,
         "bgp_union": q_bgp_union,
+        "bgp_not_exists": q_bgp_not_exists,
+        "owl_entail": q_owl_entail,
+        "kg_incremental": q_kg_incremental,
+        "construct_media": q_construct_media,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -1685,6 +1794,55 @@ r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
 SELECT m.d, m.media, r.reviewer
 FROM m LEFT JOIN r ON m.d = r.d
 """.replace("{doc_triples}", "{0}")
+
+_CONSTRUCT_MEDIA_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+m AS (SELECT DISTINCT subj AS d, obj_value AS media FROM t
+      WHERE pred = 'http://schema.org/associatedMedia'),
+r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
+             '{_KG_EX}reviewer/' || (doc_id % 5) AS reviewer
+      FROM documents WHERE doc_id % 3 = 0)
+SELECT DISTINCT * FROM (
+  SELECT media AS subj, '{_KG_EX}mediaOf' AS pred, d AS obj_value FROM m
+  UNION ALL
+  SELECT m.media, '{_KG_EX}checkedBy', r.reviewer FROM m JOIN r USING (d)
+)
+"""
+
+_BGP_NOT_EXISTS_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+m AS (SELECT DISTINCT subj AS d, obj_value AS media FROM t
+      WHERE pred = 'http://schema.org/associatedMedia')
+SELECT m.d, m.media FROM m
+WHERE m.d NOT IN (SELECT '{_KG_EX}doc/' || doc_id
+                  FROM documents WHERE doc_id % 3 = 0)
+"""
+
+_OWL_ENTAIL_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+inv AS (SELECT obj_value AS subj, '{_KG_EX}mediaOf' AS pred,
+               subj AS obj
+        FROM t WHERE pred = 'http://schema.org/associatedMedia'),
+sym AS (SELECT '{_KG_EX}doc/' || (doc_id + 1) AS subj,
+               '{_KG_EX}sharesTopicWith' AS pred,
+               '{_KG_EX}doc/' || doc_id AS obj
+        FROM documents WHERE doc_id % 2 = 0),
+trans AS (
+  SELECT src AS subj, '{_KG_EX}under' AS pred, dst AS obj
+  FROM (
+    WITH RECURSIVE
+    e AS (SELECT '{_KG_EX}doc/' || doc_id AS src,
+                 '{_KG_EX}doc/' || (doc_id // 2) AS dst
+          FROM documents WHERE doc_id >= 1),
+    p(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
+    SELECT DISTINCT src, dst FROM p))
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT * FROM inv UNION ALL SELECT * FROM sym
+  UNION ALL SELECT * FROM trans)
+"""
 
 _BGP_FILTER_ORACLE = """
 WITH t AS MATERIALIZED ({0}),
@@ -2474,6 +2632,16 @@ def oracle_sql() -> dict[str, str]:
         "bgp_filter": _BGP_FILTER_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_union": _BGP_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_not_exists":
+            _BGP_NOT_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "construct_media":
+            _CONSTRUCT_MEDIA_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "owl_entail": _OWL_ENTAIL_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "kg_incremental": f"""
+            SELECT * FROM ({_DOC_TRIPLES_ORACLE})
+            WHERE CAST(regexp_extract(doc_id, '([0-9]+)', 1) AS BIGINT)
+                  % 30 <> 7
+        """,
         "kg_paths": _KG_PATHS_ORACLE,
         "span_dedup": _SPAN_DEDUP_ORACLE,
         "mixture_weights": _MIXTURE_ORACLE,

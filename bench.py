@@ -81,6 +81,14 @@ EXTENDED = [
     "kg_paths",
     "span_dedup",
     "mixture_weights",
+    "bgp_optional",
+    "bgp_filter",
+    "bgp_union",
+    "bgp_not_exists",
+    "construct_media",
+    "shacl_report",
+    "owl_entail",
+    "kg_incremental",
 ]
 
 

@@ -62,6 +62,7 @@ def _pattern_step(triples: DataFrame, pat: tuple[str, str, str], i: int,
 
 def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
+              not_exists: list[list[tuple[str, str, str]]] | None = None,
               filters: list[str] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value") -> DataFrame:
@@ -72,6 +73,15 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
     on its shared variables, binding its new variables where it
     matches and null where it doesn't (rows are never dropped).
+    ``not_exists`` groups are SPARQL ``FILTER NOT EXISTS`` clauses:
+    each group (a pattern list) drops every solution for which the
+    group matches under the solution's bindings — an anti-join on the
+    variables the group shares with the outer query. A shared variable
+    the solution left unbound (null, from a non-matching OPTIONAL)
+    never equals anything, so such solutions are kept. Group patterns
+    must connect to each other and the group must share at least one
+    variable with the outer query (else it is not a per-solution
+    test).
     ``filters`` are SPARQL FILTER expressions as Spark SQL boolean
     strings over the variable names (e.g. ``"cast(n as int) >= 300"``),
     applied after all patterns. Like SPARQL's error-drops-the-solution
@@ -122,6 +132,30 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             step = step.dropDuplicates(step_vars)
         out = out.join(step, shared, "left")
         bound += new
+    for gi, group in enumerate(not_exists or []):
+        if not group:
+            raise ValueError(f"not_exists group {gi} is empty")
+        inner: DataFrame | None = None
+        gbound: list[str] = []
+        for i, pat in enumerate(group):
+            step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+            if inner is None:
+                inner, gbound = step, step_vars
+                continue
+            shared = [v for v in step_vars if v in gbound]
+            if not shared:
+                raise ValueError(
+                    f"not_exists group {gi} pattern {i} shares no "
+                    "variable with earlier group patterns — a cartesian "
+                    "product; reorder or constrain the group")
+            inner = inner.join(step, shared)
+            gbound += [v for v in step_vars if v not in gbound]
+        anti_on = [v for v in gbound if v in bound]
+        if not anti_on:
+            raise ValueError(
+                f"not_exists group {gi} shares no variable with the "
+                "required patterns — it is not a per-solution test")
+        out = out.join(inner.select(*anti_on).distinct(), anti_on, "anti")
     out = out.select(*bound)
     for expr in filters or []:
         out = out.where(F.expr(expr))
@@ -155,6 +189,61 @@ def bgp_union(triples: DataFrame,
                           for v in all_vars]) for o in outs]
     out = aligned[0]
     for o in aligned[1:]:
+        out = out.unionByName(o)
+    return out.distinct()
+
+
+def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
+              template: list[tuple[str, str, str]],
+              optional: list[tuple[str, str, str]] | None = None,
+              not_exists: list[list[tuple[str, str, str]]] | None = None,
+              filters: list[str] | None = None,
+              s_col: str = "subj", p_col: str = "pred",
+              o_col: str = "obj_value") -> DataFrame:
+    """SPARQL CONSTRUCT: match the WHERE clause (same arguments as
+    ``bgp_match``) and instantiate each ``template`` triple once per
+    solution, returning a new (subj, pred, obj_value) triple table —
+    the KG-construction primitive for deriving a target graph from a
+    source graph. Template terms are variables (``?x``, must be bound
+    by the WHERE clause) or constants. Per SPARQL, a template triple
+    referencing a variable the solution left unbound (null, from a
+    non-matching OPTIONAL) is skipped for that solution; other template
+    triples of the same solution still emit. Output is distinct (a
+    graph is a triple SET).
+
+    Plan shape: one ``bgp_match`` join tree, then each template triple
+    is a projection over it — the match is planned once and the
+    template fan-out is zero-shuffle; the final distinct is the only
+    added exchange.
+    """
+    if not template:
+        raise ValueError("empty template")
+    sol = bgp_match(triples, patterns, optional=optional,
+                    not_exists=not_exists, filters=filters,
+                    s_col=s_col, p_col=p_col, o_col=o_col)
+    bound = set(sol.columns)
+
+    def term(t: str, alias: str):
+        if t.startswith("?"):
+            var = t[1:]
+            if var not in bound:
+                raise ValueError(
+                    f"template variable ?{var} is not bound by the "
+                    f"WHERE clause (bound: {sorted(bound)})")
+            return F.col(var).alias(alias)
+        return F.lit(t).alias(alias)
+
+    outs: list[DataFrame] = []
+    for i, tri in enumerate(template):
+        if len(tri) != 3:
+            raise ValueError(f"template triple {i} must be (s, p, o)")
+        row = sol.select(term(tri[0], "subj"), term(tri[1], "pred"),
+                         term(tri[2], "obj_value"))
+        for c in ("subj", "pred", "obj_value"):
+            row = row.where(F.col(c).isNotNull())
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
         out = out.unionByName(o)
     return out.distinct()
 
@@ -451,3 +540,87 @@ def shacl_validate(triples: DataFrame, shapes: list[Shape],
     for v in viols[1:]:
         out = out.unionByName(v)
     return out.select(*out_cols).distinct()
+
+
+OWL = "http://www.w3.org/2002/07/owl#"
+INVERSE_OF = OWL + "inverseOf"
+SYMMETRIC_PROPERTY = OWL + "SymmetricProperty"
+TRANSITIVE_PROPERTY = OWL + "TransitiveProperty"
+
+
+def owl_closure(triples: DataFrame, schema: DataFrame,
+                s_col: str = "subj", p_col: str = "pred",
+                o_col: str = "obj_value",
+                kind_col: str | None = "obj_kind",
+                max_schema_rows: int = 1_000_000,
+                max_transitive_preds: int = 16,
+                max_rounds: int = 20) -> DataFrame:
+    """OWL-lite property entailment: ``owl:inverseOf`` (both
+    directions), ``owl:SymmetricProperty``, ``owl:TransitiveProperty``.
+    Returns the ENTAILED (subj, pred, obj) triples, distinct, possibly
+    overlapping the input — the same contract as ``rdfs_closure``;
+    compose the two for combined RDFS+OWL reasoning.
+
+    Scale contract mirrors ``rdfs_closure``: the schema is bounded
+    (typed error above ``max_schema_rows``), so inverse pairs and the
+    symmetric-property set become one broadcast join / pushed isin
+    filter over the fact table — single pass, no fixpoint. Transitive
+    properties are the exception: their closure lives IN the fact
+    table, so each runs ``property_path`` (iterative doubling,
+    log2(diameter) lineage-cut rounds). The number of transitive
+    predicates is schema-bounded and capped (``max_transitive_preds``,
+    typed error above) because each costs a data-side fixpoint.
+
+    Inverse/symmetric entailment is gated to IRI objects when
+    ``kind_col`` is present — inverting (s, p, "literal") would put a
+    literal in subject position, which RDF forbids.
+    """
+    n = schema.limit(max_schema_rows + 1).count()
+    if n > max_schema_rows:
+        raise ValueError(
+            f"schema has >{max_schema_rows} rows — not an ontology; "
+            "owl_closure broadcasts the schema by design")
+    rows = [(r[0], r[1], r[2])
+            for r in schema.select(s_col, p_col, o_col).collect()]
+    inv = {(s, o) for s, p, o in rows if p == INVERSE_OF}
+    inv |= {(b, a) for a, b in inv}                     # symmetric pairs
+    sym = sorted({s for s, p, o in rows
+                  if p == RDF_TYPE and o == SYMMETRIC_PROPERTY})
+    trans = sorted({s for s, p, o in rows
+                    if p == RDF_TYPE and o == TRANSITIVE_PROPERTY})
+    if len(trans) > max_transitive_preds:
+        raise ValueError(
+            f"{len(trans)} transitive properties exceed the "
+            f"max_transitive_preds={max_transitive_preds} budget — each "
+            "one costs a data-side fixpoint; raise the cap only if that "
+            "is intended")
+    spark = triples.sparkSession
+    node_facts = triples.select(
+        F.col(s_col).alias("subj"), F.col(p_col).alias("pred"),
+        F.col(o_col).alias("obj"))
+    if kind_col is not None:
+        node_facts = node_facts.where(F.col(kind_col) == "iri")
+    ents: list[DataFrame] = []
+    if inv:
+        iv = spark.createDataFrame(sorted(inv), "p_fwd string, p_inv string")
+        ents.append(node_facts.join(F.broadcast(iv),
+                                    node_facts.pred == iv.p_fwd)
+                    .select(F.col("obj").alias("subj"),
+                            F.col("p_inv").alias("pred"),
+                            F.col("subj").alias("obj")))
+    if sym:
+        ents.append(node_facts.where(F.col("pred").isin(sym))
+                    .select(F.col("obj").alias("subj"), "pred",
+                            F.col("subj").alias("obj")))
+    for p in trans:
+        ents.append(property_path(triples, p, s_col=s_col, p_col=p_col,
+                                  o_col=o_col, max_rounds=max_rounds)
+                    .select(F.col("src").alias("subj"),
+                            F.lit(p).alias("pred"),
+                            F.col("dst").alias("obj")))
+    if not ents:
+        return node_facts.select("subj", "pred", "obj").limit(0)
+    out = ents[0]
+    for e in ents[1:]:
+        out = out.unionByName(e)
+    return out.distinct()

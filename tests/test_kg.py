@@ -305,3 +305,119 @@ def test_shacl_rejects_empty_and_unconstrained(typed_triples):
         Shape("s", path=EX + "name")
     with pytest.raises(ValueError, match="node_kind"):
         Shape("s", path=EX + "name", node_kind="uri")
+
+
+def test_bgp_not_exists(triples):
+    # docs with an author that do NOT cite anything
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    not_exists=[[("?d", EX + "cites", "?x")]])
+    assert sorted(r.d for r in got.collect()) == ["d2", "d3"]
+    # multi-pattern group: drop docs whose citation target is by alice
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    not_exists=[[("?d", EX + "cites", "?y"),
+                                 ("?y", EX + "author", "alice")]])
+    assert sorted(r.d for r in got.collect()) == ["d2", "d3"]
+
+
+def test_bgp_not_exists_null_shared_var_kept(triples):
+    # d2/d3 leave ?c unbound; null never matches, so they survive a
+    # NOT EXISTS over ?c
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    not_exists=[[("?c", EX + "lang", "?l")]])
+    assert sorted(r.d for r in got.collect()) == ["d2", "d3"]
+
+
+def test_bgp_not_exists_rejects_disconnected(triples):
+    with pytest.raises(ValueError, match="per-solution"):
+        bgp_match(triples, [("?d", EX + "author", "?a")],
+                  not_exists=[[("?x", EX + "lang", "en")]])
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(triples, [("?d", EX + "author", "?a")],
+                  not_exists=[[("?d", EX + "lang", "?l"),
+                               ("?z", EX + "cites", "?w")]])
+    with pytest.raises(ValueError, match="empty"):
+        bgp_match(triples, [("?d", EX + "author", "?a")],
+                  not_exists=[[]])
+
+
+@pytest.fixture()
+def owl_triples(spark):
+    rows = [
+        ("a", EX + "parentOf", "b", "iri"),
+        ("b", EX + "parentOf", "c", "iri"),
+        ("x", EX + "marriedTo", "y", "iri"),
+        ("p", EX + "partOf", "q", "iri"),
+        ("q", EX + "partOf", "r", "iri"),
+        ("r", EX + "partOf", "s2", "iri"),
+        ("a", EX + "label", "Ann", "literal"),   # literal: never inverted
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string")
+
+
+def test_owl_inverse_symmetric_transitive(spark, owl_triples):
+    from jsonld_spark.operators.kg import (
+        INVERSE_OF, SYMMETRIC_PROPERTY, TRANSITIVE_PROPERTY, owl_closure)
+    schema = _schema(spark, [
+        (EX + "parentOf", INVERSE_OF, EX + "childOf"),
+        (EX + "marriedTo", RDF_TYPE, SYMMETRIC_PROPERTY),
+        (EX + "partOf", RDF_TYPE, TRANSITIVE_PROPERTY),
+        (EX + "label", INVERSE_OF, EX + "labelOf"),
+    ])
+    got = {(r.subj, r.pred, r.obj)
+           for r in owl_closure(owl_triples, schema).collect()}
+    assert ("b", EX + "childOf", "a") in got        # inverseOf forward
+    assert ("c", EX + "childOf", "b") in got
+    assert ("y", EX + "marriedTo", "x") in got      # symmetric
+    assert ("p", EX + "partOf", "r") in got         # transitive 2-hop
+    assert ("p", EX + "partOf", "s2") in got        # transitive 3-hop
+    assert not any(s == "Ann" for s, _, _ in got)   # literal not inverted
+
+
+def test_owl_inverse_applies_both_directions(spark):
+    from jsonld_spark.operators.kg import INVERSE_OF, owl_closure
+    t = spark.createDataFrame(
+        [("b", EX + "childOf", "a", "iri")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    schema = _schema(spark, [(EX + "parentOf", INVERSE_OF, EX + "childOf")])
+    got = {(r.subj, r.pred, r.obj) for r in owl_closure(t, schema).collect()}
+    assert got == {("a", EX + "parentOf", "b")}
+
+
+def test_owl_transitive_pred_budget(spark, owl_triples):
+    from jsonld_spark.operators.kg import TRANSITIVE_PROPERTY, owl_closure
+    schema = _schema(spark, [(f"{EX}t{i}", RDF_TYPE, TRANSITIVE_PROPERTY)
+                             for i in range(4)])
+    with pytest.raises(ValueError, match="transitive"):
+        owl_closure(owl_triples, schema, max_transitive_preds=3)
+
+
+def test_owl_no_applicable_schema_is_empty(spark, owl_triples):
+    from jsonld_spark.operators.kg import owl_closure
+    schema = _schema(spark, [(EX + "p", SUB_CLASS, EX + "q")])
+    assert owl_closure(owl_triples, schema).count() == 0
+
+
+def test_construct_template_and_unbound_skip(triples):
+    from jsonld_spark.operators.kg import construct
+    got = construct(
+        triples,
+        [("?d", EX + "author", "?a")],
+        [("?a", EX + "wrote", "?d"), ("?d", EX + "citedBy", "?c")],
+        optional=[("?c", EX + "cites", "?d")])
+    rows = {(r.subj, r.pred, r.obj_value) for r in got.collect()}
+    # every author yields a wrote edge; only d2 (cited by d1) yields a
+    # citedBy edge — d1/d3 leave ?c unbound and skip that template row
+    assert rows == {
+        ("alice", EX + "wrote", "d1"), ("alice", EX + "wrote", "d2"),
+        ("bob", EX + "wrote", "d3"), ("d2", EX + "citedBy", "d1")}
+
+
+def test_construct_rejects_unbound_template_var_and_empty(triples):
+    from jsonld_spark.operators.kg import construct
+    with pytest.raises(ValueError, match="not bound"):
+        construct(triples, [("?d", EX + "author", "?a")],
+                  [("?d", EX + "x", "?nosuch")])
+    with pytest.raises(ValueError, match="empty template"):
+        construct(triples, [("?d", EX + "author", "?a")], [])

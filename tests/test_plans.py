@@ -283,3 +283,50 @@ def test_bgp_constants_push_to_scan(spark, tmp_path):
     # never leaves the parquet reader
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     assert scans and all("graph" not in s for s in scans)
+
+
+def test_shacl_path_filter_pushes_to_scan(spark, tmp_path):
+    """Every shacl_validate data pass is over ONE predicate's triples —
+    the path/target filters must reach the parquet scan as
+    PushedFilters, and nothing may degenerate to a cartesian product."""
+    from jsonld_spark.operators.kg import Shape, shacl_validate
+    path = str(tmp_path / "shacl_triples")
+    # every subject is targeted (p/other); only even ones carry p/name,
+    # and some values break the pattern — the report must be non-empty
+    # or AQE collapses the final plan to EmptyRelation and there is no
+    # scan left to assert on
+    rows = [(f"s{i}", "p/other", "t", "literal", None) for i in range(100)]
+    rows += [(f"s{i}", "p/name", f"v{i}" if i % 4 else f"x{i}",
+              "literal", None) for i in range(0, 100, 2)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, "
+              "obj_kind string, obj_datatype string").write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = shacl_validate(triples, [Shape(
+        "s", path="p/name", targets="p/other", min_count=1,
+        pattern="^v")])
+    plan = _plan(q)
+    assert q.count() > 0
+    assert "EqualTo(pred,p/name)" in plan
+    assert "EqualTo(pred,p/other)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bgp_not_exists_is_anti_join_with_pushed_filter(spark, tmp_path):
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "ne_triples")
+    # only even subjects carry p/b, so the anti join survives with rows
+    # (an all-empty result would AQE-collapse to EmptyRelation)
+    rows = [(f"s{i}", "p/a", f"o{i}", "g") for i in range(100)]
+    rows += [(f"s{i}", "p/b", f"o{i}", "g") for i in range(0, 100, 2)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = bgp_match(triples, [("?x", "p/a", "?v")],
+                  not_exists=[[("?x", "p/b", "?w")]])
+    plan = _plan(q)
+    assert q.count() == 50
+    assert "LeftAnti" in plan
+    assert "EqualTo(pred,p/b)" in plan
+    assert "CartesianProduct" not in plan
