@@ -825,6 +825,28 @@ def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bgp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH clause over named graphs: doc triples re-homed into
+    per-source graphs (graph = ex:g/<source>); the constant-graph
+    pattern restricts to src1's feed, the variable-graph pattern binds
+    each doc's graph name."""
+    from jsonld_spark.operators.kg import bgp_match
+    docs = _read(spark, sf_dir, "documents")
+    src = docs.select(F.col("doc_id").cast("long").alias("_n"), "source")
+    t = (q_jsonld_doc_triples(spark, sf_dir)
+         .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
+                     .cast("long"))
+         .join(src, "_n")
+         .withColumn("graph", F.concat(F.lit(_KG_EX + "g/"),
+                                       F.col("source")))
+         .select("subj", "pred", "obj_value", "graph"))
+    return bgp_match(t, [
+        ("?d", "http://schema.org/associatedMedia", "?media",
+         _KG_EX + "g/src1"),
+        ("?d", "http://schema.org/inLanguage", "?lang", "?g"),
+    ])
+
+
 def q_construct_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT: derive a new graph inverting associatedMedia
     into ex:mediaOf edges, plus ex:checkedBy provenance where a
@@ -1331,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_entail": q_owl_entail,
         "kg_incremental": q_kg_incremental,
         "construct_media": q_construct_media,
+        "bgp_graph": q_bgp_graph,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -1794,6 +1817,22 @@ r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
 SELECT m.d, m.media, r.reviewer
 FROM m LEFT JOIN r ON m.d = r.d
 """.replace("{doc_triples}", "{0}")
+
+_BGP_GRAPH_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+tg AS (SELECT t.subj, t.pred, t.obj_value,
+              '{_KG_EX}g/' || d.source AS graph
+       FROM t JOIN documents d
+         ON CAST(regexp_extract(t.doc_id, '([0-9]+)', 1) AS BIGINT)
+            = d.doc_id),
+m AS (SELECT DISTINCT subj AS d, obj_value AS media FROM tg
+      WHERE pred = 'http://schema.org/associatedMedia'
+        AND graph = '{_KG_EX}g/src1'),
+l AS (SELECT DISTINCT subj AS d, obj_value AS lang, graph AS g FROM tg
+      WHERE pred = 'http://schema.org/inLanguage')
+SELECT DISTINCT m.d, m.media, l.lang, l.g
+FROM m JOIN l USING (d)
+"""
 
 _CONSTRUCT_MEDIA_ORACLE = f"""
 WITH t AS MATERIALIZED ({{0}}),
@@ -2636,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
             _BGP_NOT_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "construct_media":
             _CONSTRUCT_MEDIA_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_graph": _BGP_GRAPH_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "owl_entail": _OWL_ENTAIL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "kg_incremental": f"""
             SELECT * FROM ({_DOC_TRIPLES_ORACLE})

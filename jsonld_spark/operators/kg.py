@@ -35,12 +35,17 @@ DOMAIN = RDFS + "domain"
 RANGE = RDFS + "range"
 
 
-def _pattern_step(triples: DataFrame, pat: tuple[str, str, str], i: int,
-                  pos_cols: tuple[str, str, str]) -> tuple[DataFrame,
-                                                           list[str]]:
-    """One triple pattern → (filtered projection, its variable names)."""
-    if len(pat) != 3:
-        raise ValueError(f"pattern {i} must be (s, p, o), got {pat!r}")
+def _pattern_step(triples: DataFrame, pat: tuple, i: int,
+                  pos_cols: tuple) -> tuple[DataFrame, list[str]]:
+    """One triple/quad pattern → (filtered projection, its variable
+    names). A 3-tuple is (s, p, o); a 4-tuple is (s, p, o, g) — the
+    SPARQL GRAPH clause — matched against the graph column (constant
+    graph names push down to the scan / prune graph-partitioned
+    layouts; a variable binds the graph name per row)."""
+    if len(pat) not in (3, 4):
+        raise ValueError(f"pattern {i} must be (s, p, o) or "
+                         f"(s, p, o, g), got {pat!r}")
+    pos_cols = pos_cols[:len(pat)]
     step = triples
     rename: dict[str, str] = {}
     for term, col in zip(pat, pos_cols):
@@ -65,11 +70,14 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               not_exists: list[list[tuple[str, str, str]]] | None = None,
               filters: list[str] | None = None,
               s_col: str = "subj", p_col: str = "pred",
-              o_col: str = "obj_value") -> DataFrame:
+              o_col: str = "obj_value", g_col: str = "graph") -> DataFrame:
     """Match a SPARQL-style basic graph pattern: ``patterns`` is a list
     of (subject, predicate, object) terms where a term starting with
-    ``?`` is a variable and anything else a constant. Returns one
-    column per variable (first-appearance order), one row per binding.
+    ``?`` is a variable and anything else a constant. A 4-tuple
+    pattern (s, p, o, g) additionally matches the named-graph column —
+    the SPARQL GRAPH clause (``g_col`` is only touched by 4-tuples, so
+    graph-less triple frames work with 3-tuples). Returns one column
+    per variable (first-appearance order), one row per binding.
     ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
     on its shared variables, binding its new variables where it
     matches and null where it doesn't (rows are never dropped).
@@ -102,7 +110,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     """
     if not patterns:
         raise ValueError("empty pattern list")
-    pos_cols = (s_col, p_col, o_col)
+    pos_cols = (s_col, p_col, o_col, g_col)
     out: DataFrame | None = None
     bound: list[str] = []
     for i, pat in enumerate(patterns):

@@ -421,3 +421,28 @@ def test_construct_rejects_unbound_template_var_and_empty(triples):
                   [("?d", EX + "x", "?nosuch")])
     with pytest.raises(ValueError, match="empty template"):
         construct(triples, [("?d", EX + "author", "?a")], [])
+
+
+def test_bgp_quad_pattern_graph_clause(spark):
+    from jsonld_spark.operators.kg import bgp_match
+    rows = [
+        ("d1", EX + "author", "alice", "iri", EX + "g/feedA"),
+        ("d2", EX + "author", "bob", "iri", EX + "g/feedB"),
+        ("d3", EX + "author", "carol", "iri", EX + "g/feedB"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, "
+              "obj_kind string, graph string")
+    # constant graph restricts; variable graph binds
+    got = bgp_match(t, [("?d", EX + "author", "?a", EX + "g/feedB")])
+    assert sorted(r.d for r in got.collect()) == ["d2", "d3"]
+    got = bgp_match(t, [("?d", EX + "author", "?a", "?g")])
+    assert got.columns == ["d", "a", "g"]
+    assert sorted((r.d, r.g) for r in got.collect()) == [
+        ("d1", EX + "g/feedA"), ("d2", EX + "g/feedB"),
+        ("d3", EX + "g/feedB")]
+    # 3-tuple patterns still work on a frame WITHOUT a graph column
+    got = bgp_match(t.drop("graph"), [("?d", EX + "author", "?a")])
+    assert got.count() == 3
+    with pytest.raises(ValueError, match="must be"):
+        bgp_match(t, [("?d", EX + "author", "?a", "?g", "?x")])
