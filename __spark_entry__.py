@@ -825,6 +825,23 @@ def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT ... GROUP BY: solutions from bgp_match are a
+    plain DataFrame, so aggregation is ordinary Spark — docs and media
+    per language, largest first."""
+    from jsonld_spark.operators.kg import bgp_match
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    sol = bgp_match(triples, [
+        ("?d", "http://schema.org/inLanguage", "?lang"),
+        ("?d", "http://schema.org/associatedMedia", "?m"),
+    ])
+    return (sol.groupBy("lang")
+            .agg(F.countDistinct("d").alias("n_docs"),
+                 F.countDistinct("m").alias("n_media"))
+            .orderBy(F.col("n_docs").desc(), "lang"))
+
+
 def q_bgp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GRAPH clause over named graphs: doc triples re-homed into
     per-source graphs (graph = ex:g/<source>); the constant-graph
@@ -1354,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "construct_media": q_construct_media,
         "bgp_graph": q_bgp_graph,
+        "bgp_agg": q_bgp_agg,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -1817,6 +1835,19 @@ r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
 SELECT m.d, m.media, r.reviewer
 FROM m LEFT JOIN r ON m.d = r.d
 """.replace("{doc_triples}", "{0}")
+
+_BGP_AGG_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+l AS (SELECT subj AS d, obj_value AS lang FROM t
+      WHERE pred = 'http://schema.org/inLanguage'),
+m AS (SELECT subj AS d, obj_value AS m FROM t
+      WHERE pred = 'http://schema.org/associatedMedia'),
+sol AS (SELECT DISTINCT l.d, l.lang, m.m FROM l JOIN m USING (d))
+SELECT lang, CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT m) AS BIGINT) AS n_media
+FROM sol GROUP BY lang
+ORDER BY n_docs DESC, lang
+"""
 
 _BGP_GRAPH_ORACLE = f"""
 WITH t AS MATERIALIZED ({{0}}),
@@ -2676,6 +2707,7 @@ def oracle_sql() -> dict[str, str]:
         "construct_media":
             _CONSTRUCT_MEDIA_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_graph": _BGP_GRAPH_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_agg": _BGP_AGG_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "owl_entail": _OWL_ENTAIL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "kg_incremental": f"""
             SELECT * FROM ({_DOC_TRIPLES_ORACLE})

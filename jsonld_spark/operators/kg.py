@@ -173,7 +173,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
 def bgp_union(triples: DataFrame,
               branches: list[list[tuple[str, str, str]]],
               s_col: str = "subj", p_col: str = "pred",
-              o_col: str = "obj_value") -> DataFrame:
+              o_col: str = "obj_value", g_col: str = "graph") -> DataFrame:
     """SPARQL UNION: match each branch (a BGP pattern list) and take
     the set union of the solution sets. Branches may bind different
     variables — a variable absent from a branch is null in its rows
@@ -187,7 +187,8 @@ def bgp_union(triples: DataFrame,
     """
     if not branches:
         raise ValueError("empty branch list")
-    outs = [bgp_match(triples, b, s_col=s_col, p_col=p_col, o_col=o_col)
+    outs = [bgp_match(triples, b, s_col=s_col, p_col=p_col, o_col=o_col,
+                      g_col=g_col)
             for b in branches]
     all_vars: list[str] = []
     for o in outs:
@@ -207,7 +208,7 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
               not_exists: list[list[tuple[str, str, str]]] | None = None,
               filters: list[str] | None = None,
               s_col: str = "subj", p_col: str = "pred",
-              o_col: str = "obj_value") -> DataFrame:
+              o_col: str = "obj_value", g_col: str = "graph") -> DataFrame:
     """SPARQL CONSTRUCT: match the WHERE clause (same arguments as
     ``bgp_match``) and instantiate each ``template`` triple once per
     solution, returning a new (subj, pred, obj_value) triple table —
@@ -228,7 +229,7 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
         raise ValueError("empty template")
     sol = bgp_match(triples, patterns, optional=optional,
                     not_exists=not_exists, filters=filters,
-                    s_col=s_col, p_col=p_col, o_col=o_col)
+                    s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col)
     bound = set(sol.columns)
 
     def term(t: str, alias: str):
