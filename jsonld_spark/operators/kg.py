@@ -136,8 +136,9 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(
                 f"optional pattern {i} shares no variable with the "
                 "required patterns — a cartesian product")
-        if new:
-            step = step.dropDuplicates(step_vars)
+        # dedup the optional side unconditionally: duplicate input rows
+        # (or an all-shared-vars pattern) must not multiply solutions
+        step = step.dropDuplicates(step_vars)
         out = out.join(step, shared, "left")
         bound += new
     for gi, group in enumerate(not_exists or []):
