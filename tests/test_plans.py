@@ -330,3 +330,24 @@ def test_bgp_not_exists_is_anti_join_with_pushed_filter(spark, tmp_path):
     assert "LeftAnti" in plan
     assert "EqualTo(pred,p/b)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_owl_closure_broadcasts_schema(spark, tmp_path):
+    """owl_closure's inverse join must broadcast the (tiny) schema pair
+    table — never shuffle the fact table against it."""
+    from jsonld_spark.operators.kg import INVERSE_OF, owl_closure
+    path = str(tmp_path / "owl_triples")
+    spark.createDataFrame(
+        [(f"s{i}", "p/rel", f"t{i}", "iri") for i in range(200)],
+        "subj string, pred string, obj_value string, obj_kind string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    schema = spark.createDataFrame(
+        [("p/rel", INVERSE_OF, "p/inv")],
+        "subj string, pred string, obj_value string")
+    q = owl_closure(triples, schema)
+    plan = _plan(q)
+    assert q.count() == 200
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
