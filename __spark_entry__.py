@@ -825,6 +825,23 @@ def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_describe_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE of one node over doc triples plus the ex:under
+    hierarchy — returns every triple where ex:doc/21 is subject (its
+    five document triples + its own under-edge) or object (its two
+    children's under-edges), with the role per row."""
+    from jsonld_spark.operators.kg import describe
+    docs = _read(spark, sf_dir, "documents")
+    iri = lambda c: F.concat(F.lit(_KG_EX + "doc/"), c.cast("string"))  # noqa: E731
+    under = docs.where(F.col("doc_id") >= 1).select(
+        iri(F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "under").alias("pred"),
+        iri(F.floor(F.col("doc_id") / 2)).alias("obj_value"))
+    triples = (q_jsonld_doc_triples(spark, sf_dir)
+               .select("subj", "pred", "obj_value").unionByName(under))
+    return describe(triples, _KG_EX + "doc/21")
+
+
 def q_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL SELECT ... GROUP BY: solutions from bgp_match are a
     plain DataFrame, so aggregation is ordinary Spark — docs and media
@@ -1372,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construct_media": q_construct_media,
         "bgp_graph": q_bgp_graph,
         "bgp_agg": q_bgp_agg,
+        "describe_doc": q_describe_doc,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -1835,6 +1853,21 @@ r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
 SELECT m.d, m.media, r.reviewer
 FROM m LEFT JOIN r ON m.d = r.d
 """.replace("{doc_triples}", "{0}")
+
+_DESCRIBE_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+u AS (SELECT '{_KG_EX}doc/' || doc_id AS subj,
+             '{_KG_EX}under' AS pred,
+             '{_KG_EX}doc/' || (doc_id // 2) AS obj_value
+      FROM documents WHERE doc_id >= 1),
+allt AS (SELECT subj, pred, obj_value FROM t
+         UNION ALL SELECT * FROM u)
+SELECT subj, pred, obj_value,
+       CASE WHEN subj = '{_KG_EX}doc/21' THEN 'subject'
+            ELSE 'object' END AS role
+FROM allt
+WHERE subj = '{_KG_EX}doc/21' OR obj_value = '{_KG_EX}doc/21'
+"""
 
 _BGP_AGG_ORACLE = """
 WITH t AS MATERIALIZED ({0}),
@@ -2708,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
             _CONSTRUCT_MEDIA_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_graph": _BGP_GRAPH_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_agg": _BGP_AGG_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "describe_doc": _DESCRIBE_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "owl_entail": _OWL_ENTAIL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "kg_incremental": f"""
             SELECT * FROM ({_DOC_TRIPLES_ORACLE})

@@ -634,3 +634,29 @@ def owl_closure(triples: DataFrame, schema: DataFrame,
     for e in ents[1:]:
         out = out.unionByName(e)
     return out.distinct()
+
+
+def ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
+        not_exists: list[list[tuple[str, str, str]]] | None = None,
+        filters: list[str] | None = None,
+        s_col: str = "subj", p_col: str = "pred",
+        o_col: str = "obj_value", g_col: str = "graph") -> bool:
+    """SPARQL ASK: does at least one solution exist? Planned as the
+    same join tree as ``bgp_match`` under a ``limit(1)`` — Spark stops
+    the scan at the first produced row (LocalLimit short-circuit), so
+    an ASK over 100 TB that matches early reads almost nothing."""
+    return bool(bgp_match(triples, patterns, not_exists=not_exists,
+                          filters=filters, s_col=s_col, p_col=p_col,
+                          o_col=o_col, g_col=g_col).limit(1).take(1))
+
+
+def describe(triples: DataFrame, node: str,
+             s_col: str = "subj", p_col: str = "pred",
+             o_col: str = "obj_value") -> DataFrame:
+    """SPARQL DESCRIBE (symmetric concise form): every triple where the
+    node is subject or object, plus the ``role`` it plays per row. One
+    scan, two pushed-down equality filters OR-ed — no join."""
+    return (triples
+            .where((F.col(s_col) == node) | (F.col(o_col) == node))
+            .withColumn("role", F.when(F.col(s_col) == node, "subject")
+                        .otherwise("object")))

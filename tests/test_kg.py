@@ -446,3 +446,17 @@ def test_bgp_quad_pattern_graph_clause(spark):
     assert got.count() == 3
     with pytest.raises(ValueError, match="must be"):
         bgp_match(t, [("?d", EX + "author", "?a", "?g", "?x")])
+
+
+def test_ask_and_describe(triples):
+    from jsonld_spark.operators.kg import ask, describe
+    assert ask(triples, [("?d", EX + "author", "alice")])
+    assert not ask(triples, [("?d", EX + "author", "nobody")])
+    assert not ask(triples, [("?d", EX + "author", "alice")],
+                   not_exists=[[("?d", EX + "lang", "?l")]])
+    got = describe(triples, "d2")
+    rows = {(r.subj, r.pred, r.obj_value, r.role) for r in got.collect()}
+    assert rows == {
+        ("d2", EX + "author", "alice", "subject"),
+        ("d2", EX + "lang", "de", "subject"),
+        ("d1", EX + "cites", "d2", "object")}
