@@ -86,6 +86,9 @@ EXTENDED = [
     "bgp_union",
     "bgp_not_exists",
     "construct_media",
+    "bgp_graph",
+    "bgp_agg",
+    "describe_doc",
     "shacl_report",
     "owl_entail",
     "kg_incremental",
