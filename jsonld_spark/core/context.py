@@ -14,6 +14,8 @@ cache driver-side).
 
 from __future__ import annotations
 
+import copy as _copy
+
 import json as _json
 from typing import Any, Callable
 
@@ -133,7 +135,15 @@ class Context:
         c.base = self.base
         c.vocab = self.vocab
         c.language = self.language
-        c.term_definitions = {k: (dict(v) if v is not None else None)
+        # copy nested mutables too (e.g. a scoped '@context' value) so
+        # a memo clone's mutation can never reach the shared memo entry;
+        # deep-copy only the (rare) dict/list values — most term-def
+        # fields are strings/bools and stay a cheap shallow copy
+        c.term_definitions = {k: (None if v is None else
+                                  {k2: (_copy.deepcopy(v2)
+                                        if isinstance(v2, (dict, list))
+                                        else v2)
+                                   for k2, v2 in v.items()})
                               for k, v in self.term_definitions.items()}
         if share_inverse:
             # the inverse map is read-only once built (get_inverse builds

@@ -70,7 +70,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               not_exists: list[list[tuple[str, str, str]]] | None = None,
               filters: list[str] | None = None,
               s_col: str = "subj", p_col: str = "pred",
-              o_col: str = "obj_value", g_col: str = "graph") -> DataFrame:
+              o_col: str = "obj_value", g_col: str = "graph",
+              distinct_solutions: bool = True) -> DataFrame:
     """Match a SPARQL-style basic graph pattern: ``patterns`` is a list
     of (subject, predicate, object) terms where a term starting with
     ``?`` is a variable and anything else a constant. A 4-tuple
@@ -81,6 +82,12 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
     on its shared variables, binding its new variables where it
     matches and null where it doesn't (rows are never dropped).
+    Sequential-OPTIONAL caveat (documented deviation): when a later
+    OPTIONAL's only shared variable was introduced by an EARLIER
+    non-matching OPTIONAL, the join key is null and Spark's
+    null-never-equals rule means it cannot match — SPARQL's
+    unbound-is-compatible semantics would allow it. Share at least one
+    required-side variable in each OPTIONAL to stay on defined ground.
     ``not_exists`` groups are SPARQL ``FILTER NOT EXISTS`` clauses:
     each group (a pattern list) drops every solution for which the
     group matches under the solution's bindings — an anti-join on the
@@ -107,14 +114,24 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     Patterns (required or optional) that share no variable with what
     came before would be a cartesian product; that is almost always a
     query bug at scale, so it raises instead of silently exploding.
+    Exception: an ALL-CONSTANT required pattern is a legal SPARQL
+    existence test — it gates the whole result (cross join with a
+    ``limit(1)`` probe: one row keeps everything, zero rows empties
+    the result) and binds nothing.
     """
     if not patterns:
         raise ValueError("empty pattern list")
     pos_cols = (s_col, p_col, o_col, g_col)
     out: DataFrame | None = None
     bound: list[str] = []
+    gates: list[DataFrame] = []
     for i, pat in enumerate(patterns):
         step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+        if not step_vars:
+            # all-constant pattern: existence gate, binds nothing.
+            # limit(1) short-circuits the scan at the first match.
+            gates.append(step.limit(1).select(F.lit(1).alias(f"_g{i}")))
+            continue
         if out is None:
             out, bound = step, step_vars
             continue
@@ -125,9 +142,22 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 "— a cartesian product; reorder or constrain the query")
         out = out.join(step, shared)
         bound += [v for v in step_vars if v not in bound]
+    if out is None:
+        raise ValueError(
+            "all patterns are constant — use ask() for a pure "
+            "existence test; bgp_match needs at least one variable")
     # required bindings are set-distinct BEFORE optionals so an input
-    # with duplicate triples cannot multiply optional matches
-    out = out.select(*bound).distinct()
+    # with duplicate triples cannot multiply optional matches.
+    # distinct_solutions=False skips the exchange for warehouse tables
+    # already deduplicated at materialization (materialize_graph
+    # guarantees this) — SPARQL SELECT bag semantics; on deduped input
+    # both modes agree. The default (True) is SELECT DISTINCT — a
+    # documented deviation the property tests rely on.
+    out = out.select(*bound)
+    if distinct_solutions:
+        out = out.distinct()
+    for g in gates:
+        out = out.crossJoin(g).drop(g.columns[0])
     for i, pat in enumerate(optional or []):
         step, step_vars = _pattern_step(triples, pat, i, pos_cols)
         shared = [v for v in step_vars if v in bound]
@@ -282,14 +312,14 @@ def _driver_closure(edges: list[tuple[str, str]]) -> set[tuple[str, str]]:
 def rdfs_closure(triples: DataFrame, schema: DataFrame,
                  s_col: str = "subj", p_col: str = "pred",
                  o_col: str = "obj_value", kind_col: str | None = "obj_kind",
-                 max_schema_rows: int = 1_000_000) -> DataFrame:
+                 max_schema_rows: int = 100_000) -> DataFrame:
     """RDFS entailment (rules rdfs2/3/5/7/9/11) of ``triples`` under
     ``schema``: returns the ENTAILED triples (subj, pred, obj) —
     distinct, not already required to be absent from the input.
 
     * rdfs7: (p subPropertyOf* q), (s p o)        → (s q o)
     * rdfs2: (p domain D), (s p o)                → (s type D)
-    * rdfs3: (p range R), (s p o), o an IRI       → (o type R)
+    * rdfs3: (p range R), (s p o), o a node       → (o type R)
     * rdfs9/11: (x type C), (C subClassOf* D)     → (x type D)
 
     Scale contract: the schema is an ontology — its size does not grow
@@ -305,9 +335,11 @@ def rdfs_closure(triples: DataFrame, schema: DataFrame,
     the big table, no data-side fixpoint, equivalent to the RDFS
     fixpoint because the schema closure is exact.
 
-    ``kind_col`` (when present) gates rdfs3 to IRI objects — literals
-    have no types. Pass ``None`` if the triples frame has no kind
-    column (every object treated as a node).
+    ``kind_col`` (when present) gates rdfs3 to non-literal objects
+    (IRIs AND blank nodes — rdfs3 applies to both; JSON-LD expansion
+    emits a bnode for every nested node without @id). Pass ``None``
+    if the triples frame has no kind column (every object treated as
+    a node).
     """
     n = schema.limit(max_schema_rows + 1).count()
     if n > max_schema_rows:
@@ -351,7 +383,7 @@ def rdfs_closure(triples: DataFrame, schema: DataFrame,
             .select("subj", F.lit(RDF_TYPE).alias("pred"),
                     F.col("cls").alias("obj")))
     rg = _edge_df(rng, "p_rng", "cls")
-    ent3 = (facts.where(F.col("_kind") == "iri")
+    ent3 = (facts.where(F.col("_kind") != "literal")
             .join(F.broadcast(rg), facts.pred == rg.p_rng)
             .select(F.col("obj").alias("subj"),
                     F.lit(RDF_TYPE).alias("pred"),
@@ -386,8 +418,11 @@ def property_path(triples: DataFrame, pred: str,
     to 2^r hops, so a diameter-D relation converges in ceil(log2 D)
     rounds — each one self-equi-join + distinct, lineage-cut so round
     r+1 reads a materialized table instead of replaying r rounds of
-    joins. Cycles are safe: reflexive pairs are dropped each round and
-    ``distinct`` caps growth at |V|². ``max_rounds=20`` spans paths of
+    joins. Cycles are safe: ``distinct`` caps growth at |V|², and —
+    per SPARQL OneOrMorePath semantics — reflexive (a, a) pairs ARE
+    kept when a self-loop edge exists or ``a`` lies on a cycle (they
+    arise naturally from the join and are never filtered away).
+    ``max_rounds=20`` spans paths of
     10^6 hops; a relation that has not converged by then raises rather
     than silently truncating. Output size is the real scale bound —
     O(V·D) for hierarchies (fine for taxonomy/thread shapes, the
@@ -396,7 +431,6 @@ def property_path(triples: DataFrame, pred: str,
     from ..session import cut_lineage
     edges = (triples.where(F.col(p_col) == pred)
              .select(F.col(s_col).alias("src"), F.col(o_col).alias("dst"))
-             .where(F.col("src") != F.col("dst"))
              .distinct())
     paths = cut_lineage(edges)
     n = paths.count()
@@ -405,9 +439,7 @@ def property_path(triples: DataFrame, pred: str,
                .join(paths.alias("b"), F.col("a.dst") == F.col("b.src"))
                .select(F.col("a.src").alias("src"),
                        F.col("b.dst").alias("dst")))
-        grown = cut_lineage(paths.unionByName(hop)
-                            .where(F.col("src") != F.col("dst"))
-                            .distinct())
+        grown = cut_lineage(paths.unionByName(hop).distinct())
         m = grown.count()
         if m == n:
             return grown
@@ -420,7 +452,10 @@ def property_path(triples: DataFrame, pred: str,
 
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
-_NODE_KINDS = ("iri", "literal", "blank")
+_NODE_KINDS = ("iri", "literal", "bnode")
+# legacy spelling accepted and normalized — the engine's quad schema
+# (core/rdf.py) emits 'bnode', earlier Shape callers wrote 'blank'
+_KIND_ALIASES = {"blank": "bnode"}
 
 
 @dataclass(frozen=True)
@@ -437,7 +472,9 @@ class Shape:
     * ``min_count`` / ``max_count`` — cardinality of DISTINCT values
       per focus node (triple-set semantics: duplicate rows of the same
       triple are one value node).
-    * ``node_kind`` — 'iri' | 'literal' | 'blank'.
+    * ``node_kind`` — 'iri' | 'literal' | 'bnode' ('blank' is a
+      legacy alias, normalized to 'bnode' — the spelling the engine's
+      quad schema emits, core/rdf.py).
     * ``datatype`` — required literal datatype IRI (absent datatype on
       a literal means xsd:string, per RDF 1.1); non-literals violate.
     * ``pattern`` — regex the value must match (Spark ``rlike``).
@@ -457,8 +494,11 @@ class Shape:
     value_class: str | None = None
 
     def __post_init__(self) -> None:
-        if self.node_kind is not None and self.node_kind not in _NODE_KINDS:
-            raise ValueError(f"node_kind must be one of {_NODE_KINDS}")
+        if self.node_kind is not None:
+            nk = _KIND_ALIASES.get(self.node_kind, self.node_kind)
+            if nk not in _NODE_KINDS:
+                raise ValueError(f"node_kind must be one of {_NODE_KINDS}")
+            object.__setattr__(self, "node_kind", nk)
         if not any(getattr(self, f) is not None for f in
                    ("min_count", "max_count", "node_kind", "datatype",
                     "pattern", "in_set", "value_class")):
@@ -562,7 +602,7 @@ def owl_closure(triples: DataFrame, schema: DataFrame,
                 s_col: str = "subj", p_col: str = "pred",
                 o_col: str = "obj_value",
                 kind_col: str | None = "obj_kind",
-                max_schema_rows: int = 1_000_000,
+                max_schema_rows: int = 100_000,
                 max_transitive_preds: int = 16,
                 max_rounds: int = 20) -> DataFrame:
     """OWL-lite property entailment: ``owl:inverseOf`` (both
@@ -581,9 +621,10 @@ def owl_closure(triples: DataFrame, schema: DataFrame,
     predicates is schema-bounded and capped (``max_transitive_preds``,
     typed error above) because each costs a data-side fixpoint.
 
-    Inverse/symmetric entailment is gated to IRI objects when
-    ``kind_col`` is present — inverting (s, p, "literal") would put a
-    literal in subject position, which RDF forbids.
+    Inverse/symmetric entailment is gated to non-literal objects
+    (IRIs and blank nodes both invert) when ``kind_col`` is present —
+    inverting (s, p, "literal") would put a literal in subject
+    position, which RDF forbids.
     """
     n = schema.limit(max_schema_rows + 1).count()
     if n > max_schema_rows:
@@ -609,7 +650,7 @@ def owl_closure(triples: DataFrame, schema: DataFrame,
         F.col(s_col).alias("subj"), F.col(p_col).alias("pred"),
         F.col(o_col).alias("obj"))
     if kind_col is not None:
-        node_facts = node_facts.where(F.col(kind_col) == "iri")
+        node_facts = node_facts.where(F.col(kind_col) != "literal")
     ents: list[DataFrame] = []
     if inv:
         iv = spark.createDataFrame(sorted(inv), "p_fwd string, p_inv string")

@@ -211,8 +211,10 @@ def test_property_path_cycle_terminates(spark):
         [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")],
         "subj string, pred string, obj_value string")
     got = {(r.src, r.dst) for r in property_path(t, "p").collect()}
-    # full 3-cycle: everyone reaches everyone else; reflexive dropped
-    assert got == {(x, y) for x in "abc" for y in "abc" if x != y}
+    # full 3-cycle: everyone reaches everyone else — INCLUDING itself
+    # via the cycle (SPARQL OneOrMorePath keeps reflexive pairs that
+    # a real path produces)
+    assert got == {(x, y) for x in "abc" for y in "abc"}
 
 
 def test_property_path_deep_chain_log_rounds(spark):

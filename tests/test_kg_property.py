@@ -79,8 +79,11 @@ def naive_optional(sols, vars_, triples, opt):
     """Extend each solution with one OPTIONAL pattern per bgp_match's
     documented semantics (left join on shared vars, distinct optional
     bindings, null where unmatched)."""
-    opt_vars = [t[1:] for t in opt
-                if t.startswith("?") and t[1:] not in vars_]
+    opt_vars = []
+    for t in opt:
+        if t.startswith("?") and t[1:] not in vars_ \
+                and t[1:] not in opt_vars:
+            opt_vars.append(t[1:])
     # distinct bindings the optional pattern produces
     opt_rows = set()
     for tr in triples:
