@@ -953,6 +953,29 @@ def q_bgp_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bgp_exists_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS (semi-join) + MINUS (anti-join) in one
+    query: media docs that HAVE a reviewer (doc_id % 3 == 0) MINUS
+    those reviewed by reviewer/0 (doc_id % 5 == 0) — i.e. % 3 == 0 and
+    % 5 != 0."""
+    from jsonld_spark.operators.kg import bgp_match
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value").unionByName(reviews)
+    return bgp_match(triples, [
+        ("?d", "http://schema.org/associatedMedia", "?media"),
+    ], exists=[
+        [("?d", _KG_EX + "reviewedBy", "?r")],
+    ], minus=[
+        [("?d", _KG_EX + "reviewedBy", _KG_EX + "reviewer/0")],
+    ])
+
+
 def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite entailment over doc triples plus a deterministic
     ex:under hierarchy (doc i under doc i//2, the kg_paths shape):
@@ -1046,6 +1069,101 @@ def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("obj_value"))
     return property_path(edges, _KG_EX + "parent") \
         .select("src", "dst")
+
+
+def q_kg_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property-path ALGEBRA over the binary-tree parent
+    edge: ``(<parent>/^<parent>) | <parent>*`` — sequence, inverse,
+    alternation and the zero-length-capable star in one expression
+    (siblings-incl-self union ancestor-or-self). Sequence = one
+    midpoint equi-join, star = doubling closure + node identity, all
+    relational algebra Catalyst/AQE plans (operators/kg.py:kg_path)."""
+    from jsonld_spark.operators.kg import kg_path
+    edges = _read(spark, sf_dir, "documents").where(F.col("doc_id") >= 1) \
+        .select(
+            F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+            F.lit(_KG_EX + "parent").alias("pred"),
+            F.concat(F.lit(_KG_EX + "doc/"),
+                     F.floor(F.col("doc_id") / 2).cast("long"))
+            .alias("obj_value"))
+    pp = _KG_EX + "parent"
+    return kg_path(edges, f"(<{pp}>/^<{pp}>) | <{pp}>*") \
+        .select("src", "dst")
+
+
+def q_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES + BIND: an inline binding table (with an UNDEF
+    wildcard row — unbound matches anything per the compatible-bindings
+    rule) constrains and extends the solutions; BIND computes a new
+    column. VALUES plans as a broadcast join, BIND a pure projection."""
+    from jsonld_spark.operators.kg import bgp_match
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return bgp_match(
+        triples, [("?d", "http://schema.org/inLanguage", "?l")],
+        values=[{"l": "en", "tier": "tier1"},
+                {"l": "de", "tier": "tier2"},
+                {"l": None, "tier": "any"}],
+        binds=[("l_uc", "upper(l)")])
+
+
+def q_same_as_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs entity fusion: docs doc_id % 10 == 1 carry a sameAs
+    CHAIN doc/i = alias/i = alias2/i (the far pair never co-occurs in
+    one triple) plus a fact asserted against the far alias; fusion
+    resolves the chain via connected components and rewrites every
+    subject/object to the canonical (min) IRI, consuming the sameAs
+    triples (operators/kg.py:same_as_fuse)."""
+    from jsonld_spark.operators.kg import SAME_AS, same_as_fuse
+    docs1 = _read(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 10 == 1)
+    iri = lambda pre, c: F.concat(F.lit(_KG_EX + pre), c.cast("string"))  # noqa: E731
+    chain = docs1.select(
+        iri("doc/", F.col("doc_id")).alias("subj"),
+        F.lit(SAME_AS).alias("pred"),
+        iri("alias/", F.col("doc_id")).alias("obj_value"),
+        F.lit("iri").alias("obj_kind")) \
+        .unionByName(docs1.select(
+            iri("alias/", F.col("doc_id")).alias("subj"),
+            F.lit(SAME_AS).alias("pred"),
+            iri("alias2/", F.col("doc_id")).alias("obj_value"),
+            F.lit("iri").alias("obj_kind")))
+    far_fact = docs1.select(
+        iri("alias2/", F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "citedBy").alias("pred"),
+        iri("doc/", F.col("doc_id") + 1).alias("obj_value"),
+        F.lit("iri").alias("obj_kind"))
+    triples = (q_jsonld_doc_triples(spark, sf_dir)
+               .select("subj", "pred", "obj_value", "obj_kind")
+               .unionByName(chain).unionByName(far_fact))
+    return same_as_fuse(triples) \
+        .select("subj", "pred", "obj_value", "obj_kind")
+
+
+def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-index-growth invariant: build the int8 IVF index on 90%
+    of the vectors, APPEND the remaining 10% (one batch scan, existing
+    list partitions untouched), then search — results must equal a
+    from-scratch build over everything (same oracle as
+    ivf_index_topk, pinned by the rows+hash gate)."""
+    import tempfile
+
+    from jsonld_spark.operators.similarity import (append_to_ivf_index,
+                                                   build_ivf_index,
+                                                   search_ivf_index)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    idx_dir = tempfile.mkdtemp(prefix="jsonld_ivf_app_") + "/index"
+    cents = _ivf_centroids()
+    build_ivf_index(emb.where(F.col("vec_id") % 10 != 0), cents, idx_dir)
+    append_to_ivf_index(emb.where(F.col("vec_id") % 10 == 0), cents,
+                        idx_dir)
+    return search_ivf_index(spark, idx_dir, emb, queries, cents, k=10,
+                            nprobe=2, oversample=4).select(
+        "query_id", "neighbor_id", F.col("sim").cast("double").alias("sim"),
+        F.col("rank").cast("long").alias("rank"))
 
 
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,7 +1457,25 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
+    # 50 entries. Rotation policy (round 5+): never-driver-verified
+    # queries first, then queries whose engine code changed this round,
+    # then the core surface; long-stable rows (hash-matched in two or
+    # more prior rounds with unchanged queries) rotate to the tail and
+    # cycle back through the window in later rounds.
     return {
+        # -- never driver-verified before round 5 --
+        "shacl_report": q_shacl_report,
+        "kg_paths": q_kg_paths,
+        "span_dedup": q_span_dedup,
+        "mixture_weights": q_mixture_weights,
+        # -- new in round 5 --
+        "kg_path_ops": q_kg_path_ops,
+        "bgp_values": q_bgp_values,
+        "same_as_fuse": q_same_as_fuse,
+        "ivf_index_append": q_ivf_index_append,
+        # -- engine code touched in round 5 (context clone, bgp_match,
+        #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
         "nquads_media_lines": q_nquads_media_lines,
         "nquads_roundtrip": q_nquads_roundtrip,
@@ -1351,6 +1487,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fromrdf_docs": q_fromrdf_docs,
         "subject_stats": q_subject_stats,
         "error_isolation": q_error_isolation,
+        "rdfs_entail": q_rdfs_entail,
+        "owl_entail": q_owl_entail,
+        "bgp_star": q_bgp_star,
+        "bgp_optional": q_bgp_optional,
+        "bgp_filter": q_bgp_filter,
+        "bgp_union": q_bgp_union,
+        "bgp_not_exists": q_bgp_not_exists,
+        "bgp_graph": q_bgp_graph,
+        "bgp_agg": q_bgp_agg,
+        "construct_media": q_construct_media,
+        "describe_doc": q_describe_doc,
+        "kg_incremental": q_kg_incremental,
+        "entity_link": q_entity_link,
+        # -- core LLM-pipeline surface --
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_incremental": q_minhash_incremental,
@@ -1358,17 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_reps": q_simhash_neardup_reps,
         "minhash_word_pairs": q_minhash_word_pairs,
-        "graph_degrees": q_graph_degrees,
-        "predicate_histogram": q_predicate_histogram,
-        "top_hubs": q_top_hubs,
-        "pagerank": q_pagerank,
-        "corpus_profile": q_corpus_profile,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "curate_corpus": q_curate_corpus,
-        "event_sessions": q_event_sessions,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_hi": q_embedding_neardup_hi,
         "embedding_incremental": q_embedding_incremental,
@@ -1377,23 +1517,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_totals": q_streaming_user_totals,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
-        "decontaminate": q_decontaminate,
-        "rdfs_entail": q_rdfs_entail,
-        "bgp_star": q_bgp_star,
-        "bgp_optional": q_bgp_optional,
-        "bgp_filter": q_bgp_filter,
-        "bgp_union": q_bgp_union,
-        "bgp_not_exists": q_bgp_not_exists,
-        "owl_entail": q_owl_entail,
-        "kg_incremental": q_kg_incremental,
-        "construct_media": q_construct_media,
-        "bgp_graph": q_bgp_graph,
-        "bgp_agg": q_bgp_agg,
-        "describe_doc": q_describe_doc,
-        "shacl_report": q_shacl_report,
-        "kg_paths": q_kg_paths,
-        "span_dedup": q_span_dedup,
-        "mixture_weights": q_mixture_weights,
+        "event_sessions": q_event_sessions,
+        "bgp_exists_minus": q_bgp_exists_minus,
+        # ---- driver window ends here (50 entries above) ----
+        # -- long-stable rows rotated out this round (hash-matched in
+        #    two or more prior rounds; queries unchanged) --
+        "graph_degrees": q_graph_degrees,
+        "corpus_profile": q_corpus_profile,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "curate_corpus": q_curate_corpus,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "predicate_histogram": q_predicate_histogram,
+        "top_hubs": q_top_hubs,
+        "pagerank": q_pagerank,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1409,7 +1547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_triples": q_streaming_triples,
         "ivf_index_topk": q_ivf_index_topk,
         "quality_score": q_quality_score,
-        "entity_link": q_entity_link,
         "cc_components": q_cc_components,
         "lineitem_agg": q_lineitem_agg,
         "top_orders": q_top_orders,
@@ -1783,7 +1920,7 @@ ent2 AS (SELECT t.subj, '{RDF_TYPE}' AS pred, d.cls AS obj
          FROM t JOIN dom d ON t.pred = d.prop),
 ent3 AS (SELECT t.obj_value AS subj, '{RDF_TYPE}' AS pred, r.cls AS obj
          FROM t JOIN rng r ON t.pred = r.prop
-         WHERE t.obj_kind = 'iri'),
+         WHERE t.obj_kind <> 'literal'),
 alltypes AS (
   SELECT subj, obj_value AS obj FROM t WHERE pred = '{RDF_TYPE}'
   UNION ALL SELECT subj, obj FROM ent2
@@ -2032,6 +2169,83 @@ p(src, dst) AS (
   UNION
   SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
 SELECT DISTINCT src, dst FROM p
+"""
+
+_KG_PATH_OPS_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT '{_KG_EX}doc/' || doc_id AS src,
+             '{_KG_EX}doc/' || (doc_id // 2) AS dst
+      FROM documents WHERE doc_id >= 1),
+p(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src),
+nodes AS (SELECT src AS n FROM e UNION SELECT dst AS n FROM e),
+sib AS (SELECT a.src AS src, b.src AS dst
+        FROM e a JOIN e b ON a.dst = b.dst)
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM sib
+  UNION SELECT src, dst FROM p
+  UNION SELECT n AS src, n AS dst FROM nodes)
+"""
+
+_BGP_VALUES_ORACLE = """
+WITH t AS MATERIALIZED ({}),
+v AS (SELECT 'en' AS l, 'tier1' AS tier
+      UNION ALL SELECT 'de', 'tier2'
+      UNION ALL SELECT NULL, 'any')
+SELECT DISTINCT t.subj AS d, t.obj_value AS l, v.tier AS tier,
+       upper(t.obj_value) AS l_uc
+FROM t JOIN v ON (v.l IS NULL OR v.l = t.obj_value)
+WHERE t.pred = 'http://schema.org/inLanguage'
+"""
+
+_SAME_AS_FUSE_ORACLE = f"""
+WITH
+t0 AS MATERIALIZED ({{}}),
+docs1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 1),
+canon AS MATERIALIZED (
+  SELECT n, min(m) AS c FROM (
+    WITH RECURSIVE
+    sa(a, b) AS (
+      SELECT '{_KG_EX}doc/' || doc_id, '{_KG_EX}alias/' || doc_id
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT '{_KG_EX}alias/' || doc_id, '{_KG_EX}alias2/' || doc_id
+      FROM documents WHERE doc_id % 10 = 1),
+    sym(a, b) AS (SELECT a, b FROM sa UNION SELECT b, a FROM sa),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT reach.n, sym.b FROM reach JOIN sym ON reach.m = sym.a)
+    SELECT n, m FROM reach) GROUP BY n),
+facts AS (
+  SELECT subj, pred, obj_value, obj_kind FROM t0
+  UNION ALL
+  SELECT '{_KG_EX}alias2/' || doc_id, '{_KG_EX}citedBy',
+         '{_KG_EX}doc/' || (doc_id + 1), 'iri'
+  FROM docs1)
+SELECT DISTINCT
+  coalesce(cs.c, f.subj) AS subj, f.pred,
+  CASE WHEN f.obj_kind <> 'literal' THEN coalesce(co.c, f.obj_value)
+       ELSE f.obj_value END AS obj_value,
+  f.obj_kind
+FROM facts f
+LEFT JOIN canon cs ON f.subj = cs.n
+LEFT JOIN canon co ON f.obj_value = co.n
+"""
+
+_BGP_EXISTS_MINUS_ORACLE = f"""
+WITH t AS MATERIALIZED ({{}})
+SELECT DISTINCT t.subj AS d, t.obj_value AS media
+FROM t
+WHERE t.pred = 'http://schema.org/associatedMedia'
+  AND EXISTS (SELECT 1 FROM documents x
+              WHERE x.doc_id % 3 = 0
+                AND t.subj = '{_KG_EX}doc/' || x.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM documents x
+                  WHERE x.doc_id % 3 = 0 AND x.doc_id % 5 = 0
+                    AND t.subj = '{_KG_EX}doc/' || x.doc_id)
 """
 
 _MIXTURE_ORACLE = """
@@ -2749,6 +2963,12 @@ def oracle_sql() -> dict[str, str]:
                   % 30 <> 7
         """,
         "kg_paths": _KG_PATHS_ORACLE,
+        "kg_path_ops": _KG_PATH_OPS_ORACLE,
+        "bgp_exists_minus":
+            _BGP_EXISTS_MINUS_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_values": _BGP_VALUES_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "same_as_fuse": _SAME_AS_FUSE_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "ivf_index_append": _ivf_oracle(),
         "span_dedup": _SPAN_DEDUP_ORACLE,
         "mixture_weights": _MIXTURE_ORACLE,
         "lang_id": _LANG_ORACLE,

@@ -92,6 +92,12 @@ EXTENDED = [
     "shacl_report",
     "owl_entail",
     "kg_incremental",
+    # round-5 operators
+    "kg_path_ops",
+    "bgp_values",
+    "same_as_fuse",
+    "ivf_index_append",
+    "bgp_exists_minus",
 ]
 
 

@@ -35,20 +35,14 @@ DOMAIN = RDFS + "domain"
 RANGE = RDFS + "range"
 
 
-def _pattern_step(triples: DataFrame, pat: tuple, i: int,
-                  pos_cols: tuple) -> tuple[DataFrame, list[str]]:
-    """One triple/quad pattern → (filtered projection, its variable
-    names). A 3-tuple is (s, p, o); a 4-tuple is (s, p, o, g) — the
-    SPARQL GRAPH clause — matched against the graph column (constant
-    graph names push down to the scan / prune graph-partitioned
-    layouts; a variable binds the graph name per row)."""
-    if len(pat) not in (3, 4):
-        raise ValueError(f"pattern {i} must be (s, p, o) or "
-                         f"(s, p, o, g), got {pat!r}")
-    pos_cols = pos_cols[:len(pat)]
-    step = triples
+def _apply_terms(step: DataFrame, terms: tuple, cols: tuple,
+                 i: int) -> tuple[DataFrame, list[str]]:
+    """Apply pattern terms to the matching columns: constants become
+    equality filters (pushed to the scan), variables rename columns,
+    a variable repeated within one pattern becomes an equality
+    constraint binding once (SPARQL semantics)."""
     rename: dict[str, str] = {}
-    for term, col in zip(pat, pos_cols):
+    for term, col in zip(terms, cols):
         if term.startswith("?"):
             var = term[1:]
             if not var:
@@ -65,10 +59,42 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
             list(rename.values()))
 
 
+def _pattern_step(triples: DataFrame, pat: tuple, i: int,
+                  pos_cols: tuple) -> tuple[DataFrame, list[str]]:
+    """One triple/quad pattern → (filtered projection, its variable
+    names). A 3-tuple is (s, p, o); a 4-tuple is (s, p, o, g) — the
+    SPARQL GRAPH clause — matched against the graph column (constant
+    graph names push down to the scan / prune graph-partitioned
+    layouts; a variable binds the graph name per row).
+
+    A predicate term containing ``<`` is a PROPERTY-PATH expression
+    (angle-bracketed IRIs with ``+ * ? / | ^`` and parens — see
+    ``kg_path``): the pattern matches the path's (src, dst) relation
+    instead of a single scan. Plain IRIs and variables never contain
+    ``<``, so the syntaxes cannot collide. Path patterns are 3-tuples
+    (SPARQL paths have no graph slot here)."""
+    if len(pat) not in (3, 4):
+        raise ValueError(f"pattern {i} must be (s, p, o) or "
+                         f"(s, p, o, g), got {pat!r}")
+    if not pat[1].startswith("?") and "<" in pat[1]:
+        if len(pat) != 4:
+            rel = kg_path(triples, pat[1], s_col=pos_cols[0],
+                          p_col=pos_cols[1], o_col=pos_cols[2])
+            return _apply_terms(rel, (pat[0], pat[2]), ("src", "dst"), i)
+        raise ValueError(
+            f"pattern {i}: property-path patterns are (s, path, o) "
+            "3-tuples — GRAPH-scoped paths are not supported")
+    return _apply_terms(triples, pat, pos_cols[:len(pat)], i)
+
+
 def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
               not_exists: list[list[tuple[str, str, str]]] | None = None,
+              exists: list[list[tuple[str, str, str]]] | None = None,
+              minus: list[list[tuple[str, str, str]]] | None = None,
               filters: list[str] | None = None,
+              values: list[dict[str, str | None]] | None = None,
+              binds: list[tuple[str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph",
               distinct_solutions: bool = True) -> DataFrame:
@@ -118,6 +144,31 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     existence test — it gates the whole result (cross join with a
     ``limit(1)`` probe: one row keeps everything, zero rows empties
     the result) and binds nothing.
+
+    ``values`` is a SPARQL VALUES block: a list of binding dicts
+    ({var: constant}, ``None`` = UNDEF) joined to the solution set
+    after patterns and OPTIONALs. Shared variables constrain
+    (inner-join on them; an UNDEF in a row makes that variable
+    unconstrained for that row, per SPARQL's compatible-bindings
+    rule); variables new to the query extend the solutions. A VALUES
+    block is a literal inline table — always tiny — so it is planned
+    as a broadcast join (or a cross join when it shares no variable,
+    which SPARQL permits for VALUES).
+    ``binds`` are SPARQL BIND clauses: an ordered list of
+    (new_var, spark_sql_expr) computed over the bindings after
+    VALUES, before NOT EXISTS and FILTERs — e.g.
+    ``[("label", "upper(name)")]``. Later binds may reference earlier
+    ones. Pure projections — zero shuffle.
+    ``exists`` groups are positive ``FILTER EXISTS`` clauses — the
+    semi-join mirror of ``not_exists``: a solution survives iff the
+    group matches under its bindings (must share ≥1 variable).
+    ``minus`` groups are SPARQL MINUS: like NOT EXISTS an anti-join on
+    the shared variables, EXCEPT that a group sharing NO variable with
+    the outer query removes nothing (SPARQL §8.3.3: disjoint domains
+    are never compatible) — where NOT EXISTS would raise, MINUS is a
+    legal no-op. As with OPTIONAL, a shared variable the solution left
+    unbound never matches under Spark's null semantics (documented
+    deviation from SPARQL's unbound-compatibility).
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -171,9 +222,47 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         step = step.dropDuplicates(step_vars)
         out = out.join(step, shared, "left")
         bound += new
-    for gi, group in enumerate(not_exists or []):
+    if values:
+        vvars: list[str] = []
+        for row in values:
+            vvars += [v for v in row if v not in vvars]
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            [tuple(row.get(v) for v in vvars) for row in values],
+            ", ".join(f"`{v}` string" for v in vvars))
+        shared = [v for v in vvars if v in bound]
+        new_vars = [v for v in vvars if v not in bound]
+        if any(row.get(v) is None for row in values for v in shared):
+            # UNDEF in a shared variable: SPARQL compatibility says an
+            # unbound VALUES cell matches anything, so the equi-join
+            # key is wrong for those rows — join on an explicit
+            # null-tolerant condition instead (VALUES tables are tiny,
+            # so the broadcast nested-loop this plans is fine)
+            cond = None
+            vdf2 = vdf.select(*[F.col(v).alias(f"_v_{v}") for v in vvars])
+            for v in shared:
+                c = (F.col(f"_v_{v}").isNull()
+                     | (F.col(f"_v_{v}") == F.col(v)))
+                cond = c if cond is None else (cond & c)
+            out = out.join(F.broadcast(vdf2), cond)
+            for v in new_vars:
+                out = out.withColumnRenamed(f"_v_{v}", v)
+            out = out.drop(*[f"_v_{v}" for v in shared])
+        elif shared:
+            out = out.join(F.broadcast(vdf), shared)
+        else:
+            out = out.crossJoin(F.broadcast(vdf))
+        bound += new_vars
+    for var, expr in binds or []:
+        if var in bound:
+            raise ValueError(f"BIND would rebind {var!r} — SPARQL "
+                             "forbids rebinding an in-scope variable")
+        out = out.withColumn(var, F.expr(expr))
+        bound.append(var)
+    def _group_solutions(group: list, gi: int,
+                         kind: str) -> tuple[DataFrame, list[str]]:
         if not group:
-            raise ValueError(f"not_exists group {gi} is empty")
+            raise ValueError(f"{kind} group {gi} is empty")
         inner: DataFrame | None = None
         gbound: list[str] = []
         for i, pat in enumerate(group):
@@ -184,17 +273,36 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             shared = [v for v in step_vars if v in gbound]
             if not shared:
                 raise ValueError(
-                    f"not_exists group {gi} pattern {i} shares no "
+                    f"{kind} group {gi} pattern {i} shares no "
                     "variable with earlier group patterns — a cartesian "
                     "product; reorder or constrain the group")
             inner = inner.join(step, shared)
             gbound += [v for v in step_vars if v not in gbound]
+        return inner, gbound
+
+    for gi, group in enumerate(not_exists or []):
+        inner, gbound = _group_solutions(group, gi, "not_exists")
         anti_on = [v for v in gbound if v in bound]
         if not anti_on:
             raise ValueError(
                 f"not_exists group {gi} shares no variable with the "
                 "required patterns — it is not a per-solution test")
         out = out.join(inner.select(*anti_on).distinct(), anti_on, "anti")
+    for gi, group in enumerate(exists or []):
+        inner, gbound = _group_solutions(group, gi, "exists")
+        semi_on = [v for v in gbound if v in bound]
+        if not semi_on:
+            raise ValueError(
+                f"exists group {gi} shares no variable with the "
+                "required patterns — it is not a per-solution test")
+        out = out.join(inner.select(*semi_on).distinct(), semi_on, "semi")
+    for gi, group in enumerate(minus or []):
+        inner, gbound = _group_solutions(group, gi, "minus")
+        anti_on = [v for v in gbound if v in bound]
+        if anti_on:
+            out = out.join(inner.select(*anti_on).distinct(),
+                           anti_on, "anti")
+        # disjoint-domain MINUS removes nothing (SPARQL §8.3.3)
     out = out.select(*bound)
     for expr in filters or []:
         out = out.where(F.expr(expr))
@@ -237,7 +345,11 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
               template: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
               not_exists: list[list[tuple[str, str, str]]] | None = None,
+              exists: list[list[tuple[str, str, str]]] | None = None,
+              minus: list[list[tuple[str, str, str]]] | None = None,
               filters: list[str] | None = None,
+              values: list[dict[str, str | None]] | None = None,
+              binds: list[tuple[str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph") -> DataFrame:
     """SPARQL CONSTRUCT: match the WHERE clause (same arguments as
@@ -259,7 +371,8 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
     if not template:
         raise ValueError("empty template")
     sol = bgp_match(triples, patterns, optional=optional,
-                    not_exists=not_exists, filters=filters,
+                    not_exists=not_exists, exists=exists, minus=minus,
+                    filters=filters, values=values, binds=binds,
                     s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col)
     bound = set(sol.columns)
 
@@ -428,11 +541,18 @@ def property_path(triples: DataFrame, pred: str,
     O(V·D) for hierarchies (fine for taxonomy/thread shapes, the
     intended use), O(V²) for dense cyclic relations (don't).
     """
-    from ..session import cut_lineage
     edges = (triples.where(F.col(p_col) == pred)
              .select(F.col(s_col).alias("src"), F.col(o_col).alias("dst"))
              .distinct())
-    paths = cut_lineage(edges)
+    return _path_closure(edges, max_rounds)
+
+
+def _path_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Transitive closure of an arbitrary (src, dst) edge relation by
+    iterative doubling — the shared kernel behind ``property_path``
+    (``p+``) and the ``kg_path`` algebra's ``+``/``*`` operators."""
+    from ..session import cut_lineage
+    paths = cut_lineage(edges.select("src", "dst").distinct())
     n = paths.count()
     for _ in range(max_rounds):
         hop = (paths.alias("a")
@@ -448,6 +568,159 @@ def property_path(triples: DataFrame, pred: str,
         f"property_path: no fixpoint after {max_rounds} doubling rounds "
         f"(paths of 2^{max_rounds} hops) — relation too deep or growing "
         "pathologically; raise max_rounds only if that is expected")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL property-path ALGEBRA: sequences, alternatives, inverse,
+# and the zero-length-capable closures, composed over the same
+# doubling kernel as ``property_path``.
+# ---------------------------------------------------------------------------
+
+class _PathParser:
+    """Recursive-descent parser for SPARQL path expressions.
+
+    Grammar (precedence low→high, as in SPARQL 1.1 §9.1):
+
+        alt  := seq ('|' seq)*
+        seq  := post ('/' post)*
+        post := prim ('+' | '*' | '?')*
+        prim := '<' IRI '>' | '^' prim | '(' alt ')'
+
+    IRIs MUST be angle-bracketed — they contain ``/`` and ``|``
+    themselves, so bare IRIs are ambiguous in a path string.
+    """
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def _peek(self) -> str:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def _err(self, msg: str) -> ValueError:
+        return ValueError(f"path syntax error at offset {self.i} "
+                          f"in {self.s!r}: {msg}")
+
+    def parse(self) -> tuple:
+        node = self._alt()
+        if self._peek():
+            raise self._err(f"unexpected {self.s[self.i]!r}")
+        return node
+
+    def _alt(self) -> tuple:
+        node = self._seq()
+        while self._peek() == "|":
+            self.i += 1
+            node = ("alt", node, self._seq())
+        return node
+
+    def _seq(self) -> tuple:
+        node = self._post()
+        while self._peek() == "/":
+            self.i += 1
+            node = ("seq", node, self._post())
+        return node
+
+    def _post(self) -> tuple:
+        node = self._prim()
+        while self._peek() in ("+", "*", "?"):
+            node = ({"+": "plus", "*": "star", "?": "opt"}[self._peek()],
+                    node)
+            self.i += 1
+        return node
+
+    def _prim(self) -> tuple:
+        c = self._peek()
+        if c == "<":
+            j = self.s.find(">", self.i)
+            if j < 0:
+                raise self._err("unterminated '<iri>'")
+            iri = self.s[self.i + 1:j]
+            if not iri:
+                raise self._err("empty IRI")
+            self.i = j + 1
+            return ("pred", iri)
+        if c == "^":
+            self.i += 1
+            return ("inv", self._prim())
+        if c == "(":
+            self.i += 1
+            node = self._alt()
+            if self._peek() != ")":
+                raise self._err("expected ')'")
+            self.i += 1
+            return node
+        raise self._err("expected '<iri>', '^' or '('")
+
+
+def kg_path(triples: DataFrame, path: str,
+            s_col: str = "subj", p_col: str = "pred",
+            o_col: str = "obj_value",
+            max_rounds: int = 20) -> DataFrame:
+    """Evaluate a SPARQL 1.1 property-path expression over the triples
+    table, returning the distinct (src, dst) pairs it connects.
+
+    ``path`` syntax (IRIs angle-bracketed, precedence per SPARQL §9.1):
+    ``<p>`` single predicate, ``^p`` inverse, ``p1/p2`` sequence,
+    ``p1|p2`` alternative, ``p+`` one-or-more, ``p*`` zero-or-more,
+    ``p?`` zero-or-one, parentheses group. Example:
+    ``(<ex:parent>/<ex:parent>)+ | <ex:ancestorOf>*``.
+
+    Plan shape per operator — all plain relational algebra Catalyst
+    can push/reorder: predicate = one pushed-filter scan projected to
+    (src, dst); inverse = column swap (free); sequence = one equi-join
+    on the midpoint + distinct; alternative = union + distinct;
+    ``+``/``*`` = the iterative-doubling closure kernel
+    (log2(diameter) lineage-cut rounds, same as ``property_path``).
+
+    Zero-length semantics (``*``/``?``): SPARQL's zero-length path
+    matches every term IN THE GRAPH, so the identity relation here is
+    built over the distinct union of all subjects and objects of
+    ``triples`` — computed once per kg_path call and reused across
+    every ``*``/``?`` in the expression (it is one distinct over two
+    projected scans, cheap next to any closure).
+    """
+    ast = _PathParser(path).parse()
+    nodes_cache: list[DataFrame] = []
+
+    def nodes() -> DataFrame:
+        if not nodes_cache:
+            from ..session import cut_lineage
+            subs = triples.select(F.col(s_col).alias("n"))
+            objs = triples.select(F.col(o_col).alias("n"))
+            nodes_cache.append(cut_lineage(
+                subs.unionByName(objs).distinct()
+                .select(F.col("n").alias("src"), F.col("n").alias("dst"))))
+        return nodes_cache[0]
+
+    def ev(node: tuple) -> DataFrame:
+        op = node[0]
+        if op == "pred":
+            return (triples.where(F.col(p_col) == node[1])
+                    .select(F.col(s_col).alias("src"),
+                            F.col(o_col).alias("dst")).distinct())
+        if op == "inv":
+            return ev(node[1]).select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst"))
+        if op == "seq":
+            a, b = ev(node[1]).alias("a"), ev(node[2]).alias("b")
+            return (a.join(b, F.col("a.dst") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.dst").alias("dst")).distinct())
+        if op == "alt":
+            return ev(node[1]).unionByName(ev(node[2])).distinct()
+        if op == "plus":
+            return _path_closure(ev(node[1]), max_rounds)
+        if op == "star":
+            return (_path_closure(ev(node[1]), max_rounds)
+                    .unionByName(nodes()).distinct())
+        if op == "opt":
+            return ev(node[1]).unionByName(nodes()).distinct()
+        raise AssertionError(f"unknown path op {op!r}")
+
+    return ev(ast)
 
 
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -679,7 +952,10 @@ def owl_closure(triples: DataFrame, schema: DataFrame,
 
 def ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
         not_exists: list[list[tuple[str, str, str]]] | None = None,
+        exists: list[list[tuple[str, str, str]]] | None = None,
+        minus: list[list[tuple[str, str, str]]] | None = None,
         filters: list[str] | None = None,
+        values: list[dict[str, str | None]] | None = None,
         s_col: str = "subj", p_col: str = "pred",
         o_col: str = "obj_value", g_col: str = "graph") -> bool:
     """SPARQL ASK: does at least one solution exist? Planned as the
@@ -687,8 +963,50 @@ def ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
     the scan at the first produced row (LocalLimit short-circuit), so
     an ASK over 100 TB that matches early reads almost nothing."""
     return bool(bgp_match(triples, patterns, not_exists=not_exists,
+                          exists=exists, minus=minus, values=values,
                           filters=filters, s_col=s_col, p_col=p_col,
                           o_col=o_col, g_col=g_col).limit(1).take(1))
+
+
+SAME_AS = OWL + "sameAs"
+
+
+def same_as_fuse(triples: DataFrame,
+                 s_col: str = "subj", p_col: str = "pred",
+                 o_col: str = "obj_value", kind_col: str = "obj_kind",
+                 keep_same_as: bool = False) -> DataFrame:
+    """Fuse coreferent entities declared via ``owl:sameAs``: derive
+    equivalence edges from the sameAs triples (non-literal on both
+    sides — a literal cannot be sameAs-merged), resolve them to
+    connected components (chains A=B, B=C collapse even when A and C
+    never co-occur in one triple), and rewrite every subject and
+    non-literal object to its component-canonical id (the minimum —
+    deterministic). The classic KG-construction step that turns "the
+    same real-world entity under three IRIs" into one node.
+
+    The sameAs triples themselves are consumed (dropped) unless
+    ``keep_same_as`` — after fusion they would all be the reflexive
+    (c, sameAs, c). Output is distinct: triples that referred to two
+    aliases of one entity collapse to a single row.
+
+    Scale shape: the equivalence edge set is tiny next to the corpus
+    (sameAs assertions are per-entity, not per-mention), so
+    ``connected_components`` takes its small-graph union-find path (or
+    the distributed min-label fixpoint above 10^6 edges) and
+    ``link_triples`` broadcasts the component map when it fits —
+    two broadcast left joins over the fact table, one pass.
+    """
+    from .linking import connected_components, link_triples
+    edges = (triples
+             .where((F.col(p_col) == SAME_AS)
+                    & (F.col(kind_col) != "literal"))
+             .select(F.col(s_col).alias("src"), F.col(o_col).alias("dst")))
+    cc = connected_components(edges)
+    fused = link_triples(
+        triples if keep_same_as
+        else triples.where(F.col(p_col) != SAME_AS),
+        cc, rewrite_kinds=("iri", "bnode"))
+    return fused.distinct()
 
 
 def describe(triples: DataFrame, node: str,

@@ -146,7 +146,8 @@ def label_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
 
 
 def link_triples(triples: DataFrame, components: DataFrame,
-                 broadcast_max_rows: int = 1_000_000) -> DataFrame:
+                 broadcast_max_rows: int = 1_000_000,
+                 rewrite_kinds: tuple[str, ...] = ("iri",)) -> DataFrame:
     """Rewrite subj/obj IRIs to their component-canonical IRI.
     ``components``: (node, component) — broadcast when small (probed with
     a bounded count, same scale-adaptivity as ``connected_components``),
@@ -154,7 +155,12 @@ def link_triples(triples: DataFrame, components: DataFrame,
     strategy). At 10^12 docs the component map has billions of rows —
     an unconditional broadcast would OOM the driver; set
     ``broadcast_max_rows=0`` to force the shuffled path (skips the
-    probe materialization entirely and lets AQE pick)."""
+    probe materialization entirely and lets AQE pick).
+
+    ``rewrite_kinds`` — object kinds eligible for rewriting (subjects
+    always rewrite). Default ('iri',) preserves the original contract;
+    pass ('iri', 'bnode') when blank nodes participate in equivalence
+    (e.g. owl:sameAs fusion — bnodes are mergeable coreferents too)."""
     small = False
     if broadcast_max_rows:
         # materialize once so the bounded probe and the two joins share
@@ -175,7 +181,7 @@ def link_triples(triples: DataFrame, components: DataFrame,
     return (out
             .withColumn("subj", F.coalesce("_subj_canon", "subj"))
             .withColumn("obj_value",
-                        F.when(F.col("obj_kind") == "iri",
+                        F.when(F.col("obj_kind").isin(list(rewrite_kinds)),
                                F.coalesce("_obj_canon", "obj_value"))
                         .otherwise(F.col("obj_value")))
             .drop("_subj_canon", "_obj_canon"))

@@ -462,3 +462,209 @@ def test_ask_and_describe(triples):
         ("d2", EX + "author", "alice", "subject"),
         ("d2", EX + "lang", "de", "subject"),
         ("d1", EX + "cites", "d2", "object")}
+
+
+# ---------------------------------------------------------------------------
+# round 5: path algebra, VALUES/BIND, existence gates, sameAs fusion
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def path_triples(spark):
+    return spark.createDataFrame(
+        [("a", "p", "b", "iri"), ("b", "p", "c", "iri"),
+         ("c", "q", "d", "iri"), ("a", "r", "x", "iri")],
+        "subj string, pred string, obj_value string, obj_kind string")
+
+
+def test_kg_path_sequence_and_alt(path_triples):
+    from jsonld_spark.operators.kg import kg_path
+    got = {(r.src, r.dst) for r in kg_path(path_triples, "<p>/<q>").collect()}
+    assert got == {("b", "d")}
+    got = {(r.src, r.dst) for r in kg_path(path_triples, "<p>|<q>").collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_kg_path_star_opt_identity_over_graph_terms(path_triples):
+    from jsonld_spark.operators.kg import kg_path
+    nodes = {"a", "b", "c", "d", "x"}
+    got = {(r.src, r.dst) for r in kg_path(path_triples, "<p>*").collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")} | {(n, n) for n in nodes}
+    got = {(r.src, r.dst) for r in kg_path(path_triples, "<q>?").collect()}
+    assert got == {("c", "d")} | {(n, n) for n in nodes}
+
+
+def test_kg_path_inverse_and_closure_compose(path_triples):
+    from jsonld_spark.operators.kg import kg_path
+    got = {(r.src, r.dst) for r in kg_path(path_triples, "(^<p>)+").collect()}
+    assert got == {("b", "a"), ("c", "b"), ("c", "a")}
+    # parens + seq over alternation
+    got = {(r.src, r.dst)
+           for r in kg_path(path_triples, "<p>/(<p>|<q>)").collect()}
+    assert got == {("a", "c"), ("b", "d")}
+
+
+def test_kg_path_syntax_errors(path_triples):
+    from jsonld_spark.operators.kg import kg_path
+    for bad in ["p", "<p", "<>", "<p>/", "(<p>", "<p>)", "<p> <q>"]:
+        with pytest.raises(ValueError, match="path syntax|empty IRI"):
+            kg_path(path_triples, bad)
+
+
+def test_kg_path_reflexive_on_cycle(spark):
+    from jsonld_spark.operators.kg import kg_path
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a"), ("s", "p", "s")],
+        "subj string, pred string, obj_value string")
+    got = {(r.src, r.dst) for r in kg_path(t, "<p>+").collect()}
+    # SPARQL OneOrMorePath: cycle members reach themselves; self-loop too
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"),
+                   ("s", "s")}
+
+
+def test_bgp_path_pattern_predicate(path_triples):
+    got = bgp_match(path_triples, [("?x", "<p>+", "c")])
+    assert sorted(r.x for r in got.collect()) == ["a", "b"]
+    # path joins with a plain pattern on the shared var
+    got = bgp_match(path_triples, [("?x", "<p>/<q>", "?y"),
+                                   ("?x", "p", "?z")])
+    assert [(r.x, r.y, r.z) for r in got.collect()] == [("b", "d", "c")]
+
+
+def test_bgp_values_constrains_and_extends(path_triples):
+    got = bgp_match(path_triples, [("?x", "p", "?y")],
+                    values=[{"y": "b", "tag": "T1"},
+                            {"y": "zzz", "tag": "T2"}])
+    assert [(r.x, r.y, r.tag) for r in got.collect()] == [("a", "b", "T1")]
+
+
+def test_bgp_values_undef_matches_anything(path_triples):
+    got = bgp_match(path_triples, [("?x", "p", "?y")],
+                    values=[{"y": None, "tag": "ALL"},
+                            {"y": "c", "tag": "C"}])
+    rows = sorted((r.x, r.y, r.tag) for r in got.collect())
+    assert rows == [("a", "b", "ALL"), ("b", "c", "ALL"), ("b", "c", "C")]
+
+
+def test_bgp_bind_chains_and_rejects_rebind(path_triples):
+    got = bgp_match(path_triples, [("?x", "p", "?y")],
+                    binds=[("u", "upper(y)"), ("uu", "concat(u, '!')")])
+    rows = sorted((r.x, r.u, r.uu) for r in got.collect())
+    assert rows == [("a", "B", "B!"), ("b", "C", "C!")]
+    with pytest.raises(ValueError, match="rebind"):
+        bgp_match(path_triples, [("?x", "p", "?y")],
+                  binds=[("y", "upper(x)")])
+
+
+def test_bgp_constant_pattern_existence_gate(path_triples):
+    assert bgp_match(path_triples,
+                     [("?x", "p", "?y"), ("c", "q", "d")]).count() == 2
+    assert bgp_match(path_triples,
+                     [("?x", "p", "?y"), ("c", "q", "NO")]).count() == 0
+    with pytest.raises(ValueError, match="ask"):
+        bgp_match(path_triples, [("c", "q", "d")])
+
+
+def test_bgp_distinct_solutions_flag(path_triples):
+    dup = path_triples.unionByName(path_triples)
+    assert bgp_match(dup, [("?x", "p", "?y")]).count() == 2
+    assert bgp_match(dup, [("?x", "p", "?y")],
+                     distinct_solutions=False).count() == 4
+
+
+def test_same_as_fuse_chain_collapses(spark):
+    from jsonld_spark.operators.kg import SAME_AS, same_as_fuse
+    t = spark.createDataFrame(
+        [("A", SAME_AS, "B", "iri"), ("B", SAME_AS, "C", "iri"),
+         ("A", "name", "alice", "literal"), ("C", "knows", "D", "iri"),
+         ("E", "knows", "B", "iri"),
+         # literal object named like a node must NOT be rewritten
+         ("F", "label", "B", "literal")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    got = {(r.subj, r.pred, r.obj_value) for r in same_as_fuse(t).collect()}
+    assert got == {("A", "name", "alice"), ("A", "knows", "D"),
+                   ("E", "knows", "A"), ("F", "label", "B")}
+
+
+def test_same_as_fuse_bnodes_merge(spark):
+    from jsonld_spark.operators.kg import SAME_AS, same_as_fuse
+    t = spark.createDataFrame(
+        [("_:b1", SAME_AS, "http://x/e", "iri"),
+         ("_:b1", "p", "v", "literal"),
+         ("y", "q", "_:b1", "bnode")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    got = {(r.subj, r.pred, r.obj_value) for r in same_as_fuse(t).collect()}
+    # canonical = min("_:b1", "http://x/e") = "_:b1"
+    assert got == {("_:b1", "p", "v"), ("y", "q", "_:b1")}
+
+
+def test_shape_accepts_bnode_and_legacy_blank():
+    from jsonld_spark.operators.kg import Shape
+    assert Shape("s", path="p", node_kind="bnode").node_kind == "bnode"
+    assert Shape("s", path="p", node_kind="blank").node_kind == "bnode"
+
+
+def test_rdfs3_entails_bnode_objects(spark):
+    schema = _schema(spark, [(EX + "author", RANGE, EX + "Person")])
+    t = spark.createDataFrame(
+        [("d1", EX + "author", "_:a", "bnode"),
+         ("d2", EX + "author", "lit", "literal")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    got = {(r.subj, r.pred, r.obj) for r in rdfs_closure(t, schema).collect()}
+    assert ("_:a", RDF_TYPE, EX + "Person") in got
+    assert not any(s == "lit" for s, _, _ in got)
+
+
+def test_owl_inverse_includes_bnodes(spark):
+    from jsonld_spark.operators.kg import INVERSE_OF, owl_closure
+    schema = _schema(spark, [(EX + "partOf", INVERSE_OF, EX + "hasPart")])
+    t = spark.createDataFrame(
+        [("_:w", EX + "partOf", "_:whole", "bnode"),
+         ("x", EX + "partOf", "lit", "literal")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    got = {(r.subj, r.pred, r.obj) for r in owl_closure(t, schema).collect()}
+    assert ("_:whole", EX + "hasPart", "_:w") in got
+    assert not any(o == "x" and s == "lit" for s, _, o in got)
+
+
+def test_bgp_exists_semi_join(triples):
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    exists=[[("?d", EX + "cites", "?y")]])
+    assert [(r.d, r.a) for r in got.collect()] == [("d1", "alice")]
+    with pytest.raises(ValueError, match="per-solution"):
+        bgp_match(triples, [("?d", EX + "author", "?a")],
+                  exists=[[("?x", EX + "cites", "?y")]])
+
+
+def test_bgp_minus_anti_and_disjoint_noop(triples):
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    minus=[[("?d", EX + "cites", "?y")]])
+    assert sorted((r.d, r.a) for r in got.collect()) == [
+        ("d2", "alice"), ("d3", "bob")]
+    # disjoint domains: MINUS removes nothing (SPARQL §8.3.3)
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    minus=[[("?x", EX + "cites", "?y")]])
+    assert got.count() == 3
+
+
+def test_construct_with_exists_and_values(triples):
+    from jsonld_spark.operators.kg import construct
+    out = construct(
+        triples, [("?d", EX + "author", "?a")],
+        template=[("?d", EX + "verifiedAuthor", "?a")],
+        exists=[[("?d", EX + "cites", "?y")]])
+    assert [(r.subj, r.pred, r.obj_value) for r in out.collect()] == [
+        ("d1", EX + "verifiedAuthor", "alice")]
+    out = construct(
+        triples, [("?d", EX + "author", "?a")],
+        template=[("?d", EX + "tier", "?t")],
+        values=[{"a": "alice", "t": "gold"}])
+    assert sorted((r.subj, r.obj_value) for r in out.collect()) == [
+        ("d1", "gold"), ("d2", "gold")]
+
+
+def test_ask_with_exists_minus(triples):
+    from jsonld_spark.operators.kg import ask
+    assert ask(triples, [("?d", EX + "author", "?a")],
+               exists=[[("?d", EX + "cites", "?y")]])
+    assert not ask(triples, [("?d", EX + "author", "?a")],
+                   minus=[[("?d", EX + "author", "?a")]])

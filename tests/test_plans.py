@@ -351,3 +351,41 @@ def test_owl_closure_broadcasts_schema(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bgp_distinct_solutions_flag_drops_exchange(spark, tmp_path):
+    """distinct_solutions=False must remove the solution-set dedup
+    aggregate (one full exchange over the possibly-huge solution set)
+    for warehouse tables already deduplicated at materialization —
+    and both modes must agree on deduped input."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "dedup_triples")
+    spark.createDataFrame(
+        [(f"s{i}", "p/knows", f"o{i % 5}") for i in range(100)],
+        "subj string, pred string, obj_value string").write.parquet(path)
+    triples = spark.read.parquet(path)
+    pats = [("?x", "p/knows", "?y")]
+    with_d = _plan(bgp_match(triples, pats))
+    without_d = _plan(bgp_match(triples, pats, distinct_solutions=False))
+    assert "HashAggregate" in with_d            # the SELECT DISTINCT
+    assert "HashAggregate" not in without_d     # bag mode: no exchange
+    assert "Exchange" not in without_d          # single pattern: pure scan
+    a = {tuple(r) for r in bgp_match(triples, pats).collect()}
+    b = {tuple(r) for r in
+         bgp_match(triples, pats, distinct_solutions=False).collect()}
+    assert a == b
+
+
+def test_kg_path_star_no_cartesian_and_pushed_pred(spark, tmp_path):
+    """kg_path atoms must push the predicate constant to the scan and
+    no algebra operator may plan a cartesian product."""
+    from jsonld_spark.operators.kg import kg_path
+    path = str(tmp_path / "path_triples")
+    spark.createDataFrame(
+        [(f"n{i}", "p/child", f"n{i // 2}") for i in range(1, 64)],
+        "subj string, pred string, obj_value string").write.parquet(path)
+    triples = spark.read.parquet(path)
+    out = kg_path(triples, "(<p/child>/^<p/child>) | <p/child>")
+    plan = _plan(out)
+    assert "EqualTo(pred,p/child)" in plan
+    assert "CartesianProduct" not in plan
