@@ -112,6 +112,14 @@ class JsonLdOptions:
             raise JsonLdError(JsonLdError.LOADING_REMOTE_CONTEXT_FAILED, str(e)) from e
 
 
+def _copy_term_def(v: dict) -> dict:
+    d = dict(v)
+    cont = d.get("@container")
+    if isinstance(cont, (list, dict)):
+        d["@container"] = _copy.deepcopy(cont)
+    return d
+
+
 class Context:
     """Active context: base/vocab/default-language + term definitions.
 
@@ -135,15 +143,14 @@ class Context:
         c.base = self.base
         c.vocab = self.vocab
         c.language = self.language
-        # copy nested mutables too (e.g. a scoped '@context' value) so
-        # a memo clone's mutation can never reach the shared memo entry;
-        # deep-copy only the (rare) dict/list values — most term-def
-        # fields are strings/bools and stay a cheap shallow copy
-        c.term_definitions = {k: (None if v is None else
-                                  {k2: (_copy.deepcopy(v2)
-                                        if isinstance(v2, (dict, list))
-                                        else v2)
-                                   for k2, v2 in v.items()})
+        # full isolation from the memo entry: term definitions in this
+        # engine hold only scalars (@id/@type/@reverse/@language) plus
+        # possibly a list @container (create_term_definition is the
+        # single writer), so one targeted list copy gives clones deep
+        # isolation without a per-field type scan in this hot path
+        # (clone runs once per memo hit, i.e. per document)
+        c.term_definitions = {k: (_copy_term_def(v) if v is not None
+                                  else None)
                               for k, v in self.term_definitions.items()}
         if share_inverse:
             # the inverse map is read-only once built (get_inverse builds

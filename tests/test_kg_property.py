@@ -146,3 +146,76 @@ def test_bgp_optional_not_exists_equals_naive(spark, triples, req, opt, ne):
     got = {tuple(r[c] for c in got_df.columns) for r in got_df.collect()}
     assert got_df.columns == all_vars
     assert got == keep
+
+
+values_row_st = st.fixed_dictionaries(
+    {}, optional={"v0": st.one_of(st.none(), st.sampled_from(OBJECTS)),
+                  "tag": st.sampled_from(["t1", "t2"])})
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2),
+       vrows=st.lists(values_row_st, min_size=1, max_size=3))
+def test_bgp_values_equals_naive(spark, triples, req, vrows):
+    """VALUES semantics vs a naive model: each solution joins every
+    compatible VALUES row (shared var equal, or UNDEF/absent = wild);
+    new variables extend, absent cells bind null."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    vvars: list[str] = []
+    for row in vrows:
+        vvars += [v for v in row if v not in vvars]
+    if not vvars:
+        return
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+    got_df = bgp_match(df, [req], values=vrows)
+    shared = [v for v in vvars if v in vars_]
+    new = [v for v in vvars if v not in vars_]
+    want = set()
+    for sol in sols:
+        sb = dict(zip(vars_, sol))
+        for row in vrows:
+            if all(row.get(v) is None or row.get(v) == sb[v]
+                   for v in shared):
+                want.add(sol + tuple(row.get(v) for v in new))
+    got = {tuple(r[c] for c in got_df.columns) for r in got_df.collect()}
+    assert got_df.columns == vars_ + new
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), g=pattern_st(2))
+def test_bgp_exists_minus_equal_naive(spark, triples, req, g):
+    """EXISTS keeps exactly the solutions NOT EXISTS drops; MINUS
+    matches NOT EXISTS when variables are shared and is a no-op when
+    domains are disjoint (SPARQL §8.3.3)."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+    g_vars, g_sols = naive_solutions(triples, [g])
+    shared = [v for v in g_vars if v in vars_]
+    if shared:
+        try:
+            kept_ne = bgp_match(df, [req], not_exists=[[g]])
+            kept_ex = bgp_match(df, [req], exists=[[g]])
+        except ValueError:
+            return
+        ne = {tuple(r) for r in kept_ne.collect()}
+        ex = {tuple(r) for r in kept_ex.collect()}
+        assert ne | ex == sols and not (ne & ex)
+        mi = {tuple(r) for r in bgp_match(df, [req], minus=[[g]]).collect()}
+        assert mi == ne
+    else:
+        # disjoint domains: MINUS removes nothing; NOT EXISTS raises
+        mi = {tuple(r) for r in bgp_match(df, [req], minus=[[g]]).collect()}
+        assert mi == sols
+        with pytest.raises(ValueError):
+            bgp_match(df, [req], not_exists=[[g]])
