@@ -584,7 +584,9 @@ class _PathParser:
         alt  := seq ('|' seq)*
         seq  := post ('/' post)*
         post := prim ('+' | '*' | '?')*
-        prim := '<' IRI '>' | '^' prim | '(' alt ')'
+        prim := '<' IRI '>' | '^' prim | '!' negset | '(' alt ')'
+        negset := '<' IRI '>' | '^' '<' IRI '>'
+                | '(' member ('|' member)* ')'   # member: <iri> | ^<iri>
 
     IRIs MUST be angle-bracketed — they contain ``/`` and ``|``
     themselves, so bare IRIs are ambiguous in a path string.
@@ -645,6 +647,9 @@ class _PathParser:
         if c == "^":
             self.i += 1
             return ("inv", self._prim())
+        if c == "!":
+            self.i += 1
+            return self._negset()
         if c == "(":
             self.i += 1
             node = self._alt()
@@ -652,7 +657,41 @@ class _PathParser:
                 raise self._err("expected ')'")
             self.i += 1
             return node
-        raise self._err("expected '<iri>', '^' or '('")
+        raise self._err("expected '<iri>', '^', '!' or '('")
+
+    def _neg_member(self) -> tuple[bool, str]:
+        invm = False
+        if self._peek() == "^":
+            invm = True
+            self.i += 1
+        if self._peek() != "<":
+            raise self._err("negated property set members must be "
+                            "'<iri>' or '^<iri>'")
+        node = self._prim()
+        return invm, node[1]
+
+    def _negset(self) -> tuple:
+        """SPARQL §9.1 PathNegatedPropertySet: '!<p>', '!^<p>' or
+        '!(<p1>|^<p2>|...)' — forward members and inverse members are
+        collected separately (they negate different scan directions)."""
+        fwd: list[str] = []
+        inv: list[str] = []
+        if self._peek() == "(":
+            self.i += 1
+            while True:
+                invm, iri = self._neg_member()
+                (inv if invm else fwd).append(iri)
+                if self._peek() == "|":
+                    self.i += 1
+                    continue
+                if self._peek() == ")":
+                    self.i += 1
+                    break
+                raise self._err("expected '|' or ')' in negated set")
+        else:
+            invm, iri = self._neg_member()
+            (inv if invm else fwd).append(iri)
+        return ("negset", tuple(fwd), tuple(inv))
 
 
 def kg_path(triples: DataFrame, path: str,
@@ -665,7 +704,9 @@ def kg_path(triples: DataFrame, path: str,
     ``path`` syntax (IRIs angle-bracketed, precedence per SPARQL §9.1):
     ``<p>`` single predicate, ``^p`` inverse, ``p1/p2`` sequence,
     ``p1|p2`` alternative, ``p+`` one-or-more, ``p*`` zero-or-more,
-    ``p?`` zero-or-one, parentheses group. Example:
+    ``p?`` zero-or-one, ``!<p>`` / ``!(<p1>|^<p2>)`` negated property
+    sets (all OTHER predicates, per direction), parentheses group.
+    Example:
     ``(<ex:parent>/<ex:parent>)+ | <ex:ancestorOf>*``.
 
     Plan shape per operator — all plain relational algebra Catalyst
@@ -718,6 +759,26 @@ def kg_path(triples: DataFrame, path: str,
                     .unionByName(nodes()).distinct())
         if op == "opt":
             return ev(node[1]).unionByName(nodes()).distinct()
+        if op == "negset":
+            fwd, inv = node[1], node[2]
+            parts = []
+            # SPARQL §9.15: x→y iff a FORWARD triple exists with pred
+            # outside the forward set, or (when inverse members are
+            # present) a REVERSE triple with pred outside the inverse
+            # set. A direction with no members contributes nothing
+            # unless it is the only direction named.
+            if fwd or not inv:
+                parts.append(triples.where(~F.col(p_col).isin(list(fwd)))
+                             .select(F.col(s_col).alias("src"),
+                                     F.col(o_col).alias("dst")))
+            if inv:
+                parts.append(triples.where(~F.col(p_col).isin(list(inv)))
+                             .select(F.col(o_col).alias("src"),
+                                     F.col(s_col).alias("dst")))
+            out = parts[0]
+            for q in parts[1:]:
+                out = out.unionByName(q)
+            return out.distinct()
         raise AssertionError(f"unknown path op {op!r}")
 
     return ev(ast)

@@ -668,3 +668,28 @@ def test_ask_with_exists_minus(triples):
                exists=[[("?d", EX + "cites", "?y")]])
     assert not ask(triples, [("?d", EX + "author", "?a")],
                    minus=[[("?d", EX + "author", "?a")]])
+
+
+def test_kg_path_negated_property_set(path_triples):
+    from jsonld_spark.operators.kg import kg_path
+    # !<p>: every triple whose predicate is NOT p
+    got = {(r.src, r.dst) for r in kg_path(path_triples, "!<p>").collect()}
+    assert got == {("c", "d"), ("a", "x")}
+    # !(<p>|<q>): only r edges remain
+    got = {(r.src, r.dst)
+           for r in kg_path(path_triples, "!(<p>|<q>)").collect()}
+    assert got == {("a", "x")}
+    # mixed: forward not-p UNION reverse not-q
+    got = {(r.src, r.dst)
+           for r in kg_path(path_triples, "!(<p>|^<q>)").collect()}
+    assert got == ({("c", "d"), ("a", "x")}            # fwd, pred != p
+                   | {("b", "a"), ("c", "b"), ("x", "a")})  # rev, pred != q
+    # inverse-only: reverse triples with pred != p
+    got = {(r.src, r.dst) for r in kg_path(path_triples, "!^<p>").collect()}
+    assert got == {("d", "c"), ("x", "a")}
+    # composes with closures
+    got = {(r.src, r.dst)
+           for r in kg_path(path_triples, "(!<q>)+").collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c"), ("a", "x")}
+    with pytest.raises(ValueError, match="negated"):
+        kg_path(path_triples, "!(<p>/<q>)")
