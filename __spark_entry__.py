@@ -1091,6 +1091,29 @@ def q_kg_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
 
 
+def q_kg_path_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 negated property set (§9.1 PathNegatedPropertySet)
+    over a two-predicate graph: ``!(<cites> | ^<parent>)`` keeps
+    forward edges whose predicate is NOT ex:cites plus reversed edges
+    whose predicate is NOT ex:parent. Plans as two pushed-filter scans
+    of the same triple table + union + distinct — no joins at all."""
+    from jsonld_spark.operators.kg import kg_path
+    docs = _read(spark, sf_dir, "documents")
+    parent = docs.where(F.col("doc_id") >= 1).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "parent").alias("pred"),
+        F.concat(F.lit(_KG_EX + "doc/"),
+                 F.floor(F.col("doc_id") / 2).cast("long")).alias("obj_value"))
+    cites = docs.where(F.col("doc_id") >= 3).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "cites").alias("pred"),
+        F.concat(F.lit(_KG_EX + "doc/"),
+                 F.floor(F.col("doc_id") / 3).cast("long")).alias("obj_value"))
+    return kg_path(parent.unionByName(cites),
+                   f"!(<{_KG_EX}cites> | ^<{_KG_EX}parent>)") \
+        .select("src", "dst")
+
+
 def q_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL VALUES + BIND: an inline binding table (with an UNDEF
     wildcard row — unbound matches anything per the compatible-bindings
@@ -1471,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         # -- new in round 5 --
         "kg_path_ops": q_kg_path_ops,
+        "kg_path_neg": q_kg_path_neg,
         "bgp_values": q_bgp_values,
         "same_as_fuse": q_same_as_fuse,
         "ivf_index_append": q_ivf_index_append,
@@ -1517,11 +1541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_totals": q_streaming_user_totals,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
-        "event_sessions": q_event_sessions,
         "bgp_exists_minus": q_bgp_exists_minus,
         # ---- driver window ends here (50 entries above) ----
         # -- long-stable rows rotated out this round (hash-matched in
         #    two or more prior rounds; queries unchanged) --
+        "event_sessions": q_event_sessions,
         "graph_degrees": q_graph_degrees,
         "corpus_profile": q_corpus_profile,
         "hash_sample": q_hash_sample,
@@ -2187,6 +2211,23 @@ SELECT DISTINCT src, dst FROM (
   SELECT src, dst FROM sib
   UNION SELECT src, dst FROM p
   UNION SELECT n AS src, n AS dst FROM nodes)
+"""
+
+_KG_PATH_NEG_ORACLE = f"""
+WITH e AS (
+  SELECT '{_KG_EX}doc/' || doc_id AS subj,
+         '{_KG_EX}parent' AS pred,
+         '{_KG_EX}doc/' || (doc_id // 2) AS obj
+  FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT '{_KG_EX}doc/' || doc_id,
+         '{_KG_EX}cites',
+         '{_KG_EX}doc/' || (doc_id // 3)
+  FROM documents WHERE doc_id >= 3)
+SELECT DISTINCT src, dst FROM (
+  SELECT subj AS src, obj AS dst FROM e WHERE pred <> '{_KG_EX}cites'
+  UNION ALL
+  SELECT obj AS src, subj AS dst FROM e WHERE pred <> '{_KG_EX}parent')
 """
 
 _BGP_VALUES_ORACLE = """
@@ -2964,6 +3005,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_paths": _KG_PATHS_ORACLE,
         "kg_path_ops": _KG_PATH_OPS_ORACLE,
+        "kg_path_neg": _KG_PATH_NEG_ORACLE,
         "bgp_exists_minus":
             _BGP_EXISTS_MINUS_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_values": _BGP_VALUES_ORACLE.format(_DOC_TRIPLES_ORACLE),
