@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -87,6 +87,32 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
     return _apply_terms(triples, pat, pos_cols[:len(pat)], i)
 
 
+def _null_masks(nullable_shared: list[str], where: str) -> list[frozenset]:
+    """All null-masks of the nullable shared variables — the branch set
+    for SPARQL's unbound-is-compatible joins. Each branch is an
+    equi-join on the non-null keys, so the plan stays hash/broadcast
+    joinable; 2^k branches is a plan explosion, so k > 4 raises."""
+    if len(nullable_shared) > 4:
+        raise ValueError(
+            f"{where}: {len(nullable_shared)} shared variables are "
+            "nullable (optional/UNDEF/BIND-introduced) — 2^k "
+            "unbound-compatibility branches would explode the plan; "
+            f"bind {nullable_shared} in a required pattern or split "
+            "the query")
+    masks: list[frozenset] = [frozenset()]
+    for v in nullable_shared:
+        masks += [m | {v} for m in masks]
+    return masks
+
+
+def _mask_filter(mask: frozenset, nullable_shared: list[str]) -> Column:
+    cond = F.lit(True)
+    for v in nullable_shared:
+        cond = cond & (F.col(v).isNull() if v in mask
+                       else F.col(v).isNotNull())
+    return cond
+
+
 def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
               not_exists: list[list[tuple[str, str, str]]] | None = None,
@@ -108,21 +134,31 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
     on its shared variables, binding its new variables where it
     matches and null where it doesn't (rows are never dropped).
-    Sequential-OPTIONAL caveat (documented deviation): when a later
-    OPTIONAL's only shared variable was introduced by an EARLIER
-    non-matching OPTIONAL, the join key is null and Spark's
-    null-never-equals rule means it cannot match — SPARQL's
-    unbound-is-compatible semantics would allow it. Share at least one
-    required-side variable in each OPTIONAL to stay on defined ground.
+    Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
+    when a later OPTIONAL shares a variable that an EARLIER
+    non-matching OPTIONAL left unbound (null), that solution is
+    compatible with ANY binding of the variable, and a match binds it
+    (per-solution bind-once). Internally the solution set splits by
+    the null-mask of the nullable shared variables — each branch is
+    still a plain equi-join on its non-null keys (the all-null branch
+    is the SPARQL-mandated unconstrained match) and the branches union
+    back; with no nullable shared variable (every shared var comes
+    from a required pattern — the overwhelmingly common case) the plan
+    is a single left join, unchanged. More than 4 nullable shared
+    variables in one clause (16 branches) raises rather than exploding
+    the plan.
     ``not_exists`` groups are SPARQL ``FILTER NOT EXISTS`` clauses:
     each group (a pattern list) drops every solution for which the
     group matches under the solution's bindings — an anti-join on the
     variables the group shares with the outer query. A shared variable
     the solution left unbound (null, from a non-matching OPTIONAL)
-    never equals anything, so such solutions are kept. Group patterns
-    must connect to each other and the group must share at least one
-    variable with the outer query (else it is not a per-solution
-    test).
+    follows SPARQL's substitution semantics: it stays a FREE variable
+    inside the group, so the group constrains only the solution's
+    BOUND shared variables (anti-join key = non-null shared vars,
+    per null-mask branch; a solution with ALL shared vars unbound is
+    dropped iff the group matches at all). Group patterns must connect
+    to each other and the group must share at least one variable with
+    the outer query (else it is not a per-solution test).
     ``filters`` are SPARQL FILTER expressions as Spark SQL boolean
     strings over the variable names (e.g. ``"cast(n as int) >= 300"``),
     applied after all patterns. Like SPARQL's error-drops-the-solution
@@ -166,15 +202,22 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     the shared variables, EXCEPT that a group sharing NO variable with
     the outer query removes nothing (SPARQL §8.3.3: disjoint domains
     are never compatible) — where NOT EXISTS would raise, MINUS is a
-    legal no-op. As with OPTIONAL, a shared variable the solution left
-    unbound never matches under Spark's null semantics (documented
-    deviation from SPARQL's unbound-compatibility).
+    legal no-op. A shared variable the solution left unbound (null) is
+    compatible with any group binding, so per §8.3.3 the anti-join key
+    is the solution's BOUND shared variables only; a solution whose
+    shared variables are ALL unbound has a disjoint bound domain and
+    survives. (Same null-mask branching as OPTIONAL; single anti-join
+    when no shared variable is nullable.)
     """
     if not patterns:
         raise ValueError("empty pattern list")
     pos_cols = (s_col, p_col, o_col, g_col)
     out: DataFrame | None = None
     bound: list[str] = []
+    # vars that may be unbound (null) in some solutions: introduced by
+    # an OPTIONAL, an UNDEF VALUES cell, or a BIND expression. Joining
+    # on one of these later needs the unbound-compatibility branches.
+    nullable: set[str] = set()
     gates: list[DataFrame] = []
     for i, pat in enumerate(patterns):
         step, step_vars = _pattern_step(triples, pat, i, pos_cols)
@@ -220,8 +263,36 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         # dedup the optional side unconditionally: duplicate input rows
         # (or an all-shared-vars pattern) must not multiply solutions
         step = step.dropDuplicates(step_vars)
-        out = out.join(step, shared, "left")
+        nshared = [v for v in shared if v in nullable]
+        if not nshared:
+            out = out.join(step, shared, "left")
+        else:
+            # SPARQL leftjoin compatibility: a shared var the solution
+            # left unbound matches any optional binding and takes it.
+            # Branch by null-mask; each branch equi-joins on its
+            # non-null keys, the all-null branch matches every row.
+            right = step.select(
+                *[F.col(v).alias(f"_o_{v}") for v in step_vars])
+            branches = []
+            for mask in _null_masks(nshared, f"optional pattern {i}"):
+                left_m = out.filter(_mask_filter(mask, nshared))
+                key = [v for v in shared if v not in mask]
+                if key:
+                    jc = F.lit(True)
+                    for v in key:
+                        jc = jc & (F.col(v) == F.col(f"_o_{v}"))
+                    j = left_m.join(right, jc, "left")
+                else:
+                    j = left_m.join(right, F.lit(True), "left")
+                sel = [F.coalesce(F.col(v), F.col(f"_o_{v}")).alias(v)
+                       if v in mask else F.col(v) for v in bound]
+                sel += [F.col(f"_o_{v}").alias(v) for v in new]
+                branches.append(j.select(*sel))
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b)
         bound += new
+        nullable |= set(new)
     if values:
         vvars: list[str] = []
         for row in values:
@@ -232,19 +303,28 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             ", ".join(f"`{v}` string" for v in vvars))
         shared = [v for v in vvars if v in bound]
         new_vars = [v for v in vvars if v not in bound]
-        if any(row.get(v) is None for row in values for v in shared):
-            # UNDEF in a shared variable: SPARQL compatibility says an
-            # unbound VALUES cell matches anything, so the equi-join
-            # key is wrong for those rows — join on an explicit
-            # null-tolerant condition instead (VALUES tables are tiny,
-            # so the broadcast nested-loop this plans is fine)
+        nshared = [v for v in shared if v in nullable]
+        if nshared or any(row.get(v) is None
+                          for row in values for v in shared):
+            # SPARQL compatibility on either side: an UNDEF VALUES
+            # cell matches any solution binding, and a shared variable
+            # the SOLUTION left unbound matches any VALUES cell (and
+            # takes its value). The equi-join key is wrong for those
+            # rows — join on an explicit null-tolerant condition
+            # instead (VALUES tables are tiny, so the broadcast
+            # nested-loop this plans is fine)
             cond = None
             vdf2 = vdf.select(*[F.col(v).alias(f"_v_{v}") for v in vvars])
             for v in shared:
                 c = (F.col(f"_v_{v}").isNull()
                      | (F.col(f"_v_{v}") == F.col(v)))
+                if v in nullable:
+                    c = c | F.col(v).isNull()
                 cond = c if cond is None else (cond & c)
             out = out.join(F.broadcast(vdf2), cond)
+            for v in nshared:
+                out = out.withColumn(
+                    v, F.coalesce(F.col(v), F.col(f"_v_{v}")))
             for v in new_vars:
                 out = out.withColumnRenamed(f"_v_{v}", v)
             out = out.drop(*[f"_v_{v}" for v in shared])
@@ -253,12 +333,17 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         else:
             out = out.crossJoin(F.broadcast(vdf))
         bound += new_vars
+        nullable |= {v for v in new_vars
+                     if any(row.get(v) is None for row in values)}
     for var, expr in binds or []:
         if var in bound:
             raise ValueError(f"BIND would rebind {var!r} — SPARQL "
                              "forbids rebinding an in-scope variable")
         out = out.withColumn(var, F.expr(expr))
         bound.append(var)
+        # a BIND whose expression errors leaves the var unbound per
+        # SPARQL (null here) — conservatively nullable
+        nullable.add(var)
     def _group_solutions(group: list, gi: int,
                          kind: str) -> tuple[DataFrame, list[str]]:
         if not group:
@@ -280,6 +365,42 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             gbound += [v for v in step_vars if v not in gbound]
         return inner, gbound
 
+    def _compat_join(out_df: DataFrame, inner: DataFrame,
+                     shared: list[str], kind: str, gi: int,
+                     how: str) -> DataFrame:
+        """Anti/semi join under SPARQL unbound-compatibility: a shared
+        variable the solution left unbound (null) is a free variable
+        inside the group (NOT EXISTS/EXISTS substitution semantics) or
+        compatible-with-anything (MINUS §8.3.3), so the join key per
+        null-mask branch is the solution's BOUND shared vars only.
+        With no nullable shared variable this is a single plain join
+        — the overwhelmingly common case."""
+        nshared_g = [v for v in shared if v in nullable]
+        if not nshared_g:
+            return out_df.join(inner.select(*shared).distinct(),
+                               shared, how)
+        branches = []
+        for mask in _null_masks(nshared_g, f"{kind} group {gi}"):
+            left_m = out_df.filter(_mask_filter(mask, nshared_g))
+            key = [v for v in shared if v not in mask]
+            if key:
+                branches.append(
+                    left_m.join(inner.select(*key).distinct(), key, how))
+            elif kind == "minus":
+                # every shared var unbound: bound domains are disjoint,
+                # MINUS removes nothing (§8.3.3)
+                branches.append(left_m)
+            else:
+                # NOT EXISTS/EXISTS with every shared var unbound: the
+                # group is a pure existence test — drop (anti) / keep
+                # (semi) these solutions iff the group matches at all
+                probe = inner.limit(1).select(F.lit(1).alias("_probe"))
+                branches.append(left_m.join(probe, F.lit(True), how))
+        res = branches[0]
+        for b in branches[1:]:
+            res = res.unionByName(b)
+        return res
+
     for gi, group in enumerate(not_exists or []):
         inner, gbound = _group_solutions(group, gi, "not_exists")
         anti_on = [v for v in gbound if v in bound]
@@ -287,7 +408,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(
                 f"not_exists group {gi} shares no variable with the "
                 "required patterns — it is not a per-solution test")
-        out = out.join(inner.select(*anti_on).distinct(), anti_on, "anti")
+        out = _compat_join(out, inner, anti_on, "not_exists", gi, "anti")
     for gi, group in enumerate(exists or []):
         inner, gbound = _group_solutions(group, gi, "exists")
         semi_on = [v for v in gbound if v in bound]
@@ -295,13 +416,12 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(
                 f"exists group {gi} shares no variable with the "
                 "required patterns — it is not a per-solution test")
-        out = out.join(inner.select(*semi_on).distinct(), semi_on, "semi")
+        out = _compat_join(out, inner, semi_on, "exists", gi, "semi")
     for gi, group in enumerate(minus or []):
         inner, gbound = _group_solutions(group, gi, "minus")
         anti_on = [v for v in gbound if v in bound]
         if anti_on:
-            out = out.join(inner.select(*anti_on).distinct(),
-                           anti_on, "anti")
+            out = _compat_join(out, inner, anti_on, "minus", gi, "anti")
         # disjoint-domain MINUS removes nothing (SPARQL §8.3.3)
     out = out.select(*bound)
     for expr in filters or []:

@@ -321,13 +321,74 @@ def test_bgp_not_exists(triples):
     assert sorted(r.d for r in got.collect()) == ["d2", "d3"]
 
 
-def test_bgp_not_exists_null_shared_var_kept(triples):
-    # d2/d3 leave ?c unbound; null never matches, so they survive a
-    # NOT EXISTS over ?c
+def test_bgp_not_exists_unbound_shared_var_substitution(triples):
+    # SPARQL substitution semantics: d2/d3 leave ?c unbound, so ?c is
+    # FREE inside the group — the group matches (some doc has a lang
+    # triple) and d2/d3 are dropped; d1 binds ?c=d2, which also has a
+    # lang triple, so everything is dropped
     got = bgp_match(triples, [("?d", EX + "author", "?a")],
                     optional=[("?d", EX + "cites", "?c")],
                     not_exists=[[("?c", EX + "lang", "?l")]])
+    assert got.collect() == []
+    # a group that matches nothing at all keeps every solution,
+    # bound-?c and unbound-?c alike
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    not_exists=[[("?c", EX + "missing", "?l")]])
+    assert sorted(r.d for r in got.collect()) == ["d1", "d2", "d3"]
+    # bound ?c constrains the group: only d1 cites something, and its
+    # target d2 has a lang triple, so only d1 is dropped once the
+    # group's subject position is restricted to cited docs
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    not_exists=[[("?c", EX + "lang", "de")]])
+    # d1 drops (cites d2, lang de); d2/d3 unbound-?c → group "?c lang
+    # de" matches (d2 has lang de) → dropped too
+    assert got.collect() == []
+
+
+def test_bgp_minus_all_unbound_shared_survives(triples):
+    # MINUS §8.3.3: a solution whose shared vars are ALL unbound has a
+    # disjoint bound domain and survives — unlike NOT EXISTS
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    minus=[[("?c", EX + "lang", "?l")]])
+    # d1 binds ?c=d2 (lang de exists) → removed; d2/d3 unbound ?c →
+    # disjoint domain → survive
     assert sorted(r.d for r in got.collect()) == ["d2", "d3"]
+
+
+def test_bgp_exists_unbound_shared_var_substitution(triples):
+    # EXISTS mirror: unbound ?c is free in the group, so d2/d3 survive
+    # iff the group matches at all
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    exists=[[("?c", EX + "lang", "?l")]])
+    assert sorted(r.d for r in got.collect()) == ["d1", "d2", "d3"]
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    exists=[[("?c", EX + "missing", "?l")]])
+    assert got.collect() == []
+
+
+def test_bgp_sequential_optional_unbound_compatibility(spark):
+    # the round-4 documented deviation, now implemented: opt2's only
+    # shared var ?c was introduced by opt1 and is unbound for s2 —
+    # SPARQL compatibility lets s2 match ANY opt2 row and bind ?c
+    t = spark.createDataFrame(
+        [("s1", EX + "p", "c1"), ("s2", EX + "p", "c2"),
+         ("s1", EX + "q", "c1"),              # opt1 matches only s1
+         ("c1", EX + "r", "x1"), ("c9", EX + "r", "x9")],
+        "subj string, pred string, obj_value string")
+    got = bgp_match(t, [("?s", EX + "p", "?o")],
+                    optional=[("?s", EX + "q", "?c"),
+                              ("?c", EX + "r", "?x")])
+    rows = sorted((r.s, r.c, r.x) for r in got.collect())
+    # s1: ?c=c1 bound by opt1, opt2 matches (c1,r,x1)
+    # s2: ?c unbound after opt1 → compatible with both opt2 rows,
+    #     binding ?c to each (bind-once)
+    assert rows == [("s1", "c1", "x1"), ("s2", "c1", "x1"),
+                    ("s2", "c9", "x9")]
 
 
 def test_bgp_not_exists_rejects_disconnected(triples):

@@ -76,9 +76,11 @@ def test_bgp_match_equals_naive(spark, triples, patterns):
 
 
 def naive_optional(sols, vars_, triples, opt):
-    """Extend each solution with one OPTIONAL pattern per bgp_match's
-    documented semantics (left join on shared vars, distinct optional
-    bindings, null where unmatched)."""
+    """Extend each solution (which may contain None = unbound, from an
+    earlier OPTIONAL) with one OPTIONAL pattern per SPARQL leftjoin:
+    an optional row is compatible when it agrees on every shared var
+    the solution BINDS; a shared var the solution left unbound takes
+    the optional row's value (bind-once); unmatched rows get nulls."""
     opt_vars = []
     for t in opt:
         if t.startswith("?") and t[1:] not in vars_ \
@@ -106,19 +108,22 @@ def naive_optional(sols, vars_, triples, opt):
         exts = set()
         for row in opt_rows:
             rb = dict(row)
-            if all(sb[k] == v for k, v in rb.items() if k in sb):
-                exts.add(tuple(rb.get(v) for v in opt_vars))
+            if all(sb[k] is None or sb[k] == v
+                   for k, v in rb.items() if k in sb):
+                exts.add(tuple(
+                    (sb[v] if sb[v] is not None else rb.get(v))
+                    for v in vars_)
+                    + tuple(rb.get(v) for v in opt_vars))
         if not exts:
-            exts = {tuple(None for _ in opt_vars)}
-        for e in exts:
-            out.add(sol + e)
+            exts = {sol + tuple(None for _ in opt_vars)}
+        out |= exts
     return out, vars_ + opt_vars
 
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(triples=st.sets(triple_st, min_size=1, max_size=12),
-       req=pattern_st(2), opt=pattern_st(3), ne=pattern_st(2))
+       req=pattern_st(2), opt=pattern_st(3), ne=pattern_st(3))
 def test_bgp_optional_not_exists_equals_naive(spark, triples, req, opt, ne):
     vars_, sols = naive_solutions(triples, [req])
     if not vars_:
@@ -131,21 +136,50 @@ def test_bgp_optional_not_exists_equals_naive(spark, triples, req, opt, ne):
     except ValueError:
         return  # disconnected optional/group rejected by design
     want, all_vars = naive_optional(sols, vars_, triples, opt)
-    # NOT EXISTS: drop solutions where ne matches under the solution's
-    # bindings of the shared vars (null shared vars never match)
+    # NOT EXISTS under substitution semantics: a shared var the
+    # solution left unbound (null) stays FREE inside the group, so the
+    # group matches iff some group solution agrees on the solution's
+    # BOUND shared vars (all-unbound: matches iff the group matches at
+    # all)
     ne_vars, ne_sols = naive_solutions(triples, [ne])
     shared = [v for v in ne_vars if v in all_vars]
     keep = set()
     for sol in want:
         sb = dict(zip(all_vars, sol))
-        hit = any(all(sb[v] is not None
-                      and sb[v] == ns[ne_vars.index(v)] for v in shared)
+        hit = any(all(sb[v] is None or sb[v] == ns[ne_vars.index(v)]
+                      for v in shared)
                   for ns in ne_sols)
         if not hit:
             keep.add(sol)
     got = {tuple(r[c] for c in got_df.columns) for r in got_df.collect()}
     assert got_df.columns == all_vars
     assert got == keep
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), opt1=pattern_st(3), opt2=pattern_st(4))
+def test_bgp_sequential_optional_equals_naive(spark, triples, req,
+                                              opt1, opt2):
+    """Sequential OPTIONALs under SPARQL unbound-compatibility: when
+    opt2 shares a variable opt1 introduced (nullable), a solution
+    where opt1 didn't match joins opt2 on its remaining bound shared
+    vars and binds the unbound one from opt2's row (bind-once)."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+    try:
+        got_df = bgp_match(df, [req], optional=[opt1, opt2])
+    except ValueError:
+        return  # disconnected optional rejected by design
+    want, all_vars = naive_optional(sols, vars_, triples, opt1)
+    want, all_vars = naive_optional(want, all_vars, triples, opt2)
+    got = {tuple(r[c] for c in got_df.columns) for r in got_df.collect()}
+    assert got_df.columns == all_vars
+    assert got == want
 
 
 values_row_st = st.fixed_dictionaries(

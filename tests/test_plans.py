@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as E
@@ -310,6 +311,43 @@ def test_shacl_path_filter_pushes_to_scan(spark, tmp_path):
     assert "EqualTo(pred,p/name)" in plan
     assert "EqualTo(pred,p/other)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bgp_optional_common_case_is_single_left_join(spark, tmp_path):
+    """The unbound-compatibility machinery must cost NOTHING in the
+    overwhelmingly common case: an OPTIONAL whose shared vars all come
+    from required patterns plans ONE left join — no null-mask
+    branching, no Union in the plan."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "opt_triples")
+    rows = [(f"s{i}", "p/a", f"o{i}", "g") for i in range(100)]
+    rows += [(f"s{i}", "p/b", f"w{i}", "g") for i in range(0, 100, 2)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = bgp_match(triples, [("?x", "p/a", "?v")],
+                  optional=[("?x", "p/b", "?w")],
+                  not_exists=[[("?x", "p/a", "o1")]])
+    plan = _plan(q)
+    assert q.count() == 99
+    assert plan.count("LeftOuter") == 1
+    assert "Union" not in plan
+
+
+def test_bgp_nullable_branch_guard_raises(spark):
+    """More than 4 nullable shared variables in one clause would plan
+    2^k join branches — the typed guard refuses instead."""
+    from jsonld_spark.operators.kg import bgp_match
+    t = spark.createDataFrame(
+        [("s1", "p", "c1"), ("c1", "p", "c2")],
+        "subj string, pred string, obj_value string")
+    opts = [("?s", f"q{i}", f"?c{i}") for i in range(5)]
+    group = [[(f"?c{i}", "p", f"?c{i+1}") for i in range(4)]
+             + [("?c4", "p", "?c0")]]
+    with pytest.raises(ValueError, match="unbound-compatibility"):
+        bgp_match(t, [("?s", "p", "?o")], optional=opts,
+                  not_exists=group)
 
 
 def test_bgp_not_exists_is_anti_join_with_pushed_filter(spark, tmp_path):
