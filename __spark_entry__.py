@@ -976,6 +976,42 @@ def q_bgp_exists_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bgp_optional_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential OPTIONALs + MINUS under SPARQL unbound-compatibility
+    (the round-5 semantics): every media doc, OPTIONAL its reviewer
+    (bound for doc_id % 3 == 0 only), OPTIONAL the reviewer's org —
+    docs with NO reviewer leave ?rev unbound, so per SPARQL they are
+    compatible with EVERY worksFor row and bind ?rev/?org from it
+    (bind-once, multiplying those docs by the 3 employed reviewers);
+    MINUS then removes solutions whose (possibly just-bound) reviewer
+    is suspended (reviewer/0)."""
+    from jsonld_spark.operators.kg import bgp_match
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    works = spark.createDataFrame(
+        [(f"{_KG_EX}reviewer/{k}", _KG_EX + "worksFor",
+          f"{_KG_EX}org/{k % 2}") for k in range(3)],
+        "subj string, pred string, obj_value string")
+    susp = spark.createDataFrame(
+        [(_KG_EX + "reviewer/0", _KG_EX + "suspended", "true")],
+        "subj string, pred string, obj_value string")
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value") \
+        .unionByName(reviews).unionByName(works).unionByName(susp)
+    return bgp_match(triples, [
+        ("?d", "http://schema.org/associatedMedia", "?media"),
+    ], optional=[
+        ("?d", _KG_EX + "reviewedBy", "?rev"),
+        ("?rev", _KG_EX + "worksFor", "?org"),
+    ], minus=[
+        [("?rev", _KG_EX + "suspended", "?s")],
+    ])
+
+
 def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite entailment over doc triples plus a deterministic
     ex:under hierarchy (doc i under doc i//2, the kg_paths shape):
@@ -1498,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_values": q_bgp_values,
         "same_as_fuse": q_same_as_fuse,
         "ivf_index_append": q_ivf_index_append,
+        "bgp_optional_chain": q_bgp_optional_chain,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1531,7 +1568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_reps": q_simhash_neardup_reps,
-        "minhash_word_pairs": q_minhash_word_pairs,
         "decontaminate": q_decontaminate,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_hi": q_embedding_neardup_hi,
@@ -1577,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_counts": q_region_customer_counts,
         "window_running": q_window_running,
         "customers_without_orders": q_customers_without_orders,
+        # rotated to the tail round 5 (hash-matched r3+r4, unchanged):
+        "minhash_word_pairs": q_minhash_word_pairs,
     }
 
 
@@ -2287,6 +2325,30 @@ WHERE t.pred = 'http://schema.org/associatedMedia'
   AND NOT EXISTS (SELECT 1 FROM documents x
                   WHERE x.doc_id % 3 = 0 AND x.doc_id % 5 = 0
                     AND t.subj = '{_KG_EX}doc/' || x.doc_id)
+"""
+
+_BGP_OPTIONAL_CHAIN_ORACLE = f"""
+WITH t AS MATERIALIZED ({{}}),
+m AS (SELECT DISTINCT subj AS d, obj_value AS media FROM t
+      WHERE pred = 'http://schema.org/associatedMedia'),
+r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
+             '{_KG_EX}reviewer/' || (doc_id % 5) AS rev
+      FROM documents WHERE doc_id % 3 = 0),
+w AS (SELECT '{_KG_EX}reviewer/' || k AS rev,
+             '{_KG_EX}org/' || (k % 2) AS org
+      FROM (VALUES (0), (1), (2)) v(k)),
+s1 AS (SELECT m.d, m.media, r.rev FROM m LEFT JOIN r ON m.d = r.d),
+-- SPARQL leftjoin compatibility: an unbound ?rev matches EVERY
+-- worksFor row and binds from it (the round-5 bind-once semantics)
+s2 AS (
+  SELECT s1.d, s1.media, s1.rev, w.org
+  FROM s1 LEFT JOIN w ON s1.rev = w.rev WHERE s1.rev IS NOT NULL
+  UNION ALL
+  SELECT s1.d, s1.media, w.rev AS rev, w.org
+  FROM s1 CROSS JOIN w WHERE s1.rev IS NULL
+)
+SELECT d, media, rev, org FROM s2
+WHERE rev IS NULL OR rev <> '{_KG_EX}reviewer/0'
 """
 
 _MIXTURE_ORACLE = """
@@ -3008,6 +3070,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_neg": _KG_PATH_NEG_ORACLE,
         "bgp_exists_minus":
             _BGP_EXISTS_MINUS_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_optional_chain":
+            _BGP_OPTIONAL_CHAIN_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_values": _BGP_VALUES_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "same_as_fuse": _SAME_AS_FUSE_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "ivf_index_append": _ivf_oracle(),
