@@ -98,6 +98,8 @@ EXTENDED = [
     "same_as_fuse",
     "ivf_index_append",
     "bgp_exists_minus",
+    "kg_path_neg",
+    "bgp_optional_chain",
 ]
 
 
