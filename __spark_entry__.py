@@ -1012,6 +1012,30 @@ def q_bgp_optional_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bgp_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path INSIDE a BGP pattern (SPARQL 1.1 §9: paths in
+    triple patterns): ``?a <parent>+ doc/1 . ?a schema:associatedMedia
+    ?m`` — every strict descendant of doc/1 in the binary parent tree
+    that has media, joined to its media IRIs. The path term plans the
+    doubling closure once; its (src, dst) relation then joins the
+    media scan like any other pattern (operators/kg.py:_pattern_step).
+    """
+    from jsonld_spark.operators.kg import bgp_match
+    docs = _read(spark, sf_dir, "documents")
+    parent = docs.where(F.col("doc_id") >= 1).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "parent").alias("pred"),
+        F.concat(F.lit(_KG_EX + "doc/"),
+                 F.floor(F.col("doc_id") / 2).cast("long"))
+        .alias("obj_value"))
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value").unionByName(parent)
+    return bgp_match(triples, [
+        ("?a", f"<{_KG_EX}parent>+", _KG_EX + "doc/1"),
+        ("?a", "http://schema.org/associatedMedia", "?m"),
+    ])
+
+
 def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite entailment over doc triples plus a deterministic
     ex:under hierarchy (doc i under doc i//2, the kg_paths shape):
@@ -1535,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "same_as_fuse": q_same_as_fuse,
         "ivf_index_append": q_ivf_index_append,
         "bgp_optional_chain": q_bgp_optional_chain,
+        "bgp_path_pattern": q_bgp_path_pattern,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1562,7 +1587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "entity_link": q_entity_link,
         # -- core LLM-pipeline surface --
-        "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
@@ -1613,8 +1637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_counts": q_region_customer_counts,
         "window_running": q_window_running,
         "customers_without_orders": q_customers_without_orders,
-        # rotated to the tail round 5 (hash-matched r3+r4, unchanged):
+        # rotated to the tail round 5 (hash-matched 2+ rounds,
+        # queries unchanged):
         "minhash_word_pairs": q_minhash_word_pairs,
+        "dedup_exact": q_dedup_exact,
     }
 
 
@@ -2351,6 +2377,22 @@ SELECT d, media, rev, org FROM s2
 WHERE rev IS NULL OR rev <> '{_KG_EX}reviewer/0'
 """
 
+_BGP_PATH_PATTERN_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT '{_KG_EX}doc/' || doc_id AS src,
+             '{_KG_EX}doc/' || (doc_id // 2) AS dst
+      FROM documents WHERE doc_id >= 1),
+p(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src),
+d1 AS (SELECT DISTINCT src AS a FROM p WHERE dst = '{_KG_EX}doc/1'),
+m AS (SELECT '{_KG_EX}doc/' || doc_id AS a,
+             'https://media.example/img/' || doc_id || '.jpg' AS m
+      FROM documents)
+SELECT DISTINCT d1.a, m.m FROM d1 JOIN m ON d1.a = m.a
+"""
+
 _MIXTURE_ORACLE = """
 WITH per AS (
   SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3072,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
             _BGP_EXISTS_MINUS_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_optional_chain":
             _BGP_OPTIONAL_CHAIN_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_path_pattern": _BGP_PATH_PATTERN_ORACLE,
         "bgp_values": _BGP_VALUES_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "same_as_fuse": _SAME_AS_FUSE_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "ivf_index_append": _ivf_oracle(),
