@@ -72,8 +72,14 @@ def main() -> None:
             lo = throughput_once("8", "2048")
             if lo:
                 emit({"kind": "scaling_lo", "load_pre": load0, **lo})
-                # only worth the hi leg if the lo leg started quiet and
-                # the box is STILL quiet now
+                # the lo leg itself leaves loadavg elevated (~13 from
+                # our own 8-core job) — wait for decay before gating
+                # the hi leg, else the pair never completes
+                decay_deadline = time.time() + 360
+                while (time.time() < decay_deadline
+                       and (os.getloadavg()[0] >= GATE
+                            or os.path.exists(PAUSE))):
+                    time.sleep(15)
                 if os.getloadavg()[0] < GATE and not os.path.exists(PAUSE):
                     hi = throughput_once("32", "2048")
                     if hi:
@@ -81,6 +87,9 @@ def main() -> None:
                                / lo["triples_per_sec"] / 4.0)
                         emit({"kind": "scaling_pair", "lo": lo, "hi": hi,
                               "efficiency": round(eff, 3)})
+                else:
+                    emit({"kind": "scaling_hi_skipped",
+                          "loadavg_1m": os.getloadavg()[0]})
         turn += 1
         time.sleep(10)
     emit({"kind": "done", "wall_s": round(time.time() - t0, 1)})
