@@ -271,10 +271,17 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             # left unbound matches any optional binding and takes it.
             # Branch by null-mask; each branch equi-joins on its
             # non-null keys, the all-null branch matches every row.
+            # Every branch filters the SAME solution set — materialize
+            # it once (lineage cut) so the upstream plan (extraction,
+            # earlier joins) doesn't re-run per branch. Masks first:
+            # the >4-nullable guard must raise before paying the cut.
+            masks = _null_masks(nshared, f"optional pattern {i}")
+            from ..session import cut_lineage
+            out = cut_lineage(out)
             right = step.select(
                 *[F.col(v).alias(f"_o_{v}") for v in step_vars])
             branches = []
-            for mask in _null_masks(nshared, f"optional pattern {i}"):
+            for mask in masks:
                 left_m = out.filter(_mask_filter(mask, nshared))
                 key = [v for v in shared if v not in mask]
                 if key:
@@ -379,8 +386,15 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         if not nshared_g:
             return out_df.join(inner.select(*shared).distinct(),
                                shared, how)
+        # as in the OPTIONAL branch path: branches filter the same
+        # solution set — materialize once instead of re-running the
+        # upstream plan per branch (masks first so the guard raises
+        # before paying the cut)
+        masks = _null_masks(nshared_g, f"{kind} group {gi}")
+        from ..session import cut_lineage
+        out_df = cut_lineage(out_df)
         branches = []
-        for mask in _null_masks(nshared_g, f"{kind} group {gi}"):
+        for mask in masks:
             left_m = out_df.filter(_mask_filter(mask, nshared_g))
             key = [v for v in shared if v not in mask]
             if key:
