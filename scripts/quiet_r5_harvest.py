@@ -64,7 +64,7 @@ def main() -> None:
             time.sleep(20)
             continue
         load0 = os.getloadavg()[0]
-        if turn % 2 == 0:
+        if turn % 2 == 1:
             r = throughput_once("32", "2048")
             if r:
                 emit({"kind": "throughput", "load_pre": load0, **r})
@@ -75,7 +75,7 @@ def main() -> None:
                 # the lo leg itself leaves loadavg elevated (~13 from
                 # our own 8-core job) — wait for decay before gating
                 # the hi leg, else the pair never completes
-                decay_deadline = time.time() + 360
+                decay_deadline = time.time() + 600
                 while (time.time() < decay_deadline
                        and (os.getloadavg()[0] >= GATE
                             or os.path.exists(PAUSE))):
