@@ -41,9 +41,17 @@ def emit(rec: dict) -> None:
 def throughput_once(cpus: str, repl: str) -> dict | None:
     env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                SPARK_GRAFT_SCALING_REPL=repl)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--throughput"],
-        env=env, capture_output=True, text=True, cwd=REPO, timeout=900)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--throughput"],
+            env=env, capture_output=True, text=True, cwd=REPO,
+            timeout=1500)
+    except subprocess.TimeoutExpired:
+        # an externally-loaded 8-core leg can blow any budget — log
+        # and move on instead of killing the whole harvester
+        emit({"kind": "timeout", "cpus": cpus})
+        return None
     if out.returncode != 0:
         emit({"kind": "error", "cpus": cpus, "rc": out.returncode,
               "stderr_tail": out.stderr[-500:]})
