@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from jsonld_spark.operators.kg import (
     DOMAIN,
@@ -589,6 +590,23 @@ def test_bgp_path_pattern_predicate(path_triples):
     got = bgp_match(path_triples, [("?x", "<p>/<q>", "?y"),
                                    ("?x", "p", "?z")])
     assert [(r.x, r.y, r.z) for r in got.collect()] == [("b", "d", "c")]
+
+
+def test_bgp_path_pattern_rejects_graph_slot(path_triples):
+    # SPARQL paths have no graph position — a 4-tuple path pattern is
+    # a typed error, not silent graph-ignoring
+    with pytest.raises(ValueError, match="GRAPH-scoped"):
+        bgp_match(path_triples.withColumn("graph", F.lit("g0")),
+                  [("?x", "<p>+", "?y", "g0")])
+
+
+def test_construct_with_path_pattern(path_triples):
+    # paths compose through CONSTRUCT's WHERE clause like any pattern
+    from jsonld_spark.operators.kg import construct
+    got = construct(path_triples, [("?x", "<p>+", "c")],
+                    [("?x", "ex:reaches", "c")])
+    assert sorted((r.subj, r.pred, r.obj_value) for r in got.collect()) \
+        == [("a", "ex:reaches", "c"), ("b", "ex:reaches", "c")]
 
 
 def test_bgp_values_constrains_and_extends(path_triples):
