@@ -182,6 +182,55 @@ def test_bgp_sequential_optional_equals_naive(spark, triples, req,
     assert got == want
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), opt=pattern_st(3), g=pattern_st(3))
+def test_bgp_exists_minus_nullable_shared_equals_naive(spark, triples,
+                                                       req, opt, g):
+    """EXISTS/MINUS over a variable an OPTIONAL may leave unbound:
+    EXISTS keeps a solution iff the group matches on its BOUND shared
+    vars (unbound = free, substitution semantics); MINUS additionally
+    keeps any solution whose shared vars are ALL unbound (disjoint
+    bound domains, §8.3.3)."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+    try:
+        kept_ex = bgp_match(df, [req], optional=[opt], exists=[[g]])
+        kept_mi = bgp_match(df, [req], optional=[opt], minus=[[g]])
+    except ValueError:
+        return  # disconnected optional/group rejected by design
+    want, all_vars = naive_optional(sols, vars_, triples, opt)
+    g_vars, g_sols = naive_solutions(triples, [g])
+    shared = [v for v in g_vars if v in all_vars]
+    if not shared:
+        return  # exists raises for disjoint groups; covered elsewhere
+    ex_want, mi_want = set(), set()
+    for sol in want:
+        sb = dict(zip(all_vars, sol))
+        hit = any(all(sb[v] is None or sb[v] == ns[g_vars.index(v)]
+                      for v in shared)
+                  for ns in g_sols)
+        if hit:
+            ex_want.add(sol)
+        all_unbound = all(sb[v] is None for v in shared)
+        if all_unbound or not any(
+                all(sb[v] is None or sb[v] == ns[g_vars.index(v)]
+                    for v in shared)
+                and any(sb[v] is not None for v in shared)
+                for ns in g_sols):
+            mi_want.add(sol)
+    got_ex = {tuple(r[c] for c in kept_ex.columns)
+              for r in kept_ex.collect()}
+    got_mi = {tuple(r[c] for c in kept_mi.columns)
+              for r in kept_mi.collect()}
+    assert got_ex == ex_want
+    assert got_mi == mi_want
+
+
 values_row_st = st.fixed_dictionaries(
     {}, optional={"v0": st.one_of(st.none(), st.sampled_from(OBJECTS)),
                   "tag": st.sampled_from(["t1", "t2"])})
