@@ -372,6 +372,22 @@ def test_bgp_exists_unbound_shared_var_substitution(triples):
     assert got.collect() == []
 
 
+def test_bgp_values_over_nullable_var(triples):
+    # VALUES over a variable an OPTIONAL may leave unbound: a bound
+    # ?c must equal the VALUES cell (or the cell is UNDEF); an
+    # unbound ?c is compatible with every cell and TAKES its value
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("?d", EX + "cites", "?c")],
+                    values=[{"c": "d2", "tag": "T1"},
+                            {"c": "d9", "tag": "T2"}])
+    rows = sorted((r.d, r.c, r.tag) for r in got.collect())
+    # d1 binds c=d2: matches only the d2 row. d2/d3 unbound: match
+    # both rows, binding c from each
+    assert rows == [("d1", "d2", "T1"),
+                    ("d2", "d2", "T1"), ("d2", "d9", "T2"),
+                    ("d3", "d2", "T1"), ("d3", "d9", "T2")]
+
+
 def test_bgp_sequential_optional_unbound_compatibility(spark):
     # the round-4 documented deviation, now implemented: opt2's only
     # shared var ?c was introduced by opt1 and is unbound for s2 —
