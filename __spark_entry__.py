@@ -779,6 +779,37 @@ def q_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL *text* front-end (operators/sparql.py): the query below
+    is parsed from the string and compiled onto the same algebra the
+    programmatic rows call — OPTIONAL + numeric FILTER + GROUP BY with
+    COUNT(DISTINCT) + ORDER BY, all from SPARQL source. The reference
+    has no query language at all; this completes the engine's
+    user-facing query surface."""
+    from jsonld_spark.operators.sparql import sparql_query
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value").unionByName(reviews)
+    return sparql_query(triples, f"""
+        PREFIX schema: <http://schema.org/>
+        PREFIX ex: <{_KG_EX}>
+        SELECT ?lang (COUNT(DISTINCT ?d) AS ?n_docs)
+               (COUNT(DISTINCT ?r) AS ?n_reviewers)
+        WHERE {{
+            ?d schema:inLanguage ?lang ;
+               schema:associatedMedia ?m .
+            OPTIONAL {{ ?d ex:reviewedBy ?r }}
+        }}
+        GROUP BY ?lang
+        ORDER BY DESC(?n_docs) ?lang
+    """)
+
+
 def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a SPARQL OPTIONAL clause: every doc's media plus its
     reviewer where one exists (deterministic: docs with doc_id % 3 == 0
@@ -1548,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cycle back through the window in later rounds.
     return {
         # -- never driver-verified before round 5 --
+        "sparql_text": q_sparql_text,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -2066,6 +2098,23 @@ SELECT d.doc_id,
        coalesce(a.n_spans_kept, 0) AS n_spans_kept,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+_SPARQL_TEXT_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+l AS (SELECT subj AS d, obj_value AS lang FROM t
+      WHERE pred = 'http://schema.org/inLanguage'),
+m AS (SELECT subj AS d, obj_value AS m FROM t
+      WHERE pred = 'http://schema.org/associatedMedia'),
+r AS (SELECT '{_KG_EX}doc/' || doc_id AS d,
+             '{_KG_EX}reviewer/' || (doc_id % 5) AS r
+      FROM documents WHERE doc_id % 3 = 0),
+sol AS (SELECT DISTINCT l.d, l.lang, m.m, r.r
+        FROM l JOIN m USING (d) LEFT JOIN r USING (d))
+SELECT lang, CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT r) AS BIGINT) AS n_reviewers
+FROM sol GROUP BY lang
+ORDER BY n_docs DESC, lang
 """
 
 _BGP_OPTIONAL_ORACLE = f"""
@@ -3093,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_optional": _BGP_OPTIONAL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_filter": _BGP_FILTER_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_union": _BGP_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_text": _SPARQL_TEXT_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":
             _BGP_NOT_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),

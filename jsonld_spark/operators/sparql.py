@@ -1,0 +1,934 @@
+"""SPARQL 1.1 text front-end over the relational KG algebra.
+
+The reference library (jsonld-java) stops at RDF dataset production —
+it has no query language. This engine's query surface (``kg.bgp_match``
+/ ``construct`` / ``ask`` / ``describe`` and the path algebra) covers
+the SPARQL algebra programmatically; this module adds the missing
+user-facing layer: parse SPARQL *query text* and compile it onto those
+operators, so a user can run the same query string here that they
+would hand to any SPARQL endpoint over the reference's output.
+
+Supported subset (each construct maps 1:1 onto an existing operator,
+so the compiled plan is identical to the hand-written call):
+
+* ``PREFIX`` / ``BASE`` prologue, ``a`` == ``rdf:type``
+* ``SELECT [DISTINCT] ?v ... | * | (expr AS ?alias)`` with
+  ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
+  and the SPARQL aggregates ``COUNT / SUM / AVG / MIN / MAX /
+  SAMPLE / GROUP_CONCAT`` (GROUP_CONCAT is made deterministic by
+  sorting the group's values — SPARQL leaves the order undefined)
+* ``ASK`` / ``CONSTRUCT { template } WHERE`` / ``DESCRIBE <node>``
+* triple patterns with ``;`` / ``,`` predicate-object lists,
+  property-path predicates (``^ / | + * ?`` and ``!`` negated sets
+  — the full kg_path grammar), ``GRAPH <g>|?g { ... }``
+* ``OPTIONAL { single pattern }`` (the algebra models each OPTIONAL
+  clause as one left-joined pattern; a multi-pattern OPTIONAL group
+  raises with a pointer to nesting alternatives)
+* ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
+  ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
+  ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards),
+  ``BIND (expr AS ?v)``
+* a WHERE clause that is entirely ``{ BGP } UNION { BGP } ...``
+  compiles to ``bgp_union``
+
+Deviations / limits (all raise a clear error, never mis-execute):
+blank-node syntax in patterns, subqueries, SERVICE, nested
+OPTIONAL/UNION mixed with other group members, and multi-pattern
+OPTIONAL groups are not supported. Expression translation casts a
+variable compared against a numeric literal to ``double`` (SPARQL
+compares typed values; the triples frame stores lexical forms).
+
+Reference for the algebra mapping: SPARQL 1.1 Query, §18 (algebra),
+§8 (negation), §10.2 (VALUES). Reference parity anchor: the triples
+these queries run over are produced per jsonld-java's
+``core/RDFDataset.java`` quad model (see operators/materialize.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from .kg import RDF_TYPE, ask as _ask, bgp_match, bgp_union, construct, \
+    describe
+
+__all__ = ["sparql_query", "SparqlSyntaxError", "SparqlUnsupportedError"]
+
+
+class SparqlSyntaxError(ValueError):
+    """The query text does not parse under the SPARQL grammar."""
+
+
+class SparqlUnsupportedError(NotImplementedError):
+    """Legal SPARQL outside this front-end's compiled subset."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<STRING3>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"
+      |'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*
+      |[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9][A-Za-z_0-9.-]*)
+  | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,*/|^+?!=<>-])
+""", re.VERBOSE)
+
+_KEYWORDS = {
+    "select", "distinct", "reduced", "where", "optional", "filter",
+    "union", "minus", "exists", "not", "values", "bind", "as", "graph",
+    "construct", "ask", "describe", "prefix", "base", "group", "by",
+    "having", "order", "asc", "desc", "limit", "offset", "undef", "in",
+    "a", "true", "false",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str          # IRIREF VAR STRING LANGTAG NUMBER PNAME NAME OP KW EOF
+    value: str
+    pos: int
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            raise SparqlSyntaxError(
+                f"unexpected character {text[i]!r} at offset {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        val = m.group()
+        if kind == "STRING3":
+            kind = "STRING"
+        if kind == "NAME" and val.lower() in _KEYWORDS:
+            toks.append(_Tok("KW", val.lower(), m.start()))
+        else:
+            toks.append(_Tok(kind, val, m.start()))
+    toks.append(_Tok("EOF", "", len(text)))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    if s.startswith('"""') or s.startswith("'''"):
+        body = s[3:-3]
+    else:
+        body = s[1:-1]
+    return body.encode("raw_unicode_escape").decode("unicode_escape") \
+        if "\\" in body else body
+
+
+# ---------------------------------------------------------------------------
+# Parsed structures
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Group:
+    """One GroupGraphPattern, flattened to the algebra's argument
+    shape (matches bgp_match's keyword surface)."""
+    patterns: list[tuple] = field(default_factory=list)
+    optional: list[tuple] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)
+    not_exists: list[list[tuple]] = field(default_factory=list)
+    exists: list[list[tuple]] = field(default_factory=list)
+    minus: list[list[tuple]] = field(default_factory=list)
+    values: list[dict] = field(default_factory=list)
+    binds: list[tuple[str, str]] = field(default_factory=list)
+    union_branches: list[list[tuple]] | None = None
+
+
+@dataclass
+class _Query:
+    form: str                       # select | ask | construct | describe
+    where: _Group | None = None
+    select: list[tuple[str | None, str]] | None = None  # (sql_expr|None=var, name)
+    select_star: bool = False
+    distinct: bool = True
+    group_by: list[str] = field(default_factory=list)
+    having: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+    template: list[tuple] | None = None
+    describe_node: str | None = None
+    aggregates: list[tuple[Any, str]] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "sample",
+              "group_concat"}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+
+    # -- token helpers ----------------------------------------------------
+    def _peek(self, ahead: int = 0) -> _Tok:
+        j = min(self.i + ahead, len(self.toks) - 1)
+        return self.toks[j]
+
+    def _next(self) -> _Tok:
+        t = self.toks[self.i]
+        if t.kind != "EOF":
+            self.i += 1
+        return t
+
+    def _expect(self, kind: str, value: str | None = None) -> _Tok:
+        t = self._next()
+        if t.kind != kind or (value is not None and t.value != value):
+            want = value or kind
+            raise SparqlSyntaxError(
+                f"expected {want!r}, got {t.value!r} at offset {t.pos}")
+        return t
+
+    def _at_kw(self, *words: str) -> bool:
+        t = self._peek()
+        return t.kind == "KW" and t.value in words
+
+    def _eat_kw(self, *words: str) -> bool:
+        if self._at_kw(*words):
+            self._next()
+            return True
+        return False
+
+    # -- terms ------------------------------------------------------------
+    def _expand_pname(self, pname: str, pos: int) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(
+                f"undeclared prefix {pfx!r}: at offset {pos}")
+        return self.prefixes[pfx] + local
+
+    def _iri(self, t: _Tok) -> str:
+        if t.kind == "IRIREF":
+            iri = t.value[1:-1]
+            if self.base and "://" not in iri and not iri.startswith(
+                    ("urn:", "mailto:", "_:")):
+                return self.base + iri
+            return iri
+        if t.kind == "PNAME":
+            return self._expand_pname(t.value, t.pos)
+        raise SparqlSyntaxError(
+            f"expected IRI, got {t.value!r} at offset {t.pos}")
+
+    def _term(self, position: str) -> str:
+        """One subject/object/graph term → the algebra's string form
+        (``?var`` kept, IRIs expanded without brackets, literals as
+        their lexical value)."""
+        t = self._next()
+        if t.kind == "VAR":
+            return "?" + t.value[1:]
+        if t.kind in ("IRIREF", "PNAME"):
+            return self._iri(t)
+        if t.kind == "STRING":
+            val = _unquote(t.value)
+            # @lang / ^^datatype tags don't change the stored lexical
+            # form in the single obj_value column — consume and drop
+            if self._peek().kind == "LANGTAG":
+                self._next()
+            elif self._peek().kind == "OP" and self._peek().value == "^^":
+                self._next()
+                self._iri(self._next())
+            return val
+        if t.kind == "NUMBER":
+            return t.value
+        if t.kind == "KW" and t.value in ("true", "false"):
+            return t.value
+        if t.kind == "OP" and t.value == "[":
+            raise SparqlUnsupportedError(
+                "blank-node syntax in patterns is not supported — name "
+                "the node with a variable instead")
+        raise SparqlSyntaxError(
+            f"bad {position} term {t.value!r} at offset {t.pos}")
+
+    # -- property paths ---------------------------------------------------
+    def _predicate(self) -> str:
+        """Predicate position: a variable, ``a``, a plain IRI, or a
+        property-path expression. Paths are re-rendered with full
+        ``<iri>`` tokens — the exact grammar ``kg_path`` parses."""
+        t = self._peek()
+        if t.kind == "VAR":
+            self._next()
+            return "?" + t.value[1:]
+        if t.kind == "KW" and t.value == "a":
+            self._next()
+            return RDF_TYPE
+        text, is_path = self._path_alt()
+        if not is_path:
+            return text[1:-1]            # plain IRI → bare (fast path)
+        return text
+
+    def _path_alt(self) -> tuple[str, bool]:
+        s, p = self._path_seq()
+        parts, is_path = [s], p
+        while self._peek().kind == "OP" and self._peek().value == "|":
+            self._next()
+            s2, _ = self._path_seq()
+            parts.append(s2)
+            is_path = True
+        return "|".join(parts), is_path
+
+    def _path_seq(self) -> tuple[str, bool]:
+        s, p = self._path_post()
+        parts, is_path = [s], p
+        while self._peek().kind == "OP" and self._peek().value == "/":
+            self._next()
+            s2, _ = self._path_post()
+            parts.append(s2)
+            is_path = True
+        return "/".join(parts), is_path
+
+    def _path_post(self) -> tuple[str, bool]:
+        s, p = self._path_prim()
+        t = self._peek()
+        if t.kind == "OP" and t.value in ("+", "*", "?"):
+            self._next()
+            return s + t.value, True
+        return s, p
+
+    def _path_prim(self) -> tuple[str, bool]:
+        t = self._peek()
+        if t.kind == "OP" and t.value == "^":
+            self._next()
+            s, _ = self._path_prim()
+            return "^" + s, True
+        if t.kind == "OP" and t.value == "!":
+            self._next()
+            return "!" + self._path_negset(), True
+        if t.kind == "OP" and t.value == "(":
+            self._next()
+            s, _ = self._path_alt()
+            self._expect("OP", ")")
+            return "(" + s + ")", True
+        return "<" + self._iri(self._next()) + ">", False
+
+    def _path_negset(self) -> str:
+        t = self._peek()
+        if t.kind == "OP" and t.value == "(":
+            self._next()
+            members = [self._path_neg_member()]
+            while self._peek().kind == "OP" and self._peek().value == "|":
+                self._next()
+                members.append(self._path_neg_member())
+            self._expect("OP", ")")
+            return "(" + "|".join(members) + ")"
+        return self._path_neg_member()
+
+    def _path_neg_member(self) -> str:
+        if self._peek().kind == "OP" and self._peek().value == "^":
+            self._next()
+            return "^<" + self._iri(self._next()) + ">"
+        return "<" + self._iri(self._next()) + ">"
+
+    # -- triples block ----------------------------------------------------
+    def _triples_block(self, graph: str | None) -> list[tuple]:
+        """Subject (predicate object (, object)*)(; ...)* with optional
+        trailing '.'; returns 3- or 4-tuples (graph term appended)."""
+        pats: list[tuple] = []
+        subj = self._term("subject")
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._term("object")
+                if graph is not None:
+                    if "<" in pred and not pred.startswith("?"):
+                        raise SparqlUnsupportedError(
+                            "property-path patterns inside GRAPH are "
+                            "not supported (paths have no graph slot)")
+                    pats.append((subj, pred, obj, graph))
+                else:
+                    pats.append((subj, pred, obj))
+                if self._peek().kind == "OP" and self._peek().value == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek().kind == "OP" and self._peek().value == ";":
+                self._next()
+                # a ';' directly before '.' or '}' is legal trailing
+                if (self._peek().kind == "OP"
+                        and self._peek().value in (".", "}")):
+                    break
+                continue
+            break
+        if self._peek().kind == "OP" and self._peek().value == ".":
+            self._next()
+        return pats
+
+    def _plain_bgp(self) -> list[tuple]:
+        """'{' triples* '}' with only triple patterns inside — the
+        body shape of EXISTS / MINUS / UNION branches."""
+        self._expect("OP", "{")
+        pats: list[tuple] = []
+        while not (self._peek().kind == "OP" and self._peek().value == "}"):
+            if self._peek().kind == "EOF":
+                raise SparqlSyntaxError("unterminated group")
+            if self._at_kw("graph"):
+                self._next()
+                g = self._term("graph")
+                inner = self._plain_bgp()
+                pats += [(s, p, o, g) for (s, p, o) in inner]
+                continue
+            pats += self._triples_block(None)
+        self._next()
+        return pats
+
+    # -- group graph pattern ----------------------------------------------
+    def _group(self) -> _Group:
+        self._expect("OP", "{")
+        g = _Group()
+        if self._peek().kind == "OP" and self._peek().value == "{":
+            # UNION form: { BGP } UNION { BGP } ... — or a single
+            # nested plain group, which is equivalent to inlining
+            branches = [self._plain_bgp()]
+            while self._at_kw("union"):
+                self._next()
+                branches.append(self._plain_bgp())
+            if len(branches) > 1:
+                if not (self._peek().kind == "OP"
+                        and self._peek().value == "}"):
+                    raise SparqlUnsupportedError(
+                        "UNION mixed with other group members is not "
+                        "supported — lift the other members into each "
+                        "branch")
+                self._next()
+                g.union_branches = branches
+                return g
+            g.patterns += branches[0]
+        while not (self._peek().kind == "OP" and self._peek().value == "}"):
+            t = self._peek()
+            if t.kind == "EOF":
+                raise SparqlSyntaxError("unterminated group")
+            if self._eat_kw("optional"):
+                pats = self._plain_bgp()
+                if len(pats) != 1:
+                    raise SparqlUnsupportedError(
+                        "multi-pattern OPTIONAL groups are not "
+                        "supported — split into sequential single-"
+                        "pattern OPTIONALs (SPARQL leftjoin composes)")
+                g.optional.append(pats[0])
+            elif self._eat_kw("filter"):
+                if self._at_kw("exists"):
+                    self._next()
+                    g.exists.append(self._plain_bgp())
+                elif (self._at_kw("not")
+                        and self._peek(1).kind == "KW"
+                        and self._peek(1).value == "exists"):
+                    self._next()
+                    self._next()
+                    g.not_exists.append(self._plain_bgp())
+                else:
+                    g.filters.append(self._expression())
+            elif self._eat_kw("minus"):
+                g.minus.append(self._plain_bgp())
+            elif self._eat_kw("values"):
+                g.values += self._values_clause()
+            elif self._eat_kw("bind"):
+                self._expect("OP", "(")
+                expr = self._expression()
+                self._expect("KW", "as")
+                var = self._expect("VAR").value[1:]
+                self._expect("OP", ")")
+                g.binds.append((var, expr))
+            elif self._eat_kw("graph"):
+                gterm = self._term("graph")
+                g.patterns += [(s, p, o, gterm)
+                               for (s, p, o) in self._plain_bgp()]
+            elif t.kind == "OP" and t.value == "{":
+                raise SparqlUnsupportedError(
+                    "nested group / UNION after other members is not "
+                    "supported in this subset")
+            elif t.kind == "OP" and t.value == ".":
+                self._next()
+            else:
+                g.patterns += self._triples_block(None)
+        self._next()
+        return g
+
+    def _values_clause(self) -> list[dict]:
+        """Both VALUES forms → list of {var: value|None} rows."""
+        t = self._peek()
+        if t.kind == "VAR":
+            var = self._next().value[1:]
+            self._expect("OP", "{")
+            rows = []
+            while not (self._peek().kind == "OP"
+                       and self._peek().value == "}"):
+                rows.append({var: self._values_cell()})
+            self._next()
+            return rows
+        self._expect("OP", "(")
+        vars_: list[str] = []
+        while self._peek().kind == "VAR":
+            vars_.append(self._next().value[1:])
+        self._expect("OP", ")")
+        self._expect("OP", "{")
+        rows = []
+        while not (self._peek().kind == "OP" and self._peek().value == "}"):
+            self._expect("OP", "(")
+            row = {}
+            for v in vars_:
+                row[v] = self._values_cell()
+            self._expect("OP", ")")
+            rows.append(row)
+        self._next()
+        return rows
+
+    def _values_cell(self) -> str | None:
+        if self._eat_kw("undef"):
+            return None
+        t = self._next()
+        if t.kind == "STRING":
+            val = _unquote(t.value)
+            if self._peek().kind == "LANGTAG":
+                self._next()
+            elif self._peek().kind == "OP" and self._peek().value == "^^":
+                self._next()
+                self._iri(self._next())
+            return val
+        if t.kind in ("IRIREF", "PNAME"):
+            return self._iri(t)
+        if t.kind == "NUMBER":
+            return t.value
+        if t.kind == "KW" and t.value in ("true", "false"):
+            return t.value
+        raise SparqlSyntaxError(
+            f"bad VALUES cell {t.value!r} at offset {t.pos}")
+
+    # -- expressions → Spark SQL ------------------------------------------
+    # Precedence: || < && < (=,!=,<,>,<=,>=,IN) < (+,-) < (*,/) < unary
+    def _expression(self) -> str:
+        return self._expr_or()
+
+    def _expr_or(self) -> str:
+        s = self._expr_and()
+        while self._peek().kind == "OP" and self._peek().value == "||":
+            self._next()
+            s = f"({s} OR {self._expr_and()})"
+        return s
+
+    def _expr_and(self) -> str:
+        s = self._expr_rel()
+        while self._peek().kind == "OP" and self._peek().value == "&&":
+            self._next()
+            s = f"({s} AND {self._expr_rel()})"
+        return s
+
+    _REL_OPS = {"=", "!=", "<", ">", "<=", ">="}
+
+    def _expr_rel(self) -> str:
+        left, lkind = self._expr_add()
+        t = self._peek()
+        if t.kind == "OP" and t.value in self._REL_OPS:
+            op = self._next().value
+            right, rkind = self._expr_add()
+            # SPARQL compares typed values; the frame stores lexical
+            # strings — cast the var side when the other side is numeric
+            if lkind == "var" and rkind == "num":
+                left = f"cast({left} as double)"
+            elif rkind == "var" and lkind == "num":
+                right = f"cast({right} as double)"
+            return f"({left} {op} {right})"
+        if self._at_kw("in") or (self._at_kw("not")
+                                 and self._peek(1).kind == "KW"
+                                 and self._peek(1).value == "in"):
+            neg = self._eat_kw("not")
+            self._expect("KW", "in")
+            self._expect("OP", "(")
+            items = []
+            while not (self._peek().kind == "OP"
+                       and self._peek().value == ")"):
+                items.append(self._expr_add()[0])
+                if self._peek().kind == "OP" and self._peek().value == ",":
+                    self._next()
+            self._next()
+            kw = "NOT IN" if neg else "IN"
+            return f"({left} {kw} ({', '.join(items)}))"
+        return left
+
+    def _expr_add(self) -> tuple[str, str]:
+        s, k = self._expr_mul()
+        while self._peek().kind == "OP" and self._peek().value in ("+", "-"):
+            op = self._next().value
+            s2, _ = self._expr_mul()
+            s, k = f"({s} {op} {s2})", "expr"
+        return s, k
+
+    def _expr_mul(self) -> tuple[str, str]:
+        s, k = self._expr_unary()
+        while self._peek().kind == "OP" and self._peek().value in ("*", "/"):
+            op = self._next().value
+            s2, _ = self._expr_unary()
+            s, k = f"({s} {op} {s2})", "expr"
+        return s, k
+
+    def _expr_unary(self) -> tuple[str, str]:
+        t = self._peek()
+        if t.kind == "OP" and t.value == "!":
+            self._next()
+            s, _ = self._expr_unary()
+            return f"(NOT {s})", "expr"
+        if t.kind == "OP" and t.value == "-":
+            self._next()
+            s, _ = self._expr_unary()
+            return f"(- {s})", "expr"
+        return self._expr_primary()
+
+    # SPARQL builtin → Spark SQL function (same arity, same position)
+    _FUNC_MAP = {
+        "str": "cast({0} as string)", "strlen": "length({0})",
+        "ucase": "upper({0})", "lcase": "lower({0})",
+        "contains": "contains({0}, {1})",
+        "strstarts": "startswith({0}, {1})",
+        "strends": "endswith({0}, {1})",
+        "substr": None,  # handled: SPARQL is 1-based like Spark substring
+        "concat": None, "abs": None, "ceil": "ceiling({0})",
+        "floor": None, "round": None, "coalesce": None, "if": None,
+        "replace": None,
+    }
+
+    def _expr_primary(self) -> tuple[str, str]:
+        t = self._next()
+        if t.kind == "VAR":
+            return f"`{t.value[1:]}`", "var"
+        if t.kind == "NUMBER":
+            return t.value, "num"
+        if t.kind == "STRING":
+            lit = _unquote(t.value).replace("\\", "\\\\").replace("'", "\\'")
+            if self._peek().kind == "LANGTAG":
+                self._next()
+            elif self._peek().kind == "OP" and self._peek().value == "^^":
+                self._next()
+                self._iri(self._next())
+            return f"'{lit}'", "str"
+        if t.kind in ("IRIREF", "PNAME"):
+            iri = self._iri(t).replace("'", "\\'")
+            return f"'{iri}'", "str"
+        if t.kind == "KW" and t.value in ("true", "false"):
+            return t.value, "expr"
+        if t.kind == "OP" and t.value == "(":
+            # no re-wrap: every binary combinator parenthesizes its
+            # own result, so source parens add nothing but noise
+            s = self._expression()
+            self._expect("OP", ")")
+            return s, "expr"
+        if t.kind == "NAME" or (t.kind == "KW" and t.value == "bound"):
+            return self._builtin_call(t)
+        raise SparqlSyntaxError(
+            f"bad expression token {t.value!r} at offset {t.pos}")
+
+    def _builtin_call(self, t: _Tok) -> tuple[str, str]:
+        name = t.value.lower()
+        self._expect("OP", "(")
+        if name == "bound":
+            var = self._expect("VAR").value[1:]
+            self._expect("OP", ")")
+            return f"(`{var}` IS NOT NULL)", "expr"
+        args = []
+        while not (self._peek().kind == "OP" and self._peek().value == ")"):
+            args.append(self._expression())
+            if self._peek().kind == "OP" and self._peek().value == ",":
+                self._next()
+        self._next()
+        if name == "regex":
+            if len(args) == 3 and args[2] == "'i'":
+                return f"({args[0]} RLIKE concat('(?i)', {args[1]}))", "expr"
+            return f"({args[0]} RLIKE {args[1]})", "expr"
+        if name == "datatype" or name == "lang" or name == "isiri" \
+                or name == "isliteral" or name == "isblank":
+            raise SparqlUnsupportedError(
+                f"{name.upper()}() needs the kind/datatype/lang columns "
+                "— filter those columns before bgp_match instead")
+        tmpl = self._FUNC_MAP.get(name)
+        if name in self._FUNC_MAP:
+            if tmpl is None:
+                return f"{name}({', '.join(args)})", "expr"
+            return tmpl.format(*args), "expr"
+        raise SparqlUnsupportedError(
+            f"builtin {name.upper()}() is not in the compiled subset")
+
+    # -- aggregates / select list -----------------------------------------
+    def _select_item(self) -> tuple:
+        """One SELECT item → ('var', name) | ('agg', Column, alias) |
+        ('expr', sql, alias)."""
+        t = self._peek()
+        if t.kind == "VAR":
+            self._next()
+            return ("var", t.value[1:])
+        if t.kind == "OP" and t.value == "(":
+            self._next()
+            item = self._agg_or_expr()
+            self._expect("KW", "as")
+            alias = self._expect("VAR").value[1:]
+            self._expect("OP", ")")
+            return item + (alias,)
+        raise SparqlSyntaxError(
+            f"bad SELECT item {t.value!r} at offset {t.pos}")
+
+    def _agg_or_expr(self) -> tuple:
+        t = self._peek()
+        if t.kind == "NAME" and t.value.lower() in _AGG_FUNCS:
+            name = self._next().value.lower()
+            self._expect("OP", "(")
+            distinct = self._eat_kw("distinct")
+            sep = ","
+            if self._peek().kind == "OP" and self._peek().value == "*":
+                self._next()
+                arg = None
+            else:
+                arg = self._expression()
+            if name == "group_concat" and self._peek().kind == "OP" \
+                    and self._peek().value == ";":
+                self._next()
+                w = self._next()       # SEPARATOR keyword (as NAME)
+                if w.kind != "NAME" or w.value.lower() != "separator":
+                    raise SparqlSyntaxError(
+                        f"expected SEPARATOR at offset {w.pos}")
+                self._expect("OP", "=")
+                sep = _unquote(self._expect("STRING").value)
+            self._expect("OP", ")")
+            return ("agg", (name, arg, distinct, sep))
+        return ("expr", self._expression())
+
+    # -- query forms -------------------------------------------------------
+    def parse(self) -> _Query:
+        while True:
+            if self._eat_kw("prefix"):
+                p = self._expect("PNAME")
+                if not p.value.endswith(":"):
+                    raise SparqlSyntaxError(
+                        f"bad prefix declaration at offset {p.pos}")
+                iri = self._expect("IRIREF").value[1:-1]
+                self.prefixes[p.value[:-1]] = iri
+            elif self._eat_kw("base"):
+                self.base = self._expect("IRIREF").value[1:-1]
+            else:
+                break
+        if self._eat_kw("select"):
+            q = self._parse_select()
+        elif self._eat_kw("ask"):
+            q = _Query(form="ask")
+            self._eat_kw("where")
+            q.where = self._group()
+        elif self._eat_kw("construct"):
+            q = _Query(form="construct")
+            q.template = self._plain_bgp()
+            self._expect("KW", "where")
+            q.where = self._group()
+        elif self._eat_kw("describe"):
+            q = _Query(form="describe")
+            q.describe_node = self._iri(self._next())
+        else:
+            t = self._peek()
+            raise SparqlSyntaxError(
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got "
+                f"{t.value!r} at offset {t.pos}")
+        if self._peek().kind != "EOF":
+            t = self._peek()
+            raise SparqlSyntaxError(
+                f"trailing input {t.value!r} at offset {t.pos}")
+        return q
+
+    def _parse_select(self) -> _Query:
+        q = _Query(form="select")
+        if self._eat_kw("distinct"):
+            q.distinct = True
+        elif self._eat_kw("reduced"):
+            q.distinct = False
+        if self._peek().kind == "OP" and self._peek().value == "*":
+            self._next()
+            q.select_star = True
+        else:
+            items = []
+            while self._peek().kind == "VAR" or (
+                    self._peek().kind == "OP"
+                    and self._peek().value == "("):
+                items.append(self._select_item())
+            if not items:
+                raise SparqlSyntaxError("empty SELECT list")
+            q.select = items
+        self._eat_kw("where")
+        q.where = self._group()
+        if self._eat_kw("group"):
+            self._expect("KW", "by")
+            while self._peek().kind == "VAR":
+                q.group_by.append(self._next().value[1:])
+            if not q.group_by:
+                raise SparqlSyntaxError("empty GROUP BY")
+        if self._eat_kw("having"):
+            q.having.append(self._expression())
+        if self._eat_kw("order"):
+            self._expect("KW", "by")
+            while True:
+                t = self._peek()
+                if self._eat_kw("asc") or self._eat_kw("desc"):
+                    desc = t.value == "desc"
+                    self._expect("OP", "(")
+                    expr = self._expression()
+                    self._expect("OP", ")")
+                    q.order_by.append((expr, desc))
+                elif t.kind == "VAR":
+                    self._next()
+                    q.order_by.append((f"`{t.value[1:]}`", False))
+                else:
+                    break
+            if not q.order_by:
+                raise SparqlSyntaxError("empty ORDER BY")
+        if self._eat_kw("limit"):
+            q.limit = int(self._expect("NUMBER").value)
+        if self._eat_kw("offset"):
+            q.offset = int(self._expect("NUMBER").value)
+        return q
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+def _agg_column(spec: tuple, alias: str) -> Any:
+    name, arg, distinct, sep = spec
+    col = F.expr(arg) if arg is not None else None
+    if name == "count":
+        if col is None:
+            return F.count(F.lit(1)).alias(alias)
+        return (F.countDistinct(col) if distinct
+                else F.count(col)).alias(alias)
+    if col is None:
+        raise SparqlSyntaxError(f"{name.upper()}(*) is not SPARQL")
+    if name in ("sum", "avg"):
+        col = col.cast("double")
+        col = getattr(F, name)(col)
+    elif name in ("min", "max"):
+        col = getattr(F, name)(col)
+    elif name == "sample":
+        # SAMPLE is implementation-defined; min() makes it deterministic
+        col = F.min(col)
+    elif name == "group_concat":
+        inner = (F.collect_set if distinct else F.collect_list)(col)
+        # SPARQL leaves concatenation order undefined; sorting makes
+        # the result deterministic (and distributable — no global order)
+        col = F.array_join(F.array_sort(inner), sep)
+    return col.alias(alias)
+
+
+def sparql_query(triples: DataFrame, query: str,
+                 s_col: str = "subj", p_col: str = "pred",
+                 o_col: str = "obj_value", g_col: str = "graph",
+                 distinct_solutions: bool = True) -> DataFrame | bool:
+    """Parse SPARQL query text and run it over the triples frame.
+
+    SELECT / CONSTRUCT / DESCRIBE return a DataFrame (one column per
+    projected variable); ASK returns a bool (same contract as
+    ``kg.ask``). See the module docstring for the supported subset.
+    The compiled plan is exactly what the equivalent hand-written
+    ``bgp_match`` / ``construct`` / ``bgp_union`` call produces — the
+    front-end adds no operators, so all the algebra's scale behavior
+    (pushed-down constants, broadcast VALUES, null-mask OPTIONAL
+    branches, Catalyst join ordering) carries over verbatim.
+    """
+    q = _Parser(query).parse()
+    cols = dict(s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col)
+    if q.form == "describe":
+        return describe(triples, q.describe_node,
+                        s_col=s_col, p_col=p_col, o_col=o_col)
+    g = q.where
+    if q.form == "ask":
+        if g.binds or g.optional:
+            raise SparqlUnsupportedError(
+                "BIND/OPTIONAL inside ASK are not supported — they "
+                "cannot change an existence answer, drop them")
+        return _ask(triples, g.patterns, not_exists=g.not_exists or None,
+                    exists=g.exists or None, minus=g.minus or None,
+                    filters=g.filters or None, values=g.values or None,
+                    **cols)
+    if q.form == "construct":
+        if g.union_branches:
+            raise SparqlUnsupportedError(
+                "CONSTRUCT over UNION is not supported — run one "
+                "CONSTRUCT per branch and union the graphs")
+        return construct(triples, g.patterns, q.template,
+                         optional=g.optional or None,
+                         not_exists=g.not_exists or None,
+                         exists=g.exists or None, minus=g.minus or None,
+                         filters=g.filters or None,
+                         values=g.values or None, binds=g.binds or None,
+                         **cols)
+    # SELECT
+    if g.union_branches is not None:
+        if g.optional or g.filters or g.not_exists or g.exists \
+                or g.minus or g.values or g.binds:
+            raise SparqlUnsupportedError(
+                "UNION mixed with other clauses is not supported")
+        df = bgp_union(triples, g.union_branches, **cols)
+    else:
+        df = bgp_match(triples, g.patterns, optional=g.optional or None,
+                       not_exists=g.not_exists or None,
+                       exists=g.exists or None, minus=g.minus or None,
+                       filters=g.filters or None, values=g.values or None,
+                       binds=g.binds or None,
+                       distinct_solutions=distinct_solutions, **cols)
+    has_agg = any(item[0] == "agg" for item in (q.select or []))
+    if q.group_by or has_agg:
+        if q.select_star:
+            raise SparqlSyntaxError("SELECT * with GROUP BY is not SPARQL")
+        aggs, out_order = [], []
+        for item in q.select:
+            if item[0] == "agg":
+                aggs.append(_agg_column(item[1], item[2]))
+                out_order.append(item[2])
+            elif item[0] == "var":
+                if item[1] not in q.group_by:
+                    raise SparqlSyntaxError(
+                        f"?{item[1]} is projected but neither grouped "
+                        "nor aggregated")
+                out_order.append(item[1])
+            else:
+                raise SparqlUnsupportedError(
+                    "(expr AS ?x) beside aggregates — compute it with "
+                    "BIND before grouping")
+        df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by \
+            else df.agg(*aggs)
+        df = df.select(*out_order)
+    elif q.select and not q.select_star:
+        out_cols = []
+        for item in q.select:
+            if item[0] == "var":
+                out_cols.append(F.col(item[1]))
+            elif item[0] == "expr":
+                out_cols.append(F.expr(item[1]).alias(item[2]))
+            else:  # pragma: no cover — has_agg branch above catches
+                raise AssertionError
+        df = df.select(*out_cols)
+        if q.distinct and distinct_solutions:
+            df = df.distinct()
+    for h in q.having:
+        df = df.where(F.expr(h))
+    if q.order_by:
+        df = df.orderBy(*[F.expr(e).desc() if d else F.expr(e).asc()
+                          for e, d in q.order_by])
+    if q.offset is not None:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

@@ -1,0 +1,319 @@
+"""SPARQL text front-end: parser-level checks plus equivalence of the
+compiled plan against the hand-written algebra calls it targets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_spark.operators.kg import RDF_TYPE, bgp_match, bgp_union
+from jsonld_spark.operators.sparql import (
+    SparqlSyntaxError,
+    SparqlUnsupportedError,
+    _Parser,
+    sparql_query,
+)
+
+EX = "http://example.org/"
+PFX = f"PREFIX ex: <{EX}> "
+
+
+# ---------------------------------------------------------------------------
+# parser-only (no Spark)
+# ---------------------------------------------------------------------------
+
+def _parse(q: str):
+    return _Parser(q).parse()
+
+
+def test_parse_basic_select():
+    q = _parse(PFX + "SELECT ?d ?a WHERE { ?d ex:author ?a . }")
+    assert q.form == "select"
+    assert q.where.patterns == [("?d", EX + "author", "?a")]
+    assert [i[1] for i in q.select] == ["d", "a"]
+
+
+def test_parse_predicate_object_lists():
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:author ?a ; ex:lang 'en' , "
+               "'de' . }")
+    assert q.where.patterns == [
+        ("?d", EX + "author", "?a"),
+        ("?d", EX + "lang", "en"),
+        ("?d", EX + "lang", "de"),
+    ]
+
+
+def test_parse_a_is_rdf_type_and_literals():
+    q = _parse(PFX + 'SELECT * WHERE { ?d a ex:Doc ; ex:n 42 ; '
+               'ex:t "x"@en ; ex:u "y"^^ex:dt . }')
+    assert q.where.patterns == [
+        ("?d", RDF_TYPE, EX + "Doc"),
+        ("?d", EX + "n", "42"),
+        ("?d", EX + "t", "x"),
+        ("?d", EX + "u", "y"),
+    ]
+
+
+def test_parse_property_path_rendering():
+    q = _parse(PFX + "SELECT * WHERE { ?x (ex:p/^ex:q)+ ?y . "
+               "?x !(ex:a|^ex:b) ?z . }")
+    assert q.where.patterns[0] == (
+        "?x", f"(<{EX}p>/^<{EX}q>)+", "?y")
+    assert q.where.patterns[1] == (
+        "?x", f"!(<{EX}a>|^<{EX}b>)", "?z")
+
+
+def test_parse_plain_iri_predicate_has_no_brackets():
+    q = _parse(PFX + "SELECT * WHERE { ?x ex:p ?y }")
+    assert q.where.patterns == [("?x", EX + "p", "?y")]
+
+
+def test_parse_optional_filter_bind_values():
+    q = _parse(PFX + """SELECT * WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:reviewer ?r }
+        FILTER (?a != 'bob' && BOUND(?r))
+        BIND (STRLEN(?a) AS ?n)
+        VALUES (?a ?x) { ('alice' UNDEF) ('bob' 'b') }
+    }""")
+    g = q.where
+    assert g.optional == [("?d", EX + "reviewer", "?r")]
+    assert g.filters == ["((`a` != 'bob') AND (`r` IS NOT NULL))"]
+    assert g.binds == [("n", "length(`a`)")]
+    assert g.values == [{"a": "alice", "x": None},
+                        {"a": "bob", "x": "b"}]
+
+
+def test_parse_exists_minus_graph():
+    q = _parse(PFX + """SELECT * WHERE {
+        GRAPH ex:g1 { ?d ex:author ?a }
+        GRAPH ?g { ?d ex:lang ?l }
+        FILTER NOT EXISTS { ?d ex:hidden ?h }
+        FILTER EXISTS { ?d ex:ok ?o }
+        MINUS { ?d ex:author 'bob' }
+    }""")
+    g = q.where
+    assert g.patterns == [("?d", EX + "author", "?a", EX + "g1"),
+                          ("?d", EX + "lang", "?l", "?g")]
+    assert g.not_exists == [[("?d", EX + "hidden", "?h")]]
+    assert g.exists == [[("?d", EX + "ok", "?o")]]
+    assert g.minus == [[("?d", EX + "author", "bob")]]
+
+
+def test_parse_union_only_group():
+    q = _parse(PFX + "SELECT * WHERE { { ?d ex:a ?x } UNION "
+               "{ ?d ex:b ?x } }")
+    assert q.where.union_branches == [
+        [("?d", EX + "a", "?x")], [("?d", EX + "b", "?x")]]
+
+
+def test_parse_single_nested_group_inlines():
+    q = _parse(PFX + "SELECT * WHERE { { ?d ex:a ?x } ?d ex:b ?y }")
+    assert q.where.patterns == [("?d", EX + "a", "?x"),
+                                ("?d", EX + "b", "?y")]
+
+
+def test_parse_aggregates_and_modifiers():
+    q = _parse(PFX + """SELECT ?l (COUNT(DISTINCT ?d) AS ?n)
+        (GROUP_CONCAT(?a; SEPARATOR='|') AS ?who)
+        WHERE { ?d ex:lang ?l ; ex:author ?a }
+        GROUP BY ?l HAVING (?n > 1)
+        ORDER BY DESC(?n) ?l LIMIT 5 OFFSET 2""")
+    assert q.group_by == ["l"]
+    assert q.select[1][:2] == ("agg", ("count", "`d`", True, ","))
+    assert q.select[2][1] == ("group_concat", "`a`", False, "|")
+    assert q.having == ["(cast(`n` as double) > 1)"]
+    assert q.order_by == [("`n`", True), ("`l`", False)]
+    assert q.limit == 5 and q.offset == 2
+
+
+def test_parse_numeric_comparison_casts_var_side():
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:n ?n FILTER (?n >= 300) }")
+    assert q.where.filters == ["(cast(`n` as double) >= 300)"]
+
+
+def test_parse_regex_and_in():
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:a ?a "
+               "FILTER (REGEX(?a, '^ali', 'i') && ?a IN ('alice','bob')) }")
+    f = q.where.filters[0]
+    assert "RLIKE concat('(?i)'" in f
+    assert "`a` IN ('alice', 'bob')" in f
+
+
+def test_parse_errors():
+    with pytest.raises(SparqlSyntaxError):
+        _parse("SELECT WHERE { ?a ?b ?c }")
+    with pytest.raises(SparqlSyntaxError):
+        _parse(PFX + "SELECT * WHERE { ?d unknown:p ?a }")
+    with pytest.raises(SparqlSyntaxError):
+        _parse(PFX + "SELECT * WHERE { ?d ex:p ?a ")
+    with pytest.raises(SparqlUnsupportedError):
+        _parse(PFX + "SELECT * WHERE { OPTIONAL { ?d ex:p ?a . "
+               "?d ex:q ?b } }")
+    with pytest.raises(SparqlUnsupportedError):
+        _parse(PFX + "SELECT * WHERE { ?d ex:p ?a "
+               "FILTER (LANG(?a) = 'en') }")
+    with pytest.raises(SparqlUnsupportedError):
+        _parse(PFX + "SELECT * WHERE { { ?d ex:a ?x } UNION "
+               "{ ?d ex:b ?x } ?d ex:c ?y }")
+
+
+def test_parse_ask_construct_describe():
+    q = _parse(PFX + "ASK { ?d ex:author 'alice' }")
+    assert q.form == "ask"
+    q = _parse(PFX + "CONSTRUCT { ?a ex:wrote ?d } WHERE "
+               "{ ?d ex:author ?a }")
+    assert q.form == "construct"
+    assert q.template == [("?a", EX + "wrote", "?d")]
+    q = _parse(PFX + "DESCRIBE ex:doc1")
+    assert q.form == "describe" and q.describe_node == EX + "doc1"
+
+
+def test_parse_comments_and_base():
+    q = _parse("BASE <http://b.example/> # hello\n"
+               "SELECT * WHERE { ?d <p> ?a } # tail")
+    assert q.where.patterns == [("?d", "http://b.example/p", "?a")]
+
+
+# ---------------------------------------------------------------------------
+# compiled execution vs the programmatic algebra
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def triples(spark):
+    rows = [
+        ("d1", EX + "author", "alice", "g1"),
+        ("d1", EX + "lang", "en", "g1"),
+        ("d2", EX + "author", "alice", "g2"),
+        ("d2", EX + "lang", "de", "g2"),
+        ("d3", EX + "author", "bob", "g1"),
+        ("d3", EX + "lang", "en", "g1"),
+        ("d1", EX + "cites", "d2", "g1"),
+        ("d2", EX + "cites", "d3", "g2"),
+        ("d1", EX + "reviewer", "rev1", "g1"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_exec_matches_programmatic_bgp(triples):
+    got = sparql_query(triples, PFX + "SELECT * WHERE "
+                       "{ ?d ex:author ?a ; ex:lang 'en' }")
+    want = bgp_match(triples, [("?d", EX + "author", "?a"),
+                               ("?d", EX + "lang", "en")])
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+
+
+def test_exec_projection_distinct(triples):
+    got = sparql_query(triples, PFX + "SELECT DISTINCT ?a WHERE "
+                       "{ ?d ex:author ?a }")
+    assert _rows(got) == [("alice",), ("bob",)]
+
+
+def test_exec_optional_filter(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
+        ?d ex:lang 'en' OPTIONAL { ?d ex:reviewer ?r }
+        FILTER (!BOUND(?r) || ?r = 'rev1')
+    }""")
+    assert _rows(got) == [("d1", "rev1"), ("d3", None)]
+
+
+def test_exec_union(triples):
+    got = sparql_query(triples, PFX + "SELECT * WHERE { "
+                       "{ ?d ex:author 'bob' } UNION "
+                       "{ ?d ex:lang 'de' } }")
+    want = bgp_union(triples, [[("?d", EX + "author", "bob")],
+                               [("?d", EX + "lang", "de")]])
+    assert _rows(got) == _rows(want)
+
+
+def test_exec_graph_clause(triples):
+    got = sparql_query(triples, PFX + "SELECT * WHERE { "
+                       "GRAPH ex:g2 { ?d ex:author ?a } }".replace(
+                           "ex:g2", "<g2>"))
+    assert _rows(got) == [("d2", "alice")]
+
+
+def test_exec_property_path(triples):
+    got = sparql_query(triples, PFX + "SELECT * WHERE "
+                       "{ ?x ex:cites+ ?y }")
+    assert _rows(got) == [("d1", "d2"), ("d1", "d3"), ("d2", "d3")]
+
+
+def test_exec_not_exists_minus(triples):
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "FILTER NOT EXISTS { ?d ex:reviewer ?r } }")
+    assert _rows(got) == [("d2",), ("d3",)]
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "MINUS { ?d ex:author 'bob' } }")
+    assert _rows(got) == [("d1",), ("d2",)]
+
+
+def test_exec_values_and_bind(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?a ?n WHERE {
+        ?d ex:author ?a
+        VALUES ?a { 'alice' }
+        BIND (STRLEN(?d) AS ?n)
+    }""")
+    assert _rows(got) == [("d1", "alice", 2), ("d2", "alice", 2)]
+
+
+def test_exec_aggregation(triples):
+    got = sparql_query(triples, PFX + """SELECT ?l (COUNT(?d) AS ?n)
+        (GROUP_CONCAT(?a; SEPARATOR='|') AS ?who)
+        WHERE { ?d ex:lang ?l ; ex:author ?a }
+        GROUP BY ?l ORDER BY DESC(?n)""")
+    assert got.columns == ["l", "n", "who"]
+    assert [tuple(r) for r in got.collect()] == [
+        ("en", 2, "alice|bob"), ("de", 1, "alice")]
+
+
+def test_exec_having_limit_offset(triples):
+    got = sparql_query(triples, PFX + """SELECT ?a (COUNT(?d) AS ?n)
+        WHERE { ?d ex:author ?a } GROUP BY ?a HAVING (?n >= 2)""")
+    assert _rows(got) == [("alice", 2)]
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l }"
+                       " ORDER BY ?d LIMIT 1 OFFSET 1")
+    assert _rows(got) == [("d2",)]
+
+
+def test_exec_ask_describe(triples):
+    assert sparql_query(triples, PFX + "ASK { ?d ex:author 'alice' }") \
+        is True
+    assert sparql_query(triples, PFX + "ASK { ?d ex:author 'carol' }") \
+        is False
+    got = sparql_query(triples, PFX + "DESCRIBE <d2>")
+    assert {r.role for r in got.collect()} == {"subject", "object"}
+
+
+def test_exec_construct(triples):
+    from jsonld_spark.operators.kg import construct
+    got = sparql_query(triples, PFX + "CONSTRUCT { ?a ex:wrote ?d } "
+                       "WHERE { ?d ex:author ?a ; ex:lang 'en' }")
+    want = construct(triples, [("?d", EX + "author", "?a"),
+                               ("?d", EX + "lang", "en")],
+                     [("?a", EX + "wrote", "?d")])
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+
+
+def test_exec_plan_identical_to_programmatic(triples):
+    """The front-end must add nothing to the plan: same optimized plan
+    text as the hand-written call."""
+    got = sparql_query(triples, PFX + "SELECT * WHERE "
+                       "{ ?d ex:author ?a ; ex:lang 'en' }")
+    want = bgp_match(triples, [("?d", EX + "author", "?a"),
+                               ("?d", EX + "lang", "en")])
+    import re
+
+    def norm(df):
+        # expression IDs (#NNN) differ per plan instance; shape must not
+        return re.sub(r"#\d+", "#",
+                      df._jdf.queryExecution().optimizedPlan().toString())
+
+    assert norm(got) == norm(want)
