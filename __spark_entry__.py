@@ -1603,7 +1603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_docs": q_flatten_docs,
         "frame_docs": q_frame_docs,
         "fromrdf_docs": q_fromrdf_docs,
-        "subject_stats": q_subject_stats,
         "error_isolation": q_error_isolation,
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
@@ -1673,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries unchanged):
         "minhash_word_pairs": q_minhash_word_pairs,
         "dedup_exact": q_dedup_exact,
+        "subject_stats": q_subject_stats,
     }
 
 
