@@ -133,7 +133,11 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     per variable (first-appearance order), one row per binding.
     ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
     on its shared variables, binding its new variables where it
-    matches and null where it doesn't (rows are never dropped).
+    matches and null where it doesn't (rows are never dropped). An
+    entry that is itself a LIST of patterns is a multi-pattern
+    OPTIONAL group — SPARQL evaluates the group as a unit (patterns
+    inner-join among themselves, and must connect), then left-joins
+    the joined group, so a partial group match binds nothing.
     Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
     when a later OPTIONAL shares a variable that an EARLIER
     non-matching OPTIONAL left unbound (null), that solution is
@@ -252,8 +256,37 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         out = out.distinct()
     for g in gates:
         out = out.crossJoin(g).drop(g.columns[0])
+
+    def _group_solutions(group: list, gi: int,
+                         kind: str) -> tuple[DataFrame, list[str]]:
+        if not group:
+            raise ValueError(f"{kind} group {gi} is empty")
+        inner: DataFrame | None = None
+        gbound: list[str] = []
+        for i, pat in enumerate(group):
+            step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+            if inner is None:
+                inner, gbound = step, step_vars
+                continue
+            shared = [v for v in step_vars if v in gbound]
+            if not shared:
+                raise ValueError(
+                    f"{kind} group {gi} pattern {i} shares no "
+                    "variable with earlier group patterns — a cartesian "
+                    "product; reorder or constrain the group")
+            inner = inner.join(step, shared)
+            gbound += [v for v in step_vars if v not in gbound]
+        return inner, gbound
+
     for i, pat in enumerate(optional or []):
-        step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+        if isinstance(pat, list):
+            # a multi-pattern OPTIONAL group: SPARQL evaluates the
+            # group as a unit (its patterns inner-join among
+            # themselves), THEN left-joins it — a partial group match
+            # binds nothing
+            step, step_vars = _group_solutions(pat, i, "optional")
+        else:
+            step, step_vars = _pattern_step(triples, pat, i, pos_cols)
         shared = [v for v in step_vars if v in bound]
         new = [v for v in step_vars if v not in bound]
         if not shared:
@@ -351,27 +384,6 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         # a BIND whose expression errors leaves the var unbound per
         # SPARQL (null here) — conservatively nullable
         nullable.add(var)
-    def _group_solutions(group: list, gi: int,
-                         kind: str) -> tuple[DataFrame, list[str]]:
-        if not group:
-            raise ValueError(f"{kind} group {gi} is empty")
-        inner: DataFrame | None = None
-        gbound: list[str] = []
-        for i, pat in enumerate(group):
-            step, step_vars = _pattern_step(triples, pat, i, pos_cols)
-            if inner is None:
-                inner, gbound = step, step_vars
-                continue
-            shared = [v for v in step_vars if v in gbound]
-            if not shared:
-                raise ValueError(
-                    f"{kind} group {gi} pattern {i} shares no "
-                    "variable with earlier group patterns — a cartesian "
-                    "product; reorder or constrain the group")
-            inner = inner.join(step, shared)
-            gbound += [v for v in step_vars if v not in gbound]
-        return inner, gbound
-
     def _compat_join(out_df: DataFrame, inner: DataFrame,
                      shared: list[str], kind: str, gi: int,
                      how: str) -> DataFrame:

@@ -21,9 +21,10 @@ so the compiled plan is identical to the hand-written call):
 * triple patterns with ``;`` / ``,`` predicate-object lists,
   property-path predicates (``^ / | + * ?`` and ``!`` negated sets
   — the full kg_path grammar), ``GRAPH <g>|?g { ... }``
-* ``OPTIONAL { single pattern }`` (the algebra models each OPTIONAL
-  clause as one left-joined pattern; a multi-pattern OPTIONAL group
-  raises with a pointer to nesting alternatives)
+* ``OPTIONAL { ... }`` — single- and multi-pattern groups (a
+  multi-pattern group is evaluated as a unit per SPARQL leftjoin:
+  its patterns inner-join among themselves, then the joined group
+  left-joins the solutions)
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards),
@@ -422,12 +423,9 @@ class _Parser:
                 raise SparqlSyntaxError("unterminated group")
             if self._eat_kw("optional"):
                 pats = self._plain_bgp()
-                if len(pats) != 1:
-                    raise SparqlUnsupportedError(
-                        "multi-pattern OPTIONAL groups are not "
-                        "supported — split into sequential single-"
-                        "pattern OPTIONALs (SPARQL leftjoin composes)")
-                g.optional.append(pats[0])
+                # single pattern → tuple (plain left join); several →
+                # list = OPTIONAL group evaluated as a unit
+                g.optional.append(pats[0] if len(pats) == 1 else pats)
             elif self._eat_kw("filter"):
                 if self._at_kw("exists"):
                     self._next()

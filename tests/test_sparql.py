@@ -148,9 +148,6 @@ def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
         _parse(PFX + "SELECT * WHERE { ?d ex:p ?a ")
     with pytest.raises(SparqlUnsupportedError):
-        _parse(PFX + "SELECT * WHERE { OPTIONAL { ?d ex:p ?a . "
-               "?d ex:q ?b } }")
-    with pytest.raises(SparqlUnsupportedError):
         _parse(PFX + "SELECT * WHERE { ?d ex:p ?a "
                "FILTER (LANG(?a) = 'en') }")
     with pytest.raises(SparqlUnsupportedError):
@@ -221,6 +218,42 @@ def test_exec_optional_filter(triples):
         FILTER (!BOUND(?r) || ?r = 'rev1')
     }""")
     assert _rows(got) == [("d1", "rev1"), ("d3", None)]
+
+
+def test_exec_optional_group_unit_semantics(spark):
+    """A multi-pattern OPTIONAL group matches as a UNIT: a doc whose
+    reviewer exists but has no level gets (null, null), not a
+    half-bound row — the SPARQL leftjoin-over-joined-group rule."""
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en"),
+         ("d2", EX + "lang", "en"),
+         ("d3", EX + "lang", "en"),
+         ("d1", EX + "reviewer", "r1"),
+         ("d2", EX + "reviewer", "r2"),
+         ("r1", EX + "level", "senior")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?d ?r ?l WHERE {
+        ?d ex:lang 'en'
+        OPTIONAL { ?d ex:reviewer ?r . ?r ex:level ?l }
+    }""")
+    assert _rows(got) == [("d1", "r1", "senior"),
+                          ("d2", None, None),      # r2 has no level
+                          ("d3", None, None)]
+    # same algebra call directly (list entry = group)
+    got2 = bgp_match(t, [("?d", EX + "lang", "en")],
+                     optional=[[("?d", EX + "reviewer", "?r"),
+                                ("?r", EX + "level", "?l")]])
+    assert _rows(got2) == _rows(got)
+
+
+def test_optional_group_must_connect(spark):
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en")],
+        "subj string, pred string, obj_value string")
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(t, [("?d", EX + "lang", "?l")],
+                  optional=[[("?d", EX + "a", "?x"),
+                             ("?y", EX + "b", "?z")]]).collect()
 
 
 def test_exec_union(triples):
