@@ -302,3 +302,40 @@ def test_bgp_exists_minus_equal_naive(spark, triples, req, g):
         assert mi == sols
         with pytest.raises(ValueError):
             bgp_match(df, [req], not_exists=[[g]])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), g1=pattern_st(3), g2=pattern_st(3))
+def test_bgp_optional_group_equals_naive(spark, triples, req, g1, g2):
+    """A multi-pattern OPTIONAL group left-joins as a UNIT: the naive
+    model joins the group's patterns first (same brute-force matcher),
+    then extends each required solution with compatible group rows, or
+    all-null group vars when none match — never a half-bound row."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    gvars, gsols = naive_solutions(triples, [g1, g2])
+    shared = [v for v in gvars if v in vars_]
+    new = [v for v in gvars if v not in vars_]
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+    try:
+        got_df = bgp_match(df, [req], optional=[[g1, g2]])
+    except ValueError:
+        # disconnected group patterns / group sharing no var with the
+        # required side are rejected by design
+        return
+    want = set()
+    for sol in sols:
+        sb = dict(zip(vars_, sol))
+        exts = set()
+        for gs in gsols:
+            gb = dict(zip(gvars, gs))
+            if all(gb[v] == sb[v] for v in shared):
+                exts.add(sol + tuple(gb[v] for v in new))
+        want |= exts if exts else {sol + (None,) * len(new)}
+    assert got_df.columns == vars_ + new
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
