@@ -137,7 +137,12 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     entry that is itself a LIST of patterns is a multi-pattern
     OPTIONAL group — SPARQL evaluates the group as a unit (patterns
     inner-join among themselves, and must connect), then left-joins
-    the joined group, so a partial group match binds nothing.
+    the joined group, so a partial group match binds nothing. An
+    entry that is a DICT ``{'patterns': [...], 'filters': [...]}``
+    additionally applies group-scoped FILTER expressions to the
+    group's solutions before the left join (SPARQL leftjoin's expr
+    argument, for the case where it references only group
+    variables; outer-variable references raise).
     Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
     when a later OPTIONAL shares a variable that an EARLIER
     non-matching OPTIONAL left unbound (null), that solution is
@@ -279,7 +284,28 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         return inner, gbound
 
     for i, pat in enumerate(optional or []):
-        if isinstance(pat, list):
+        if isinstance(pat, dict):
+            # {'patterns': [...], 'filters': [...]}: an OPTIONAL group
+            # with group-scoped FILTERs. Per SPARQL leftjoin(Ω1, Ω2,
+            # expr) the filter conditions the join; when expr
+            # references only group-side variables (enforced here)
+            # that is equivalent to pre-filtering the group's
+            # solutions — outer-variable references would need a
+            # conditional left join and are rejected.
+            step, step_vars = _group_solutions(
+                pat["patterns"], i, "optional")
+            for fexpr in pat.get("filters", []):
+                try:
+                    # analysis is eager: a reference to a non-group
+                    # variable fails to resolve right here
+                    step = step.where(F.expr(fexpr))
+                except Exception as e:
+                    raise ValueError(
+                        f"optional group {i} filter {fexpr!r} must "
+                        f"reference only group variables {step_vars} "
+                        "— outer-variable references would need a "
+                        "conditional left join") from e
+        elif isinstance(pat, list):
             # a multi-pattern OPTIONAL group: SPARQL evaluates the
             # group as a unit (its patterns inner-join among
             # themselves), THEN left-joins it — a partial group match

@@ -24,7 +24,9 @@ so the compiled plan is identical to the hand-written call):
 * ``OPTIONAL { ... }`` — single- and multi-pattern groups (a
   multi-pattern group is evaluated as a unit per SPARQL leftjoin:
   its patterns inner-join among themselves, then the joined group
-  left-joins the solutions)
+  left-joins the solutions); group-scoped ``FILTER`` inside the
+  OPTIONAL body (must reference only group variables — SPARQL
+  leftjoin's expr argument in its common form)
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards),
@@ -395,6 +397,35 @@ class _Parser:
         self._next()
         return pats
 
+    def _optional_body(self) -> tuple[list[tuple], list[str]]:
+        """An OPTIONAL group body: triple patterns (incl. GRAPH) plus
+        group-scoped FILTER expressions."""
+        self._expect("OP", "{")
+        pats: list[tuple] = []
+        filters: list[str] = []
+        while not (self._peek().kind == "OP" and self._peek().value == "}"):
+            if self._peek().kind == "EOF":
+                raise SparqlSyntaxError("unterminated OPTIONAL group")
+            if self._eat_kw("filter"):
+                if self._at_kw("exists") or self._at_kw("not"):
+                    raise SparqlUnsupportedError(
+                        "FILTER [NOT] EXISTS inside OPTIONAL is not "
+                        "supported — lift it to the outer group")
+                filters.append(self._expression())
+            elif self._at_kw("graph"):
+                self._next()
+                gterm = self._term("graph")
+                pats += [(s, p, o, gterm)
+                         for (s, p, o) in self._plain_bgp()]
+            elif self._peek().kind == "OP" and self._peek().value == ".":
+                self._next()
+            else:
+                pats += self._triples_block(None)
+        self._next()
+        if not pats:
+            raise SparqlSyntaxError("empty OPTIONAL group")
+        return pats, filters
+
     # -- group graph pattern ----------------------------------------------
     def _group(self) -> _Group:
         self._expect("OP", "{")
@@ -422,10 +453,15 @@ class _Parser:
             if t.kind == "EOF":
                 raise SparqlSyntaxError("unterminated group")
             if self._eat_kw("optional"):
-                pats = self._plain_bgp()
+                pats, fs = self._optional_body()
                 # single pattern → tuple (plain left join); several →
-                # list = OPTIONAL group evaluated as a unit
-                g.optional.append(pats[0] if len(pats) == 1 else pats)
+                # list = OPTIONAL group evaluated as a unit; with
+                # group-scoped FILTERs → dict form
+                if fs:
+                    g.optional.append({"patterns": pats, "filters": fs})
+                else:
+                    g.optional.append(pats[0] if len(pats) == 1
+                                      else pats)
             elif self._eat_kw("filter"):
                 if self._at_kw("exists"):
                     self._next()

@@ -246,6 +246,37 @@ def test_exec_optional_group_unit_semantics(spark):
     assert _rows(got2) == _rows(got)
 
 
+def test_exec_optional_group_scoped_filter(triples):
+    """A FILTER inside OPTIONAL conditions the left join (SPARQL
+    leftjoin expr): a reviewer failing the filter is as if absent."""
+    got = sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
+        ?d ex:lang 'en'
+        OPTIONAL { ?d ex:reviewer ?r FILTER (?r != 'rev1') }
+    }""")
+    assert _rows(got) == [("d1", None), ("d3", None)]
+    got = sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
+        ?d ex:lang 'en'
+        OPTIONAL { ?d ex:reviewer ?r FILTER (STRSTARTS(?r, 'rev')) }
+    }""")
+    assert _rows(got) == [("d1", "rev1"), ("d3", None)]
+
+
+def test_optional_group_filter_rejects_outer_vars(triples):
+    with pytest.raises(ValueError, match="only group variables"):
+        sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
+            ?d ex:lang ?l
+            OPTIONAL { ?d ex:reviewer ?r FILTER (?l != 'de') }
+        }""").collect()
+
+
+def test_parse_optional_group_filter_dict_form():
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:a ?x OPTIONAL { "
+               "?d ex:r ?r . ?r ex:l ?l FILTER (?l = 'x') } }")
+    assert q.where.optional == [{
+        "patterns": [("?d", EX + "r", "?r"), ("?r", EX + "l", "?l")],
+        "filters": ["(`l` = 'x')"]}]
+
+
 def test_optional_group_must_connect(spark):
     t = spark.createDataFrame(
         [("d1", EX + "lang", "en")],
