@@ -810,6 +810,39 @@ def q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_optional_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern OPTIONAL group with a group-scoped FILTER, from
+    SPARQL text: the group (reviewer edge + reviewer level, filtered
+    to non-junior) matches as a UNIT — docs whose reviewer has no
+    level row, or a junior one, bind (null, null), never a half-bound
+    row. Exercises kg.bgp_match's group/dict optional entries."""
+    from jsonld_spark.operators.sparql import sparql_query
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    levels = spark.createDataFrame(
+        [(f"{_KG_EX}reviewer/{i}", _KG_EX + "level",
+          "senior" if i % 2 == 0 else "junior") for i in range(3)],
+        "subj string, pred string, obj_value string")
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value") \
+        .unionByName(reviews).unionByName(levels)
+    return sparql_query(triples, f"""
+        PREFIX schema: <http://schema.org/>
+        PREFIX ex: <{_KG_EX}>
+        SELECT ?d ?r ?lvl
+        WHERE {{
+            ?d schema:inLanguage ?lang .
+            OPTIONAL {{ ?d ex:reviewedBy ?r .
+                        ?r ex:level ?lvl
+                        FILTER (?lvl != 'junior') }}
+        }}
+    """)
+
+
 def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a SPARQL OPTIONAL clause: every doc's media plus its
     reviewer where one exists (deterministic: docs with doc_id % 3 == 0
@@ -1580,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-verified before round 5 --
         "sparql_text": q_sparql_text,
+        "sparql_optional_group": q_sparql_optional_group,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -1599,7 +1633,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
-        "hetero_compact": q_hetero_compact,
         "flatten_docs": q_flatten_docs,
         "frame_docs": q_frame_docs,
         "fromrdf_docs": q_fromrdf_docs,
@@ -1673,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_word_pairs": q_minhash_word_pairs,
         "dedup_exact": q_dedup_exact,
         "subject_stats": q_subject_stats,
+        "hetero_compact": q_hetero_compact,
     }
 
 
@@ -2115,6 +2149,22 @@ SELECT lang, CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT r) AS BIGINT) AS n_reviewers
 FROM sol GROUP BY lang
 ORDER BY n_docs DESC, lang
+"""
+
+_SPARQL_OPT_GROUP_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+l AS (SELECT DISTINCT subj AS d FROM t
+      WHERE pred = 'http://schema.org/inLanguage'),
+r AS (SELECT '{_KG_EX}doc/' || doc_id AS d,
+             '{_KG_EX}reviewer/' || (doc_id % 5) AS r
+      FROM documents WHERE doc_id % 3 = 0),
+lv AS (SELECT '{_KG_EX}reviewer/' || i AS r,
+              CASE WHEN i % 2 = 0 THEN 'senior' ELSE 'junior' END AS lvl
+       FROM range(3) tbl(i)),
+grp AS (SELECT r.d, r.r, lv.lvl
+        FROM r JOIN lv USING (r) WHERE lv.lvl <> 'junior')
+SELECT l.d, grp.r, grp.lvl
+FROM l LEFT JOIN grp USING (d)
 """
 
 _BGP_OPTIONAL_ORACLE = f"""
@@ -3143,6 +3193,8 @@ def oracle_sql() -> dict[str, str]:
         "bgp_filter": _BGP_FILTER_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_union": _BGP_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_text": _SPARQL_TEXT_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_optional_group":
+            _SPARQL_OPT_GROUP_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":
             _BGP_NOT_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),
