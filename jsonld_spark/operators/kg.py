@@ -87,6 +87,42 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
     return _apply_terms(triples, pat, pos_cols[:len(pat)], i)
 
 
+def _expr_identifiers(expr: str) -> set[str]:
+    """Candidate column identifiers in a SQL expression string:
+    backticked names plus bare names not followed by ``(`` (function
+    calls), ignoring single-quoted literals. Used to classify a group
+    filter as correlated (references an outer variable) WITHOUT
+    triggering a Spark analysis failure, which would log a spurious
+    ERROR for the expected path."""
+    import re as _re
+    ids: set[str] = set()
+    parts = _re.split(r"('(?:[^'\\]|\\.)*')", expr)
+    for j in range(0, len(parts), 2):
+        s = parts[j]
+        ids |= set(_re.findall(r"`([^`]+)`", s))
+        s = _re.sub(r"`[^`]*`", " ", s)
+        ids |= {m.group(1)
+                for m in _re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()", s)}
+    return ids
+
+
+def _rewrite_refs(expr: str, mapping: dict[str, str]) -> str:
+    """Rename variable references in a SQL expression string — both
+    backtick-quoted and bare occurrences — without touching
+    single-quoted string literals. Used to point a correlated group
+    filter's group-variable references at the join's renamed right
+    side."""
+    import re as _re
+    parts = _re.split(r"('(?:[^'\\]|\\.)*')", expr)
+    for j in range(0, len(parts), 2):
+        s = parts[j]
+        for old, new in mapping.items():
+            s = s.replace(f"`{old}`", f"`{new}`")
+            s = _re.sub(rf"(?<![\w`]){_re.escape(old)}(?![\w`])", new, s)
+        parts[j] = s
+    return "".join(parts)
+
+
 def _null_masks(nullable_shared: list[str], where: str) -> list[frozenset]:
     """All null-masks of the nullable shared variables — the branch set
     for SPARQL's unbound-is-compatible joins. Each branch is an
@@ -159,7 +195,18 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     ``not_exists`` groups are SPARQL ``FILTER NOT EXISTS`` clauses:
     each group (a pattern list) drops every solution for which the
     group matches under the solution's bindings — an anti-join on the
-    variables the group shares with the outer query. A shared variable
+    variables the group shares with the outer query. A group may also
+    be a dict ``{'patterns': [...], 'filters': [...]}``: filters
+    referencing only group variables pre-filter the group's
+    solutions; filters referencing outer variables follow SPARQL's
+    substitution semantics (the classic temporal
+    ``FILTER NOT EXISTS { ?x :date ?d2 FILTER(?d2 > ?d) }``) and
+    become the residual condition of the anti/semi join — the equi
+    keys on shared variables keep it hash/sort-merge plannable. In a
+    ``minus`` group a correlated filter references a variable UNBOUND
+    inside the group (MINUS does not substitute, SPARQL §8.3.3), so
+    the expression errors, the group is empty, and the MINUS is
+    faithfully a no-op. A shared variable
     the solution left unbound (null, from a non-matching OPTIONAL)
     follows SPARQL's substitution semantics: it stays a FREE variable
     inside the group, so the group constrains only the solution's
@@ -294,17 +341,18 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             # conditional left join and are rejected.
             step, step_vars = _group_solutions(
                 pat["patterns"], i, "optional")
+            svset = set(step_vars)
             for fexpr in pat.get("filters", []):
-                try:
-                    # analysis is eager: a reference to a non-group
-                    # variable fails to resolve right here
-                    step = step.where(F.expr(fexpr))
-                except Exception as e:
+                outer = {x for x in _expr_identifiers(fexpr)
+                         if x in bound and x not in svset}
+                if outer:
                     raise ValueError(
-                        f"optional group {i} filter {fexpr!r} must "
-                        f"reference only group variables {step_vars} "
-                        "— outer-variable references would need a "
-                        "conditional left join") from e
+                        f"optional group {i} filter {fexpr!r} "
+                        f"references outer variables {sorted(outer)} "
+                        "— only group variables are supported in "
+                        "OPTIONAL group filters (outer references "
+                        "would need a conditional left join)")
+                step = step.where(F.expr(fexpr))
         elif isinstance(pat, list):
             # a multi-pattern OPTIONAL group: SPARQL evaluates the
             # group as a unit (its patterns inner-join among
@@ -453,24 +501,94 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             res = res.unionByName(b)
         return res
 
+    def _prep_group(group, gi: int, kind: str):
+        """Normalize a group entry (pattern list, or dict with
+        'patterns' + 'filters') → (inner solutions, group vars,
+        correlated filters). Uncorrelated filters (referencing only
+        group variables — analysis succeeds on the group frame) apply
+        to the group's solutions right here; the rest are returned
+        for the caller's per-kind correlation semantics."""
+        if isinstance(group, dict):
+            pats, gfilters = group["patterns"], group.get("filters", [])
+        else:
+            pats, gfilters = group, []
+        inner, gbound = _group_solutions(pats, gi, kind)
+        gset = set(gbound)
+        correlated: list[str] = []
+        for fexpr in gfilters:
+            if any(x in bound and x not in gset
+                   for x in _expr_identifiers(fexpr)):
+                correlated.append(fexpr)
+            else:
+                # references only group vars (a typo'd name raises the
+                # normal unresolved-column error right here)
+                inner = inner.where(F.expr(fexpr))
+        return inner, gbound, correlated
+
+    def _theta_group_join(out_df: DataFrame, inner: DataFrame,
+                          gbound: list[str], shared: list[str],
+                          cfilters: list[str], kind: str, gi: int,
+                          how: str) -> DataFrame:
+        """EXISTS/NOT EXISTS with correlated filters (SPARQL
+        substitution semantics: the group's filter sees the outer
+        solution's bindings — e.g. the classic temporal
+        ``FILTER NOT EXISTS { ?x :date ?d2 FILTER(?d2 > ?d) }``).
+        Planned as a semi/anti join whose condition is the equi keys
+        on the shared vars plus the filter with group-variable
+        references renamed to the right side — the equi conjuncts
+        keep the join hash/sort-merge plannable; the filter becomes
+        the join's residual condition."""
+        nshared_g = [v for v in shared if v in nullable]
+        if nshared_g:
+            raise ValueError(
+                f"{kind} group {gi}: correlated group filters over "
+                f"nullable shared variables {nshared_g} are not "
+                "supported — bind them in a required pattern")
+        right = inner.select(
+            *[F.col(v).alias(f"_g_{v}") for v in gbound]).distinct()
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & (F.col(v) == F.col(f"_g_{v}"))
+        ren = {v: f"_g_{v}" for v in gbound}
+        for fexpr in cfilters:
+            cond = cond & F.expr(_rewrite_refs(fexpr, ren))
+        return out_df.join(right, cond, how)
+
     for gi, group in enumerate(not_exists or []):
-        inner, gbound = _group_solutions(group, gi, "not_exists")
+        inner, gbound, cfil = _prep_group(group, gi, "not_exists")
         anti_on = [v for v in gbound if v in bound]
         if not anti_on:
             raise ValueError(
                 f"not_exists group {gi} shares no variable with the "
                 "required patterns — it is not a per-solution test")
-        out = _compat_join(out, inner, anti_on, "not_exists", gi, "anti")
+        if cfil:
+            out = _theta_group_join(out, inner, gbound, anti_on, cfil,
+                                    "not_exists", gi, "anti")
+        else:
+            out = _compat_join(out, inner, anti_on, "not_exists", gi,
+                               "anti")
     for gi, group in enumerate(exists or []):
-        inner, gbound = _group_solutions(group, gi, "exists")
+        inner, gbound, cfil = _prep_group(group, gi, "exists")
         semi_on = [v for v in gbound if v in bound]
         if not semi_on:
             raise ValueError(
                 f"exists group {gi} shares no variable with the "
                 "required patterns — it is not a per-solution test")
-        out = _compat_join(out, inner, semi_on, "exists", gi, "semi")
+        if cfil:
+            out = _theta_group_join(out, inner, gbound, semi_on, cfil,
+                                    "exists", gi, "semi")
+        else:
+            out = _compat_join(out, inner, semi_on, "exists", gi, "semi")
     for gi, group in enumerate(minus or []):
-        inner, gbound = _group_solutions(group, gi, "minus")
+        inner, gbound, cfil = _prep_group(group, gi, "minus")
+        if cfil:
+            # SPARQL MINUS does NOT substitute outer bindings (§8.3.3):
+            # a group filter referencing a variable unbound inside the
+            # group is an expression error, the error makes the filter
+            # false for every group row, the group is empty, and an
+            # empty MINUS removes nothing — the famous spec example
+            # distinguishing MINUS from NOT EXISTS. Faithfully a no-op.
+            continue
         anti_on = [v for v in gbound if v in bound]
         if anti_on:
             out = _compat_join(out, inner, anti_on, "minus", gi, "anti")

@@ -397,19 +397,20 @@ class _Parser:
         self._next()
         return pats
 
-    def _optional_body(self) -> tuple[list[tuple], list[str]]:
-        """An OPTIONAL group body: triple patterns (incl. GRAPH) plus
-        group-scoped FILTER expressions."""
+    def _filtered_body(self, label: str) -> tuple[list[tuple], list[str]]:
+        """A group body that may mix triple patterns (incl. GRAPH)
+        with group-scoped FILTER expressions — the body shape of
+        OPTIONAL / [NOT] EXISTS / MINUS groups."""
         self._expect("OP", "{")
         pats: list[tuple] = []
         filters: list[str] = []
         while not (self._peek().kind == "OP" and self._peek().value == "}"):
             if self._peek().kind == "EOF":
-                raise SparqlSyntaxError("unterminated OPTIONAL group")
+                raise SparqlSyntaxError(f"unterminated {label} group")
             if self._eat_kw("filter"):
                 if self._at_kw("exists") or self._at_kw("not"):
                     raise SparqlUnsupportedError(
-                        "FILTER [NOT] EXISTS inside OPTIONAL is not "
+                        f"FILTER [NOT] EXISTS inside {label} is not "
                         "supported — lift it to the outer group")
                 filters.append(self._expression())
             elif self._at_kw("graph"):
@@ -423,8 +424,12 @@ class _Parser:
                 pats += self._triples_block(None)
         self._next()
         if not pats:
-            raise SparqlSyntaxError("empty OPTIONAL group")
+            raise SparqlSyntaxError(f"empty {label} group")
         return pats, filters
+
+    def _group_entry(self, label: str) -> list | dict:
+        pats, fs = self._filtered_body(label)
+        return {"patterns": pats, "filters": fs} if fs else pats
 
     # -- group graph pattern ----------------------------------------------
     def _group(self) -> _Group:
@@ -453,7 +458,7 @@ class _Parser:
             if t.kind == "EOF":
                 raise SparqlSyntaxError("unterminated group")
             if self._eat_kw("optional"):
-                pats, fs = self._optional_body()
+                pats, fs = self._filtered_body("OPTIONAL")
                 # single pattern → tuple (plain left join); several →
                 # list = OPTIONAL group evaluated as a unit; with
                 # group-scoped FILTERs → dict form
@@ -465,17 +470,17 @@ class _Parser:
             elif self._eat_kw("filter"):
                 if self._at_kw("exists"):
                     self._next()
-                    g.exists.append(self._plain_bgp())
+                    g.exists.append(self._group_entry("EXISTS"))
                 elif (self._at_kw("not")
                         and self._peek(1).kind == "KW"
                         and self._peek(1).value == "exists"):
                     self._next()
                     self._next()
-                    g.not_exists.append(self._plain_bgp())
+                    g.not_exists.append(self._group_entry("NOT EXISTS"))
                 else:
                     g.filters.append(self._expression())
             elif self._eat_kw("minus"):
-                g.minus.append(self._plain_bgp())
+                g.minus.append(self._group_entry("MINUS"))
             elif self._eat_kw("values"):
                 g.values += self._values_clause()
             elif self._eat_kw("bind"):

@@ -277,6 +277,62 @@ def test_parse_optional_group_filter_dict_form():
         "filters": ["(`l` = 'x')"]}]
 
 
+def test_rewrite_refs_spares_literals():
+    from jsonld_spark.operators.kg import _rewrite_refs
+    got = _rewrite_refs("`v2` > v AND x = 'v2 and v'",
+                        {"v2": "_g_v2", "v": "_g_v"})
+    assert got == "`_g_v2` > _g_v AND x = 'v2 and v'"
+
+
+@pytest.fixture()
+def versions(spark):
+    return spark.createDataFrame(
+        [("d1", EX + "ver", "1"), ("d1", EX + "ver", "2"),
+         ("d2", EX + "ver", "5")],
+        "subj string, pred string, obj_value string")
+
+
+def test_correlated_not_exists_latest_version(versions):
+    """The classic temporal NOT EXISTS: keep each doc's row only when
+    no later version exists — the correlated filter becomes the anti
+    join's residual condition."""
+    got = bgp_match(versions, [("?d", EX + "ver", "?v")],
+                    not_exists=[{"patterns": [("?d", EX + "ver", "?v2")],
+                                 "filters": ["v2 > v"]}])
+    assert _rows(got) == [("d1", "2"), ("d2", "5")]
+    # same from SPARQL text
+    got2 = sparql_query(versions, PFX + """SELECT ?d ?v WHERE {
+        ?d ex:ver ?v
+        FILTER NOT EXISTS { ?d ex:ver ?v2 FILTER (?v2 > ?v) }
+    }""")
+    assert _rows(got2) == [("d1", "2"), ("d2", "5")]
+
+
+def test_correlated_exists_semi(versions):
+    got = sparql_query(versions, PFX + """SELECT ?d ?v WHERE {
+        ?d ex:ver ?v
+        FILTER EXISTS { ?d ex:ver ?v2 FILTER (?v2 > ?v) }
+    }""")
+    assert _rows(got) == [("d1", "1")]
+
+
+def test_minus_correlated_filter_is_noop(versions):
+    """MINUS does not substitute outer bindings (SPARQL §8.3.3): the
+    group filter's ?v is unbound inside the group, errors to false,
+    the group is empty, and the MINUS removes nothing."""
+    got = sparql_query(versions, PFX + """SELECT ?d ?v WHERE {
+        ?d ex:ver ?v
+        MINUS { ?d ex:ver ?v2 FILTER (?v2 > ?v) }
+    }""")
+    assert _rows(got) == [("d1", "1"), ("d1", "2"), ("d2", "5")]
+    # uncorrelated group filter still applies: remove d2's rows
+    got = sparql_query(versions, PFX + """SELECT ?d ?v WHERE {
+        ?d ex:ver ?v
+        MINUS { ?d ex:ver ?v2 FILTER (?v2 = '5') }
+    }""")
+    assert _rows(got) == [("d1", "1"), ("d1", "2")]
+
+
 def test_optional_group_must_connect(spark):
     t = spark.createDataFrame(
         [("d1", EX + "lang", "en")],
