@@ -843,6 +843,31 @@ def q_sparql_optional_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_not_exists_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated FILTER NOT EXISTS from SPARQL text — the argmax
+    idiom: per source, keep only the doc(s) with the largest nChars.
+    The group filter references the outer ?n (substitution
+    semantics), compiling to an equi-keyed LeftAnti join on ?src with
+    the numeric comparison as the residual condition — hash/SMJ
+    plannable at any scale (no cartesian)."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX ex: <http://example.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?src ?d ?n
+        WHERE {
+            ?d dct:source ?src ; ex:nChars ?n .
+            FILTER NOT EXISTS {
+                ?d2 dct:source ?src ; ex:nChars ?n2
+                FILTER (xsd:integer(?n2) > xsd:integer(?n))
+            }
+        }
+    """)
+
+
 def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a SPARQL OPTIONAL clause: every doc's media plus its
     reviewer where one exists (deterministic: docs with doc_id % 3 == 0
@@ -1614,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-verified before round 5 --
         "sparql_text": q_sparql_text,
         "sparql_optional_group": q_sparql_optional_group,
+        "sparql_not_exists_max": q_sparql_not_exists_max,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -1634,7 +1660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
         "flatten_docs": q_flatten_docs,
-        "frame_docs": q_frame_docs,
         "fromrdf_docs": q_fromrdf_docs,
         "error_isolation": q_error_isolation,
         "rdfs_entail": q_rdfs_entail,
@@ -1707,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "subject_stats": q_subject_stats,
         "hetero_compact": q_hetero_compact,
+        "frame_docs": q_frame_docs,
     }
 
 
@@ -2149,6 +2175,18 @@ SELECT lang, CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT r) AS BIGINT) AS n_reviewers
 FROM sol GROUP BY lang
 ORDER BY n_docs DESC, lang
+"""
+
+_SPARQL_NOT_EXISTS_MAX_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+s AS (SELECT subj AS d, obj_value AS src FROM t
+      WHERE pred = 'http://purl.org/dc/terms/source'),
+n AS (SELECT subj AS d, obj_value AS n FROM t
+      WHERE pred = 'http://example.org/nChars'),
+sol AS (SELECT DISTINCT s.src, s.d, n.n FROM s JOIN n USING (d))
+SELECT src, d, n FROM sol o
+WHERE NOT EXISTS (SELECT 1 FROM sol i WHERE i.src = o.src
+                  AND CAST(i.n AS BIGINT) > CAST(o.n AS BIGINT))
 """
 
 _SPARQL_OPT_GROUP_ORACLE = f"""
@@ -3195,6 +3233,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text": _SPARQL_TEXT_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_optional_group":
             _SPARQL_OPT_GROUP_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_not_exists_max":
+            _SPARQL_NOT_EXISTS_MAX_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":
             _BGP_NOT_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),

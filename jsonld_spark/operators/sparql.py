@@ -662,8 +662,19 @@ class _Parser:
                 self._iri(self._next())
             return f"'{lit}'", "str"
         if t.kind in ("IRIREF", "PNAME"):
-            iri = self._iri(t).replace("'", "\\'")
-            return f"'{iri}'", "str"
+            iri = self._iri(t)
+            if self._peek().kind == "OP" and self._peek().value == "(":
+                # XSD cast constructor, e.g. xsd:integer(?n)
+                sqlt = self._XSD_CASTS.get(iri)
+                if sqlt is None:
+                    raise SparqlUnsupportedError(
+                        f"constructor <{iri}>() is not a supported "
+                        "XSD cast")
+                self._next()
+                arg = self._expression()
+                self._expect("OP", ")")
+                return f"cast({arg} as {sqlt})", "expr"
+            return "'" + iri.replace("'", "\\'") + "'", "str"
         if t.kind == "KW" and t.value in ("true", "false"):
             return t.value, "expr"
         if t.kind == "OP" and t.value == "(":
@@ -676,6 +687,15 @@ class _Parser:
             return self._builtin_call(t)
         raise SparqlSyntaxError(
             f"bad expression token {t.value!r} at offset {t.pos}")
+
+    _XSD = "http://www.w3.org/2001/XMLSchema#"
+    _XSD_CASTS = {
+        _XSD + "integer": "bigint", _XSD + "long": "bigint",
+        _XSD + "int": "int", _XSD + "decimal": "decimal(38,18)",
+        _XSD + "double": "double", _XSD + "float": "float",
+        _XSD + "string": "string", _XSD + "boolean": "boolean",
+        _XSD + "date": "date", _XSD + "dateTime": "timestamp",
+    }
 
     def _builtin_call(self, t: _Tok) -> tuple[str, str]:
         name = t.value.lower()

@@ -140,6 +140,17 @@ def test_parse_regex_and_in():
     assert "`a` IN ('alice', 'bob')" in f
 
 
+def test_parse_xsd_cast_constructor():
+    q = _parse("PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+               "SELECT * WHERE { ?d <p> ?n "
+               "FILTER (xsd:integer(?n) > xsd:integer('42')) }")
+    assert q.where.filters == [
+        "(cast(`n` as bigint) > cast('42' as bigint))"]
+    with pytest.raises(SparqlUnsupportedError):
+        _parse("SELECT * WHERE { ?d <p> ?n "
+               "FILTER (<http://e.org/myFunc>(?n) = 'x') }")
+
+
 def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
         _parse("SELECT WHERE { ?a ?b ?c }")
