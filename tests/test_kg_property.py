@@ -339,3 +339,40 @@ def test_bgp_optional_group_equals_naive(spark, triples, req, g1, g2):
     assert got_df.columns == vars_ + new
     got = {tuple(r) for r in got_df.collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), g=pattern_st(4))
+def test_correlated_not_exists_equals_naive(spark, triples, req, g):
+    """Correlated group filter under SPARQL substitution semantics:
+    drop a solution iff some group row agrees on the shared vars AND
+    satisfies the comparison against the solution's outer binding.
+    (String comparison on both sides — Spark SQL '>' and Python '>'
+    are both lexicographic here.)"""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    gvars, gsols = naive_solutions(triples, [g])
+    shared = [v for v in gvars if v in vars_]
+    gonly = [v for v in gvars if v not in vars_]
+    if not shared or not gonly:
+        return  # need an equi key and a group-only var for the filter
+    x, y = vars_[0], gonly[0]
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+    got_df = bgp_match(
+        df, [req],
+        not_exists=[{"patterns": [g], "filters": [f"{y} > {x}"]}])
+    want = set()
+    for sol in sols:
+        sb = dict(zip(vars_, sol))
+        hit = any(
+            all(dict(zip(gvars, gs))[v] == sb[v] for v in shared)
+            and dict(zip(gvars, gs))[y] > sb[x]
+            for gs in gsols)
+        if not hit:
+            want.add(sol)
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
