@@ -100,6 +100,10 @@ EXTENDED = [
     "bgp_exists_minus",
     "kg_path_neg",
     "bgp_optional_chain",
+    # round-5 continuation: SPARQL text front-end
+    "sparql_text",
+    "sparql_optional_group",
+    "sparql_not_exists_max",
 ]
 
 
