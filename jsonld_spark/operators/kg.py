@@ -1370,3 +1370,26 @@ def describe(triples: DataFrame, node: str,
             .where((F.col(s_col) == node) | (F.col(o_col) == node))
             .withColumn("role", F.when(F.col(s_col) == node, "subject")
                         .otherwise("object")))
+
+
+def describe_nodes(triples: DataFrame, nodes: DataFrame,
+                   node_col: str = "node", s_col: str = "subj",
+                   p_col: str = "pred",
+                   o_col: str = "obj_value") -> DataFrame:
+    """SPARQL DESCRIBE over a SET of nodes (``DESCRIBE ?x WHERE ...``
+    or a multi-IRI DESCRIBE): every triple whose subject or object is
+    in the node set, with the role per row. Distributed — the node
+    set stays a DataFrame (no driver collect): two semi-joins against
+    it (subject side, object side), unioned. Catalyst/AQE broadcasts
+    the node set when it is small, which it almost always is; a
+    triple relating two described nodes appears once per role, same
+    as running single-node ``describe`` per node and unioning."""
+    n = nodes.select(F.col(node_col).alias("_n")).distinct()
+    subj_side = (triples.join(n, F.col(s_col) == F.col("_n"), "semi")
+                 .withColumn("role", F.lit("subject")))
+    # a self-loop on a described node yields only the subject row,
+    # matching single-node describe's when/otherwise
+    obj_side = (triples.where(F.col(s_col) != F.col(o_col))
+                .join(n, F.col(o_col) == F.col("_n"), "semi")
+                .withColumn("role", F.lit("object")))
+    return subj_side.unionByName(obj_side)

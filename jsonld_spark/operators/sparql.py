@@ -56,7 +56,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from .kg import RDF_TYPE, ask as _ask, bgp_match, bgp_union, construct, \
-    describe
+    describe, describe_nodes
 
 __all__ = ["sparql_query", "SparqlSyntaxError", "SparqlUnsupportedError"]
 
@@ -169,6 +169,8 @@ class _Query:
     offset: int | None = None
     template: list[tuple] | None = None
     describe_node: str | None = None
+    describe_nodes: list[str] | None = None
+    describe_var: str | None = None
     aggregates: list[tuple[Any, str]] = field(default_factory=list)
 
 
@@ -792,12 +794,31 @@ class _Parser:
             q.where = self._group()
         elif self._eat_kw("construct"):
             q = _Query(form="construct")
-            q.template = self._plain_bgp()
-            self._expect("KW", "where")
-            q.where = self._group()
+            if self._at_kw("where"):
+                # CONSTRUCT WHERE { ... } shorthand: the template IS
+                # the (plain-BGP) where clause
+                self._next()
+                pats = self._plain_bgp()
+                q.template = [p[:3] for p in pats]
+                q.where = _Group(patterns=pats)
+            else:
+                q.template = self._plain_bgp()
+                self._expect("KW", "where")
+                q.where = self._group()
         elif self._eat_kw("describe"):
             q = _Query(form="describe")
-            q.describe_node = self._iri(self._next())
+            if self._peek().kind == "VAR":
+                q.describe_var = self._next().value[1:]
+                self._eat_kw("where")
+                q.where = self._group()
+            else:
+                nodes = [self._iri(self._next())]
+                while self._peek().kind in ("IRIREF", "PNAME"):
+                    nodes.append(self._iri(self._next()))
+                if len(nodes) == 1:
+                    q.describe_node = nodes[0]
+                else:
+                    q.describe_nodes = nodes
         else:
             t = self._peek()
             raise SparqlSyntaxError(
@@ -909,6 +930,30 @@ def sparql_query(triples: DataFrame, query: str,
     q = _Parser(query).parse()
     cols = dict(s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col)
     if q.form == "describe":
+        if q.describe_var is not None:
+            gg = q.where
+            sol = bgp_match(triples, gg.patterns,
+                            optional=gg.optional or None,
+                            not_exists=gg.not_exists or None,
+                            exists=gg.exists or None,
+                            minus=gg.minus or None,
+                            filters=gg.filters or None,
+                            values=gg.values or None,
+                            binds=gg.binds or None, **cols)
+            if q.describe_var not in sol.columns:
+                raise SparqlSyntaxError(
+                    f"DESCRIBE ?{q.describe_var}: variable is not "
+                    "bound by the WHERE clause")
+            return describe_nodes(
+                triples, sol.select(q.describe_var).where(
+                    F.col(q.describe_var).isNotNull()),
+                node_col=q.describe_var,
+                s_col=s_col, p_col=p_col, o_col=o_col)
+        if q.describe_nodes is not None:
+            ndf = triples.sparkSession.createDataFrame(
+                [(n,) for n in q.describe_nodes], "node string")
+            return describe_nodes(triples, ndf, s_col=s_col,
+                                  p_col=p_col, o_col=o_col)
         return describe(triples, q.describe_node,
                         s_col=s_col, p_col=p_col, o_col=o_col)
     g = q.where

@@ -422,6 +422,33 @@ def test_exec_ask_describe(triples):
     assert {r.role for r in got.collect()} == {"subject", "object"}
 
 
+def test_exec_describe_var_and_multi(triples):
+    # DESCRIBE ?d WHERE: all docs authored by alice → their triples
+    got = sparql_query(triples, PFX + "DESCRIBE ?d WHERE "
+                       "{ ?d ex:author 'alice' }")
+    subj_rows = {(r.subj, r.pred, r.obj_value)
+                 for r in got.collect() if r.role == "subject"}
+    assert {s for s, _, _ in subj_rows} == {"d1", "d2"}
+    obj_rows = [r for r in got.collect() if r.role == "object"]
+    assert {(r.subj, r.obj_value) for r in obj_rows} == {("d1", "d2")}
+    # multi-IRI DESCRIBE equals the union of single-node describes
+    from jsonld_spark.operators.kg import describe
+    got2 = sparql_query(triples, PFX + "DESCRIBE <d1> <d3>")
+    want = describe(triples, "d1").unionByName(describe(triples, "d3"))
+    assert sorted(tuple(r) for r in got2.collect()) == \
+        sorted(tuple(r) for r in want.collect())
+
+
+def test_exec_construct_where_shorthand(triples):
+    got = sparql_query(triples, PFX + "CONSTRUCT WHERE "
+                       "{ ?d ex:author ?a ; ex:lang 'en' }")
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {("d1", EX + "author", "alice"),
+                    ("d1", EX + "lang", "en"),
+                    ("d3", EX + "author", "bob"),
+                    ("d3", EX + "lang", "en")}
+
+
 def test_exec_construct(triples):
     from jsonld_spark.operators.kg import construct
     got = sparql_query(triples, PFX + "CONSTRUCT { ?a ex:wrote ?d } "
