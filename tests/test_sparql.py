@@ -404,6 +404,17 @@ def test_exec_aggregation(triples):
         ("en", 2, "alice|bob"), ("de", 1, "alice")]
 
 
+def test_exec_aggregate_over_cast_expression(versions):
+    got = sparql_query(versions, PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d (SUM(xsd:integer(?v)) AS ?total)
+               (MAX(xsd:integer(?v)) AS ?hi)
+        WHERE { ?d ex:ver ?v } GROUP BY ?d ORDER BY ?d""")
+    assert got.columns == ["d", "total", "hi"]
+    assert [tuple(r) for r in got.collect()] == [
+        ("d1", 3.0, 2), ("d2", 5.0, 5)]
+
+
 def test_exec_having_limit_offset(triples):
     got = sparql_query(triples, PFX + """SELECT ?a (COUNT(?d) AS ?n)
         WHERE { ?d ex:author ?a } GROUP BY ?a HAVING (?n >= 2)""")
