@@ -327,6 +327,16 @@ def test_correlated_exists_semi(versions):
     assert _rows(got) == [("d1", "1")]
 
 
+def test_correlated_filter_over_nullable_shared_raises(versions):
+    """Correlated group filters + unbound-compatibility branching do
+    not compose; the engine refuses rather than guessing."""
+    with pytest.raises(ValueError, match="nullable"):
+        bgp_match(versions, [("?d", EX + "ver", "?v")],
+                  optional=[("?d", EX + "opt", "?x")],
+                  not_exists=[{"patterns": [("?x", EX + "p", "?z")],
+                               "filters": ["z > v"]}]).collect()
+
+
 def test_minus_correlated_filter_is_noop(versions):
     """MINUS does not substitute outer bindings (SPARQL §8.3.3): the
     group filter's ?v is unbound inside the group, errors to false,
