@@ -858,6 +858,8 @@ class _Parser:
                 raise SparqlSyntaxError("empty GROUP BY")
         if self._eat_kw("having"):
             q.having.append(self._expression())
+            while self._peek().kind == "OP" and self._peek().value == "(":
+                q.having.append(self._expression())
         if self._eat_kw("order"):
             self._expect("KW", "by")
             while True:
