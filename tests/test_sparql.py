@@ -395,6 +395,15 @@ def test_exec_not_exists_minus(triples):
     assert _rows(got) == [("d1",), ("d2",)]
 
 
+def test_exec_path_inside_not_exists(triples):
+    """A property path as a pattern predicate inside a negation group,
+    from text: drop docs that transitively cite d3."""
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { "
+                       "?d ex:lang ?l "
+                       "FILTER NOT EXISTS { ?d ex:cites+ <d3> } }")
+    assert _rows(got) == [("d3",)]
+
+
 def test_exec_values_and_bind(triples):
     got = sparql_query(triples, PFX + """SELECT ?d ?a ?n WHERE {
         ?d ex:author ?a
