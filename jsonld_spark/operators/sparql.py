@@ -877,10 +877,13 @@ class _Parser:
                     break
             if not q.order_by:
                 raise SparqlSyntaxError("empty ORDER BY")
-        if self._eat_kw("limit"):
-            q.limit = int(self._expect("NUMBER").value)
-        if self._eat_kw("offset"):
-            q.offset = int(self._expect("NUMBER").value)
+        while True:     # LIMIT/OFFSET accept either order
+            if self._eat_kw("limit"):
+                q.limit = int(self._expect("NUMBER").value)
+            elif self._eat_kw("offset"):
+                q.offset = int(self._expect("NUMBER").value)
+            else:
+                break
         return q
 
 
