@@ -93,3 +93,29 @@ def test_values_roundtrip(cells):
         f"SELECT * WHERE {{ ?s ?p ?o VALUES ({vars_txt}) "
         f"{{ ({row_txt}) }} }}").parse()
     assert q.where.values == [{v: val for v, val in cells}]
+
+
+@given(st.text(
+    alphabet="SELECT WHERE{}()?ab<>:'\".|^+*/!=&#\n\t 0123456789",
+    min_size=0, max_size=80))
+@settings(max_examples=500, deadline=None)
+def test_parser_never_crashes(text):
+    """Arbitrary input must parse or raise a typed error — never an
+    unhandled exception class, never a hang."""
+    from jsonld_spark.operators.sparql import (SparqlSyntaxError,
+                                               SparqlUnsupportedError)
+    try:
+        _Parser(text).parse()
+    except (SparqlSyntaxError, SparqlUnsupportedError, ValueError):
+        pass
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_unicode(text):
+    from jsonld_spark.operators.sparql import (SparqlSyntaxError,
+                                               SparqlUnsupportedError)
+    try:
+        _Parser("SELECT * WHERE { " + text).parse()
+    except (SparqlSyntaxError, SparqlUnsupportedError, ValueError):
+        pass
