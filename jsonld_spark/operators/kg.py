@@ -71,19 +71,26 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
     (angle-bracketed IRIs with ``+ * ? / | ^`` and parens — see
     ``kg_path``): the pattern matches the path's (src, dst) relation
     instead of a single scan. Plain IRIs and variables never contain
-    ``<``, so the syntaxes cannot collide. Path patterns are 3-tuples
-    (SPARQL paths have no graph slot here)."""
+    ``<``, so the syntaxes cannot collide. A path pattern may carry a
+    CONSTANT graph term (the closure runs over that graph's edges
+    only); a variable graph term raises (it would need one closure
+    per graph)."""
     if len(pat) not in (3, 4):
         raise ValueError(f"pattern {i} must be (s, p, o) or "
                          f"(s, p, o, g), got {pat!r}")
     if not pat[1].startswith("?") and "<" in pat[1]:
-        if len(pat) != 4:
-            rel = kg_path(triples, pat[1], s_col=pos_cols[0],
+        if len(pat) == 3 or not pat[3].startswith("?"):
+            scope = triples if len(pat) == 3 else \
+                triples.where(F.col(pos_cols[3]) == pat[3])
+            # a CONSTANT graph term scopes the path: close over that
+            # graph's edges only (the filter pushes to the scan)
+            rel = kg_path(scope, pat[1], s_col=pos_cols[0],
                           p_col=pos_cols[1], o_col=pos_cols[2])
             return _apply_terms(rel, (pat[0], pat[2]), ("src", "dst"), i)
         raise ValueError(
-            f"pattern {i}: property-path patterns are (s, path, o) "
-            "3-tuples — GRAPH-scoped paths are not supported")
+            f"pattern {i}: a property path under a VARIABLE graph "
+            "term would need one closure per graph — bind the graph "
+            "to a constant or drop the path")
     return _apply_terms(triples, pat, pos_cols[:len(pat)], i)
 
 

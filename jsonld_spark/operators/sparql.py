@@ -358,10 +358,6 @@ class _Parser:
             while True:
                 obj = self._term("object")
                 if graph is not None:
-                    if "<" in pred and not pred.startswith("?"):
-                        raise SparqlUnsupportedError(
-                            "property-path patterns inside GRAPH are "
-                            "not supported (paths have no graph slot)")
                     pats.append((subj, pred, obj, graph))
                 else:
                     pats.append((subj, pred, obj))
@@ -381,6 +377,20 @@ class _Parser:
             self._next()
         return pats
 
+    def _graphify(self, pats: list[tuple], gterm: str) -> list[tuple]:
+        """Home a GRAPH body's patterns into the graph term. A path
+        predicate under a VARIABLE graph would need one closure per
+        graph — reject at parse time (constant graphs scope fine)."""
+        out = []
+        for (s, p, o) in pats:
+            if gterm.startswith("?") and not p.startswith("?") \
+                    and "<" in p:
+                raise SparqlUnsupportedError(
+                    "a property path inside GRAPH ?var would need one "
+                    "closure per graph — use a constant graph name")
+            out.append((s, p, o, gterm))
+        return out
+
     def _plain_bgp(self) -> list[tuple]:
         """'{' triples* '}' with only triple patterns inside — the
         body shape of EXISTS / MINUS / UNION branches."""
@@ -393,7 +403,7 @@ class _Parser:
                 self._next()
                 g = self._term("graph")
                 inner = self._plain_bgp()
-                pats += [(s, p, o, g) for (s, p, o) in inner]
+                pats += self._graphify(inner, g)
                 continue
             pats += self._triples_block(None)
         self._next()
@@ -418,8 +428,7 @@ class _Parser:
             elif self._at_kw("graph"):
                 self._next()
                 gterm = self._term("graph")
-                pats += [(s, p, o, gterm)
-                         for (s, p, o) in self._plain_bgp()]
+                pats += self._graphify(self._plain_bgp(), gterm)
             elif self._peek().kind == "OP" and self._peek().value == ".":
                 self._next()
             else:
@@ -494,8 +503,7 @@ class _Parser:
                 g.binds.append((var, expr))
             elif self._eat_kw("graph"):
                 gterm = self._term("graph")
-                g.patterns += [(s, p, o, gterm)
-                               for (s, p, o) in self._plain_bgp()]
+                g.patterns += self._graphify(self._plain_bgp(), gterm)
             elif t.kind == "OP" and t.value == "{":
                 raise SparqlUnsupportedError(
                     "nested group / UNION after other members is not "

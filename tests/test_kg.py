@@ -608,12 +608,20 @@ def test_bgp_path_pattern_predicate(path_triples):
     assert [(r.x, r.y, r.z) for r in got.collect()] == [("b", "d", "c")]
 
 
-def test_bgp_path_pattern_rejects_graph_slot(path_triples):
-    # SPARQL paths have no graph position — a 4-tuple path pattern is
-    # a typed error, not silent graph-ignoring
-    with pytest.raises(ValueError, match="GRAPH-scoped"):
-        bgp_match(path_triples.withColumn("graph", F.lit("g0")),
-                  [("?x", "<p>+", "?y", "g0")])
+def test_bgp_path_pattern_graph_slot(path_triples):
+    # a CONSTANT graph term scopes the path closure to that graph
+    t = path_triples.withColumn("graph", F.lit("g0"))
+    got = bgp_match(t, [("?x", "<p>+", "c", "g0")])
+    assert sorted(r.x for r in got.collect()) == ["a", "b"]
+    # an edge homed in another graph is invisible to the scoped path
+    t2 = path_triples.withColumn(
+        "graph", F.when(F.col("subj") == "a", "g1").otherwise("g0"))
+    got2 = bgp_match(t2, [("?x", "<p>+", "c", "g0")])
+    assert sorted(r.x for r in got2.collect()) == ["b"]
+    # a VARIABLE graph term would need one closure per graph — typed
+    # error, not silent graph-ignoring
+    with pytest.raises(ValueError, match="VARIABLE graph"):
+        bgp_match(t, [("?x", "<p>+", "?y", "?g")])
 
 
 def test_construct_with_path_pattern(path_triples):

@@ -380,6 +380,15 @@ def test_exec_graph_clause(triples):
     assert _rows(got) == [("d2", "alice")]
 
 
+def test_exec_path_inside_constant_graph(triples):
+    got = sparql_query(triples, PFX + "SELECT * WHERE { "
+                       "GRAPH <g1> { ?x ex:cites+ ?y } }")
+    # only d1->d2 is homed in g1; d2->d3 lives in g2
+    assert _rows(got) == [("d1", "d2")]
+    with pytest.raises(SparqlUnsupportedError, match="GRAPH .var"):
+        _parse(PFX + "SELECT * WHERE { GRAPH ?g { ?x ex:cites+ ?y } }")
+
+
 def test_exec_property_path(triples):
     got = sparql_query(triples, PFX + "SELECT * WHERE "
                        "{ ?x ex:cites+ ?y }")
