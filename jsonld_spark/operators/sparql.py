@@ -761,7 +761,7 @@ class _Parser:
             name = self._next().value.lower()
             self._expect("OP", "(")
             distinct = self._eat_kw("distinct")
-            sep = ","
+            sep = " "   # SPARQL 1.1 §18.5.1.7: default separator is a space
             if self._peek().kind == "OP" and self._peek().value == "*":
                 self._next()
                 arg = None

@@ -120,7 +120,7 @@ def test_parse_aggregates_and_modifiers():
         GROUP BY ?l HAVING (?n > 1)
         ORDER BY DESC(?n) ?l LIMIT 5 OFFSET 2""")
     assert q.group_by == ["l"]
-    assert q.select[1][:2] == ("agg", ("count", "`d`", True, ","))
+    assert q.select[1][:2] == ("agg", ("count", "`d`", True, " "))
     assert q.select[2][1] == ("group_concat", "`a`", False, "|")
     assert q.having == ["(cast(`n` as double) > 1)"]
     assert q.order_by == [("`n`", True), ("`l`", False)]
