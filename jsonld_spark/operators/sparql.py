@@ -721,7 +721,11 @@ class _Parser:
                 self._next()
         self._next()
         if name == "regex":
-            if len(args) == 3 and args[2] == "'i'":
+            if len(args) == 3:
+                if args[2] != "'i'":
+                    raise SparqlUnsupportedError(
+                        f"REGEX flag {args[2]} is not supported — "
+                        "only 'i' (case-insensitive)")
                 return f"({args[0]} RLIKE concat('(?i)', {args[1]}))", "expr"
             return f"({args[0]} RLIKE {args[1]})", "expr"
         if name == "datatype" or name == "lang" or name == "isiri" \
