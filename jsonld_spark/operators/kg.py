@@ -94,13 +94,27 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
     return _apply_terms(triples, pat, pos_cols[:len(pat)], i)
 
 
+_SQL_WORDS = frozenset("""
+    and or not in is null true false like rlike regexp between case
+    when then else end distinct as cast interval current_date
+    current_timestamp int integer bigint smallint tinyint long double
+    float decimal string boolean date timestamp binary array map
+    struct varchar char
+""".split())
+
+
 def _expr_identifiers(expr: str) -> set[str]:
     """Candidate column identifiers in a SQL expression string:
     backticked names plus bare names not followed by ``(`` (function
-    calls), ignoring single-quoted literals. Used to classify a group
-    filter as correlated (references an outer variable) WITHOUT
-    triggering a Spark analysis failure, which would log a spurious
-    ERROR for the expected path."""
+    calls), ignoring single-quoted literals, ``AS <type>`` cast
+    targets, and common SQL keywords/type names (a variable that
+    happens to share a keyword's name would otherwise misclassify a
+    filter — and a silently-misclassified filter mis-executes). Used
+    to classify a group filter as correlated (references an outer
+    variable) WITHOUT triggering a Spark analysis failure, which
+    would log a spurious ERROR for the expected path. A backticked
+    name is always taken verbatim — callers quoting `date` as a
+    variable get the right answer."""
     import re as _re
     ids: set[str] = set()
     parts = _re.split(r"('(?:[^'\\]|\\.)*')", expr)
@@ -108,8 +122,10 @@ def _expr_identifiers(expr: str) -> set[str]:
         s = parts[j]
         ids |= set(_re.findall(r"`([^`]+)`", s))
         s = _re.sub(r"`[^`]*`", " ", s)
-        ids |= {m.group(1)
-                for m in _re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()", s)}
+        s = _re.sub(r"(?i)\bas\s+\w+(\s*\(\s*\d+[\d\s,]*\))?", " ", s)
+        ids |= {w for m in _re.finditer(
+                    r"\b([A-Za-z_]\w*)\b(?!\s*\()", s)
+                if (w := m.group(1)).lower() not in _SQL_WORDS}
     return ids
 
 

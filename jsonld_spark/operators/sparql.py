@@ -81,9 +81,10 @@ _TOKEN_RE = re.compile(r"""
       |'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*
-      |[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9][A-Za-z_0-9.-]*)
+  | (?P<NUMBER>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:
+      (?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)?
+      |:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,*/|^+?!=<>-])
 """, re.VERBOSE)
@@ -226,12 +227,17 @@ class _Parser:
                 f"undeclared prefix {pfx!r}: at offset {pos}")
         return self.prefixes[pfx] + local
 
+    _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
     def _iri(self, t: _Tok) -> str:
         if t.kind == "IRIREF":
             iri = t.value[1:-1]
-            if self.base and "://" not in iri and not iri.startswith(
-                    ("urn:", "mailto:", "_:")):
-                return self.base + iri
+            if self.base and not iri.startswith("_:") \
+                    and not self._SCHEME_RE.match(iri):
+                # RFC 3986 resolution (what every SPARQL engine does),
+                # not string concatenation
+                from urllib.parse import urljoin
+                return urljoin(self.base, iri)
             return iri
         if t.kind == "PNAME":
             return self._expand_pname(t.value, t.pos)
@@ -259,6 +265,10 @@ class _Parser:
             return val
         if t.kind == "NUMBER":
             return t.value
+        if t.kind == "OP" and t.value in ("-", "+") \
+                and self._peek().kind == "NUMBER":
+            num = self._next().value
+            return num if t.value == "+" else "-" + num
         if t.kind == "KW" and t.value in ("true", "false"):
             return t.value
         if t.kind == "OP" and t.value == "[":
@@ -382,7 +392,12 @@ class _Parser:
         predicate under a VARIABLE graph would need one closure per
         graph — reject at parse time (constant graphs scope fine)."""
         out = []
-        for (s, p, o) in pats:
+        for pat in pats:
+            if len(pat) == 4:
+                raise SparqlUnsupportedError(
+                    "nested GRAPH clauses are not supported — flatten "
+                    "to one graph level")
+            s, p, o = pat
             if gterm.startswith("?") and not p.startswith("?") \
                     and "<" in p:
                 raise SparqlUnsupportedError(
@@ -548,6 +563,10 @@ class _Parser:
         if self._eat_kw("undef"):
             return None
         t = self._next()
+        if t.kind == "OP" and t.value in ("-", "+") \
+                and self._peek().kind == "NUMBER":
+            num = self._next().value
+            return num if t.value == "+" else "-" + num
         if t.kind == "STRING":
             val = _unquote(t.value)
             if self._peek().kind == "LANGTAG":
@@ -640,8 +659,13 @@ class _Parser:
             return f"(NOT {s})", "expr"
         if t.kind == "OP" and t.value == "-":
             self._next()
-            s, _ = self._expr_unary()
-            return f"(- {s})", "expr"
+            s, k = self._expr_unary()
+            # a negated numeric literal stays "num" so the var-side
+            # cast heuristic still fires for ?x > -5
+            return (f"-{s}", "num") if k == "num" else (f"(- {s})", "expr")
+        if t.kind == "OP" and t.value == "+":
+            self._next()
+            return self._expr_unary()
         return self._expr_primary()
 
     # SPARQL builtin → Spark SQL function (same arity, same position)
@@ -654,7 +678,8 @@ class _Parser:
         "substr": None,  # handled: SPARQL is 1-based like Spark substring
         "concat": None, "abs": None, "ceil": "ceiling({0})",
         "floor": None, "round": None, "coalesce": None, "if": None,
-        "replace": None,
+        # SPARQL REPLACE is fn:replace = REGEX-based, not literal
+        "replace": "regexp_replace({0}, {1}, {2})",
     }
 
     def _expr_primary(self) -> tuple[str, str]:
@@ -733,6 +758,9 @@ class _Parser:
             raise SparqlUnsupportedError(
                 f"{name.upper()}() needs the kind/datatype/lang columns "
                 "— filter those columns before bgp_match instead")
+        if name == "replace" and len(args) > 3:
+            raise SparqlUnsupportedError(
+                "REPLACE() flags argument is not supported")
         tmpl = self._FUNC_MAP.get(name)
         if name in self._FUNC_MAP:
             if tmpl is None:
@@ -891,23 +919,34 @@ class _Parser:
                 raise SparqlSyntaxError("empty ORDER BY")
         while True:     # LIMIT/OFFSET accept either order
             if self._eat_kw("limit"):
-                q.limit = int(self._expect("NUMBER").value)
+                q.limit = self._nonneg_int("LIMIT")
             elif self._eat_kw("offset"):
-                q.offset = int(self._expect("NUMBER").value)
+                q.offset = self._nonneg_int("OFFSET")
             else:
                 break
         return q
+
+    def _nonneg_int(self, what: str) -> int:
+        t = self._expect("NUMBER")
+        if not t.value.isdigit():
+            raise SparqlSyntaxError(
+                f"{what} takes a non-negative integer, got {t.value!r} "
+                f"at offset {t.pos}")
+        return int(t.value)
 
 
 # ---------------------------------------------------------------------------
 # Compiler
 # ---------------------------------------------------------------------------
 
-def _agg_column(spec: tuple, alias: str) -> Any:
+def _agg_column(spec: tuple, alias: str, all_cols: list[str]) -> Any:
     name, arg, distinct, sep = spec
     col = F.expr(arg) if arg is not None else None
     if name == "count":
         if col is None:
+            if distinct:     # COUNT(DISTINCT *) = distinct solutions
+                return F.countDistinct(
+                    F.struct(*[F.col(c) for c in all_cols])).alias(alias)
             return F.count(F.lit(1)).alias(alias)
         return (F.countDistinct(col) if distinct
                 else F.count(col)).alias(alias)
@@ -949,6 +988,17 @@ def sparql_query(triples: DataFrame, query: str,
     if q.form == "describe":
         if q.describe_var is not None:
             gg = q.where
+            if gg.union_branches is not None:
+                sol = bgp_union(triples, gg.union_branches, **cols)
+                if q.describe_var not in sol.columns:
+                    raise SparqlSyntaxError(
+                        f"DESCRIBE ?{q.describe_var}: variable is not "
+                        "bound by the WHERE clause")
+                return describe_nodes(
+                    triples, sol.select(q.describe_var).where(
+                        F.col(q.describe_var).isNotNull()),
+                    node_col=q.describe_var,
+                    s_col=s_col, p_col=p_col, o_col=o_col)
             sol = bgp_match(triples, gg.patterns,
                             optional=gg.optional or None,
                             not_exists=gg.not_exists or None,
@@ -979,6 +1029,11 @@ def sparql_query(triples: DataFrame, query: str,
             raise SparqlUnsupportedError(
                 "BIND/OPTIONAL inside ASK are not supported — they "
                 "cannot change an existence answer, drop them")
+        if g.union_branches is not None:
+            # ASK over a UNION: true iff any branch matches
+            # (short-circuits branch by branch)
+            return any(_ask(triples, b, **cols)
+                       for b in g.union_branches)
         return _ask(triples, g.patterns, not_exists=g.not_exists or None,
                     exists=g.exists or None, minus=g.minus or None,
                     filters=g.filters or None, values=g.values or None,
@@ -1016,7 +1071,7 @@ def sparql_query(triples: DataFrame, query: str,
         aggs, out_order = [], []
         for item in q.select:
             if item[0] == "agg":
-                aggs.append(_agg_column(item[1], item[2]))
+                aggs.append(_agg_column(item[1], item[2], df.columns))
                 out_order.append(item[2])
             elif item[0] == "var":
                 if item[1] not in q.group_by:
@@ -1028,8 +1083,12 @@ def sparql_query(triples: DataFrame, query: str,
                 raise SparqlUnsupportedError(
                     "(expr AS ?x) beside aggregates — compute it with "
                     "BIND before grouping")
-        df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by \
-            else df.agg(*aggs)
+        if aggs:
+            df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by \
+                else df.agg(*aggs)
+        else:
+            # GROUP BY with no aggregate in SELECT: one row per group
+            df = df.select(*q.group_by).distinct()
         df = df.select(*out_order)
     elif q.select and not q.select_star:
         out_cols = []

@@ -140,6 +140,60 @@ def test_parse_regex_and_in():
     assert "`a` IN ('alice', 'bob')" in f
 
 
+def test_review_fixes_parse_level():
+    # PNAME local part must not absorb the triple terminator dot
+    q = _parse(PFX + "SELECT ?s WHERE { ?s a ex:Person. }")
+    assert q.where.patterns == [("?s", RDF_TYPE, EX + "Person")]
+    # but internal dots stay part of the local name
+    q = _parse(PFX + "SELECT ?s WHERE { ?s a ex:v1.2 . }")
+    assert q.where.patterns == [("?s", RDF_TYPE, EX + "v1.2")]
+    # BASE is RFC 3986 resolution, not concatenation
+    q = _parse("BASE <http://e.org/ns/x> SELECT * WHERE { ?d <foo> ?a }")
+    assert q.where.patterns == [("?d", "http://e.org/ns/foo", "?a")]
+    # binary minus without whitespace
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:n ?x FILTER (?x > ?y-1) }")
+    assert "- 1" in q.where.filters[0] or "-1" in q.where.filters[0]
+    # negative literal keeps the cast heuristic
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:n ?x FILTER (?x > -5) }")
+    assert q.where.filters == ["(cast(`x` as double) > -5)"]
+    # SPARQL REPLACE is regex-based
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:t ?t "
+               "FILTER (REPLACE(?t, '[0-9]+', '') = 'doc') }")
+    assert "regexp_replace" in q.where.filters[0]
+    # nested GRAPH raises a typed error
+    with pytest.raises(SparqlUnsupportedError, match="nested GRAPH"):
+        _parse(PFX + "SELECT * WHERE { GRAPH ?g { GRAPH <g2> "
+               "{ ?s ?p ?o } } }")
+    # LIMIT validates its operand
+    with pytest.raises(SparqlSyntaxError, match="non-negative integer"):
+        _parse(PFX + "SELECT * WHERE { ?s ?p ?o } LIMIT 2.5")
+
+
+def test_review_fixes_exec_level(triples, versions):
+    # GROUP BY without aggregates: one row per group
+    got = sparql_query(triples, PFX + "SELECT ?a WHERE "
+                       "{ ?d ex:author ?a } GROUP BY ?a")
+    assert _rows(got) == [("alice",), ("bob",)]
+    # COUNT(DISTINCT *) counts distinct solutions
+    got = sparql_query(triples, PFX + "SELECT (COUNT(DISTINCT *) AS ?n)"
+                       " WHERE { ?d ex:author ?a }")
+    assert [tuple(r) for r in got.collect()] == [(3,)]
+    # ASK over UNION: true iff any branch matches
+    assert sparql_query(triples, PFX + "ASK { { ?d ex:author 'carol' } "
+                        "UNION { ?d ex:author 'bob' } }") is True
+    assert sparql_query(triples, PFX + "ASK { { ?d ex:author 'carol' } "
+                        "UNION { ?d ex:author 'dan' } }") is False
+    # an outer variable named like a SQL type must not misclassify an
+    # uncorrelated group filter (cast target 'int' is not a reference)
+    got = sparql_query(versions, PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?int ?v WHERE {
+            ?int ex:ver ?v
+            MINUS { ?int ex:ver ?v2 FILTER (xsd:int(?v2) = 5) }
+        }""")
+    assert _rows(got) == [("d1", "1"), ("d1", "2")]
+
+
 def test_parse_xsd_cast_constructor():
     q = _parse("PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
                "SELECT * WHERE { ?d <p> ?n "
