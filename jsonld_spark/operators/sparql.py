@@ -35,11 +35,16 @@ so the compiled plan is identical to the hand-written call):
   compiles to ``bgp_union``
 
 Deviations / limits (all raise a clear error, never mis-execute):
-blank-node syntax in patterns, subqueries, SERVICE, nested
-OPTIONAL/UNION mixed with other group members, and multi-pattern
-OPTIONAL groups are not supported. Expression translation casts a
-variable compared against a numeric literal to ``double`` (SPARQL
-compares typed values; the triples frame stores lexical forms).
+blank-node syntax in patterns, subqueries, SERVICE, nested GRAPH,
+UNION mixed with other group members, and OPTIONAL-group filters
+referencing outer variables are not supported. Expression
+translation casts a variable compared against a numeric literal to
+``double``, and ``xsd:integer(?v)``-style constructors cast
+explicitly (SPARQL compares typed values; the triples frame stores
+lexical forms — a bare var-to-var comparison is lexicographic).
+Plain SELECT defaults to set semantics (the engine-wide documented
+deviation; pass ``distinct_solutions=False`` for bag semantics on
+pre-deduplicated warehouse tables).
 
 Reference for the algebra mapping: SPARQL 1.1 Query, §18 (algebra),
 §8 (negation), §10.2 (VALUES). Reference parity anchor: the triples
