@@ -868,6 +868,28 @@ def q_sparql_not_exists_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_bgp_star_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bgp_star star join on the term-dictionary-ENCODED layout
+    (operators/encode.py): subjects/objects hash to 8-byte xxhash64
+    ids, the three-pattern join runs on long keys (~10x smaller
+    shuffle than IRI strings at 100 TB), and the result decodes back
+    through the dictionary — pinned against the SAME oracle as
+    bgp_star, so encoded results must be byte-identical to the
+    string-side plan."""
+    from jsonld_spark.operators.encode import (bgp_match_encoded,
+                                               encode_triples,
+                                               term_dictionary)
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    enc = encode_triples(triples)
+    d = term_dictionary(triples)
+    return bgp_match_encoded(enc, [
+        ("?d", "http://schema.org/associatedMedia", "?media"),
+        ("?d", "http://schema.org/inLanguage", "?lang"),
+        ("?d", "http://purl.org/dc/terms/source", "?src"),
+    ], dictionary=d)
+
+
 def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a SPARQL OPTIONAL clause: every doc's media plus its
     reviewer where one exists (deterministic: docs with doc_id % 3 == 0
@@ -1640,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text": q_sparql_text,
         "sparql_optional_group": q_sparql_optional_group,
         "sparql_not_exists_max": q_sparql_not_exists_max,
+        "bgp_star_encoded": q_bgp_star_encoded,
         "shacl_report": q_shacl_report,
         "kg_paths": q_kg_paths,
         "span_dedup": q_span_dedup,
@@ -1660,7 +1683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
         "flatten_docs": q_flatten_docs,
-        "fromrdf_docs": q_fromrdf_docs,
         "error_isolation": q_error_isolation,
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
@@ -1733,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subject_stats": q_subject_stats,
         "hetero_compact": q_hetero_compact,
         "frame_docs": q_frame_docs,
+        "fromrdf_docs": q_fromrdf_docs,
     }
 
 
@@ -3235,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_OPT_GROUP_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_not_exists_max":
             _SPARQL_NOT_EXISTS_MAX_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":
             _BGP_NOT_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),

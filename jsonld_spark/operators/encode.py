@@ -1,0 +1,123 @@
+"""Term-dictionary encoding: join/shuffle on 8-byte ids, not IRIs.
+
+The classic RDF-at-scale layout (every large triple store does a
+variant of it): subjects and objects are long IRIs / literals —
+typically 40-120 bytes — and every BGP join shuffles them. Hashing
+each term to a 64-bit id shrinks the shuffled join keys ~10×, turns
+string equality into long equality, and keeps sort/exchange buffers
+dense. Spark-first: the id is ``xxhash64(term)`` (a built-in, JVM-
+side, whole-stage-codegen'd), so encoding needs NO dictionary build,
+no global counter, and no join — it is embarrassingly parallel and
+deterministic across clusters. The dictionary (id → term) is only
+needed to DECODE results, built as a distinct projection and joined
+(broadcast, when the result is small) at the very end.
+
+Collisions: xxhash64 over n distinct terms collides with probability
+≈ n²/2⁶⁵ — ~0.003 for 10¹⁰ terms. ``collision_audit`` materializes
+any colliding ids so a pipeline can assert zero before trusting the
+encoded layout (the audit is one groupBy over the dictionary).
+
+Predicates stay as strings: they are low-cardinality, their equality
+filters are the ones that want parquet pushdown, and they are never
+the join key in a star join.
+
+Reference anchor: the reference's quad model stores full term strings
+(core/RDFDataset.java:47-115); this layer is a pure performance
+re-layout with a lossless decode path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["encode_triples", "term_dictionary", "collision_audit",
+           "decode_column", "bgp_match_encoded"]
+
+_ID = "_id"
+
+
+def encode_triples(triples: DataFrame, s_col: str = "subj",
+                   o_col: str = "obj_value") -> DataFrame:
+    """Add ``<s_col>_id`` / ``<o_col>_id`` = xxhash64 of the term.
+    Narrow map-side projection — no shuffle, no state."""
+    return (triples
+            .withColumn(s_col + _ID, F.xxhash64(F.col(s_col)))
+            .withColumn(o_col + _ID, F.xxhash64(F.col(o_col))))
+
+
+def term_dictionary(triples: DataFrame, s_col: str = "subj",
+                    o_col: str = "obj_value") -> DataFrame:
+    """(id, term) for every distinct subject/object term — the decode
+    side. One distinct over a two-column union."""
+    terms = (triples.select(F.col(s_col).alias("term"))
+             .unionByName(triples.select(F.col(o_col).alias("term")))
+             .distinct())
+    return terms.select(F.xxhash64("term").alias("id"), "term")
+
+
+def collision_audit(dictionary: DataFrame) -> DataFrame:
+    """Ids carrying more than one term (expected empty; assert
+    ``.isEmpty()`` before trusting encoded joins for exact answers)."""
+    return (dictionary.groupBy("id")
+            .agg(F.countDistinct("term").alias("n_terms"),
+                 F.collect_list("term").alias("terms"))
+            .where(F.col("n_terms") > 1))
+
+
+def decode_column(df: DataFrame, dictionary: DataFrame, id_col: str,
+                  out_col: str | None = None) -> DataFrame:
+    """Replace an id column with its term via a dictionary join (AQE
+    broadcasts the smaller side — usually the projected result)."""
+    out_col = out_col or id_col
+    d = dictionary.select(F.col("id").alias(id_col),
+                          F.col("term").alias("__term"))
+    return (df.join(d, id_col, "left")
+            .drop(id_col).withColumnRenamed("__term", out_col))
+
+
+def _hash_of(spark, terms: list[str]) -> dict[str, int]:
+    """xxhash64 of constant terms, computed JVM-side (one tiny job) so
+    the driver never re-implements the hash."""
+    if not terms:
+        return {}
+    rows = (spark.createDataFrame([(t,) for t in terms], "t string")
+            .select("t", F.xxhash64("t").alias("h")).collect())
+    return {r.t: r.h for r in rows}
+
+
+def bgp_match_encoded(triples_enc: DataFrame,
+                      patterns: list[tuple[str, str, str]],
+                      dictionary: DataFrame | None = None,
+                      s_col: str = "subj", o_col: str = "obj_value",
+                      p_col: str = "pred", g_col: str = "graph",
+                      **kwargs) -> DataFrame:
+    """``bgp_match`` over an ``encode_triples`` frame: joins run on the
+    8-byte id columns; constant subject/object terms are hashed
+    JVM-side and compared as longs (constant-folded → still pushed to
+    the scan); predicates/graphs match as strings as usual. With a
+    ``dictionary``, every variable column in the result is decoded
+    back to terms — output is then identical to the string-side
+    ``bgp_match``, which is exactly what the driver row pins."""
+    from .kg import bgp_match
+    spark = triples_enc.sparkSession
+    consts = [t for pat in patterns for i, t in enumerate(pat)
+              if i in (0, 2) and not t.startswith("?")]
+    h = _hash_of(spark, consts)
+    enc_pats = []
+    for pat in patterns:
+        s, p, o = pat[0], pat[1], pat[2]
+        if not p.startswith("?") and "<" in p:
+            raise ValueError(
+                "property paths are not supported on the encoded "
+                "layout — run kg_path on the string columns")
+        s2 = s if s.startswith("?") else str(h[s])
+        o2 = o if o.startswith("?") else str(h[o])
+        enc_pats.append((s2, p, o2) + tuple(pat[3:]))
+    out = bgp_match(triples_enc, enc_pats, s_col=s_col + _ID,
+                    p_col=p_col, o_col=o_col + _ID, g_col=g_col,
+                    **kwargs)
+    if dictionary is not None:
+        for c in out.columns:
+            if dict(out.dtypes)[c] == "bigint":
+                out = decode_column(out, dictionary, c)
+    return out
