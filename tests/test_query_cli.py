@@ -35,6 +35,34 @@ def test_select_to_parquet(spark, tmp_path, capsys):
     assert [r.d for r in spark.read.parquet(out).collect()] == ["d1"]
 
 
+def test_construct_then_query_user_story(spark, tmp_path, capsys):
+    """The full documented flow: run_pipeline materializes the graph
+    from interleaved docs, query_graph answers SPARQL text over it."""
+    import query_graph
+    import run_pipeline
+    from jsonld_spark.sources.interleaved import interleaved_from_documents
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "kg")
+    interleaved_from_documents(spark, "/root/testdata/sf0.001") \
+        .write.parquet(inp)
+    assert run_pipeline.main(["--input", inp, "--output", out,
+                              "--n-buckets", "4",
+                              "--run-id", "r1"]) == 0
+    capsys.readouterr()
+    rc = query_graph.main([
+        "--graph", out, "--show", "3",
+        "--query", """PREFIX s: <http://schema.org/>
+            SELECT ?lang (COUNT(DISTINCT ?d) AS ?n)
+            WHERE { ?d s:inLanguage ?lang }
+            GROUP BY ?lang ORDER BY DESC(?n) ?lang"""])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    top = json.loads(lines[0])
+    assert top["n"] > 0 and isinstance(top["lang"], str)
+    assert json.loads(lines[-1])["rows_shown"] == 3
+
+
 def test_ask_and_show(spark, tmp_path, capsys):
     import query_graph
     t = _triples_parquet(spark, tmp_path)
