@@ -182,7 +182,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               binds: list[tuple[str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph",
-              distinct_solutions: bool = True) -> DataFrame:
+              distinct_solutions: bool = True,
+              solution_joins: list | None = None) -> DataFrame:
     """Match a SPARQL-style basic graph pattern: ``patterns`` is a list
     of (subject, predicate, object) terms where a term starting with
     ``?`` is a variable and anything else a constant. A 4-tuple
@@ -277,6 +278,16 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     ``exists`` groups are positive ``FILTER EXISTS`` clauses — the
     semi-join mirror of ``not_exists``: a solution survives iff the
     group matches under its bindings (must share ≥1 variable).
+    ``solution_joins`` are pre-computed solution sets (the algebra
+    form of a SPARQL 1.1 subquery): each entry is a DataFrame whose
+    columns are variable names — or a dict ``{'df': DataFrame,
+    'nullable': set, 'allow_disjoint': bool}`` — inner-joined to the
+    solutions on the shared variables right after the required
+    patterns (so OPTIONAL / VALUES / BIND / FILTER can reference the
+    variables a subquery binds). ``patterns`` may be empty when a
+    solution join seeds the solutions. Disjoint (no shared variable)
+    entries require ``allow_disjoint`` and broadcast — the scalar
+    aggregate-subquery idiom; nullable shared variables raise.
     ``minus`` groups are SPARQL MINUS: like NOT EXISTS an anti-join on
     the shared variables, EXCEPT that a group sharing NO variable with
     the outer query removes nothing (SPARQL §8.3.3: disjoint domains
@@ -288,7 +299,16 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     survives. (Same null-mask branching as OPTIONAL; single anti-join
     when no shared variable is nullable.)
     """
-    if not patterns:
+    sjoins = []
+    for entry in solution_joins or []:
+        if isinstance(entry, DataFrame):
+            entry = {"df": entry}
+        sjoins.append({
+            "df": entry["df"],
+            "nullable": set(entry.get("nullable") or ()),
+            "allow_disjoint": bool(entry.get("allow_disjoint", False)),
+        })
+    if not patterns and not sjoins:
         raise ValueError("empty pattern list")
     pos_cols = (s_col, p_col, o_col, g_col)
     out: DataFrame | None = None
@@ -315,7 +335,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 "— a cartesian product; reorder or constrain the query")
         out = out.join(step, shared)
         bound += [v for v in step_vars if v not in bound]
-    if out is None:
+    if out is None and not sjoins:
         raise ValueError(
             "all patterns are constant — use ask() for a pure "
             "existence test; bgp_match needs at least one variable")
@@ -326,9 +346,52 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     # guarantees this) — SPARQL SELECT bag semantics; on deduped input
     # both modes agree. The default (True) is SELECT DISTINCT — a
     # documented deviation the property tests rely on.
-    out = out.select(*bound)
-    if distinct_solutions:
-        out = out.distinct()
+    if out is not None:
+        out = out.select(*bound)
+        if distinct_solutions:
+            out = out.distinct()
+    # solution joins (SPARQL 1.1 subqueries / pre-computed solution
+    # sets): each entry is a DataFrame whose columns ARE variable
+    # names — the algebra Join of the group's BGP with the subquery's
+    # (already-projected) solutions. Joined on the shared variables;
+    # new variables extend the solutions. A disjoint entry (no shared
+    # variable) is a cartesian product — legal SPARQL but a scale
+    # hazard, so it requires allow_disjoint=True (the front-end sets
+    # it for scalar-aggregate subqueries, which produce exactly one
+    # row and broadcast). Shared variables must be non-nullable on
+    # BOTH sides — SPARQL's unbound-compatibility branching for
+    # subquery joins is out of scope (bind the variable in a required
+    # pattern instead); violating entries raise.
+    for si, sj in enumerate(sjoins):
+        sdf = sj["df"]
+        svars = list(sdf.columns)
+        if out is None:
+            out, bound = sdf, svars
+            nullable |= sj["nullable"]
+            continue
+        shared = [v for v in svars if v in bound]
+        new = [v for v in svars if v not in bound]
+        bad = [v for v in shared
+               if v in nullable or v in sj["nullable"]]
+        if bad:
+            raise ValueError(
+                f"solution join {si}: shared variables {bad} may be "
+                "unbound (null) — joining a subquery on a nullable "
+                "variable is not supported; bind it in a required "
+                "pattern")
+        if shared:
+            out = out.join(sdf, shared)
+        elif sj["allow_disjoint"]:
+            # scalar-subquery idiom (e.g. SELECT (MAX(?d) AS ?m)):
+            # exactly-one-row side, broadcast to every solution
+            out = out.crossJoin(F.broadcast(sdf))
+        else:
+            raise ValueError(
+                f"solution join {si} shares no variable with the "
+                "outer query — a cartesian product; pass "
+                "allow_disjoint=True only for provably tiny sides")
+        bound += new
+        nullable |= {v for v in new if v in sj["nullable"]}
     for g in gates:
         out = out.crossJoin(g).drop(g.columns[0])
 
@@ -664,7 +727,8 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
               values: list[dict[str, str | None]] | None = None,
               binds: list[tuple[str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
-              o_col: str = "obj_value", g_col: str = "graph") -> DataFrame:
+              o_col: str = "obj_value", g_col: str = "graph",
+              solution_joins: list | None = None) -> DataFrame:
     """SPARQL CONSTRUCT: match the WHERE clause (same arguments as
     ``bgp_match``) and instantiate each ``template`` triple once per
     solution, returning a new (subj, pred, obj_value) triple table —
@@ -686,7 +750,8 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
     sol = bgp_match(triples, patterns, optional=optional,
                     not_exists=not_exists, exists=exists, minus=minus,
                     filters=filters, values=values, binds=binds,
-                    s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col)
+                    s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col,
+                    solution_joins=solution_joins)
     bound = set(sol.columns)
 
     def term(t: str, alias: str):

@@ -32,11 +32,22 @@ so the compiled plan is identical to the hand-written call):
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards),
   ``BIND (expr AS ?v)``
 * a WHERE clause that is entirely ``{ BGP } UNION { BGP } ...``
-  compiles to ``bgp_union``
+  compiles to ``bgp_union``; ``CONSTRUCT`` over such a UNION
+  instantiates the template per branch and unions the graphs
+* SPARQL 1.1 subqueries ``{ SELECT ... }`` as group members —
+  compiled bottom-up (§18.2.2) and joined to the group's solutions
+  on the shared variables (``bgp_match``'s ``solution_joins``); a
+  scalar aggregate subquery (no GROUP BY — the ``MAX``-argmax idiom)
+  joins disjoint via broadcast. Subqueries projecting possibly-
+  unbound variables used as join keys raise rather than mis-join
+* blank nodes in patterns: ``_:label`` and ``[]`` compile to
+  non-distinguished variables (``SELECT *`` does not project them);
+  ``[ p o ]`` property lists and template blank nodes raise
 
 Deviations / limits (all raise a clear error, never mis-execute):
-blank-node syntax in patterns, subqueries, SERVICE, nested GRAPH,
-UNION mixed with other group members, and OPTIONAL-group filters
+SERVICE, nested GRAPH, UNION mixed with other group members,
+``[ p o ]`` blank-node property lists, subqueries inside ASK /
+EXISTS / MINUS bodies, and OPTIONAL-group filters
 referencing outer variables are not supported. Expression
 translation casts a variable compared against a numeric literal to
 ``double``, and ``xsd:integer(?v)``-style constructors cast
@@ -60,8 +71,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-from .kg import RDF_TYPE, ask as _ask, bgp_match, bgp_union, construct, \
-    describe, describe_nodes
+from .kg import RDF_TYPE, _expr_identifiers, ask as _ask, bgp_match, \
+    bgp_union, construct, describe, describe_nodes
 
 __all__ = ["sparql_query", "SparqlSyntaxError", "SparqlUnsupportedError"]
 
@@ -91,8 +102,13 @@ _TOKEN_RE = re.compile(r"""
       (?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)?
       |:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,*/|^+?!=<>-])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];.,*/|^+?!=<>-])
 """, re.VERBOSE)
+
+# blank-node labels in patterns compile to variables with this prefix:
+# non-distinguished per SPARQL — joined where repeated, never projected
+# by SELECT *
+_BNODE_VAR_PREFIX = "_bn_"
 
 _KEYWORDS = {
     "select", "distinct", "reduced", "where", "optional", "filter",
@@ -159,6 +175,7 @@ class _Group:
     values: list[dict] = field(default_factory=list)
     binds: list[tuple[str, str]] = field(default_factory=list)
     union_branches: list[list[tuple]] | None = None
+    subqueries: list["_Query"] = field(default_factory=list)
 
 
 @dataclass
@@ -194,6 +211,7 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
+        self._anon_bn = 0
 
     # -- token helpers ----------------------------------------------------
     def _peek(self, ahead: int = 0) -> _Tok:
@@ -256,6 +274,11 @@ class _Parser:
         t = self._next()
         if t.kind == "VAR":
             return "?" + t.value[1:]
+        if t.kind == "PNAME" and t.value.startswith("_:"):
+            # blank-node label: per SPARQL a non-distinguished variable
+            # (never projected by SELECT *); one variable per label, so
+            # repeated uses within the query join as the spec requires
+            return "?" + _BNODE_VAR_PREFIX + t.value[2:]
         if t.kind in ("IRIREF", "PNAME"):
             return self._iri(t)
         if t.kind == "STRING":
@@ -277,9 +300,16 @@ class _Parser:
         if t.kind == "KW" and t.value in ("true", "false"):
             return t.value
         if t.kind == "OP" and t.value == "[":
+            if self._peek().kind == "OP" and self._peek().value == "]":
+                # anonymous blank node []: a fresh non-distinguished
+                # variable
+                self._next()
+                self._anon_bn += 1
+                return f"?{_BNODE_VAR_PREFIX}anon{self._anon_bn}"
             raise SparqlUnsupportedError(
-                "blank-node syntax in patterns is not supported — name "
-                "the node with a variable instead")
+                "[ predicate object ] blank-node property lists are "
+                "not supported — name the node with a variable or "
+                "_:label instead")
         raise SparqlSyntaxError(
             f"bad {position} term {t.value!r} at offset {t.pos}")
 
@@ -466,7 +496,9 @@ class _Parser:
     def _group(self) -> _Group:
         self._expect("OP", "{")
         g = _Group()
-        if self._peek().kind == "OP" and self._peek().value == "{":
+        if self._peek().kind == "OP" and self._peek().value == "{" \
+                and not (self._peek(1).kind == "KW"
+                         and self._peek(1).value == "select"):
             # UNION form: { BGP } UNION { BGP } ... — or a single
             # nested plain group, which is equivalent to inlining
             branches = [self._plain_bgp()]
@@ -525,6 +557,16 @@ class _Parser:
                 gterm = self._term("graph")
                 g.patterns += self._graphify(self._plain_bgp(), gterm)
             elif t.kind == "OP" and t.value == "{":
+                if self._peek(1).kind == "KW" \
+                        and self._peek(1).value == "select":
+                    # SPARQL 1.1 subquery: evaluated independently
+                    # (bottom-up), joined to the group's solutions on
+                    # the shared variables
+                    self._next()
+                    self._next()
+                    g.subqueries.append(self._parse_select())
+                    self._expect("OP", "}")
+                    continue
                 raise SparqlUnsupportedError(
                     "nested group / UNION after other members is not "
                     "supported in this subset")
@@ -973,6 +1015,160 @@ def _agg_column(spec: tuple, alias: str, all_cols: list[str]) -> Any:
     return col.alias(alias)
 
 
+def _pattern_var_names(pats: list) -> set[str]:
+    vs: set[str] = set()
+    for p in pats:
+        for t in p:
+            if isinstance(t, str) and t.startswith("?"):
+                vs.add(t[1:])
+    return vs
+
+
+def _group_nullable(g: _Group) -> set[str]:
+    """Variables that may be unbound (null) in the group's solutions:
+    introduced by OPTIONAL, an UNDEF VALUES cell, or BIND. Used to
+    decide whether a subquery's projected variables are safe join
+    keys (nullable keys raise in bgp_match's solution join)."""
+    req = _pattern_var_names(g.patterns)
+    nul: set[str] = set()
+    for opt in g.optional:
+        if isinstance(opt, dict):
+            pats = opt["patterns"]
+        elif opt and isinstance(opt[0], (list, tuple)):
+            pats = opt
+        else:
+            pats = [opt]
+        nul |= _pattern_var_names(pats) - req
+    for var, _ in g.binds:
+        nul.add(var)
+    for row in g.values:
+        for v, val in row.items():
+            if val is None and v not in req:
+                nul.add(v)
+    return nul
+
+
+def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
+                        distinct_solutions: bool
+                        ) -> tuple[list[dict] | None, set[str]]:
+    """Compile a group's subqueries bottom-up (SPARQL 1.1 §18.2.2)
+    into bgp_match solution-join entries. Returns (entries, nullable
+    variable names the subqueries may contribute)."""
+    if not g.subqueries:
+        return None, set()
+    entries: list[dict] = []
+    nul: set[str] = set()
+    for sq in g.subqueries:
+        sdf, snul, scalar = _compile_select(
+            triples, sq, cols, distinct_solutions)
+        entries.append({"df": sdf, "nullable": snul,
+                        "allow_disjoint": scalar})
+        nul |= snul
+    return entries, nul
+
+
+def _compile_select(triples: DataFrame, q: _Query, cols: dict,
+                    distinct_solutions: bool
+                    ) -> tuple[DataFrame, set[str], bool]:
+    """Compile a (sub)SELECT to (solutions DataFrame, nullable
+    projected variables, is_scalar) — is_scalar marks an aggregate
+    query with no GROUP BY, which produces exactly one row (the
+    scalar-subquery idiom; joined disjoint via broadcast)."""
+    g = q.where
+    sj, sub_nul = _compile_subqueries(triples, g, cols,
+                                      distinct_solutions)
+    if g.union_branches is not None:
+        if g.optional or g.filters or g.not_exists or g.exists \
+                or g.minus or g.values or g.binds or g.subqueries:
+            raise SparqlUnsupportedError(
+                "UNION mixed with other clauses is not supported")
+        df = bgp_union(triples, g.union_branches, **cols)
+    else:
+        df = bgp_match(triples, g.patterns, optional=g.optional or None,
+                       not_exists=g.not_exists or None,
+                       exists=g.exists or None, minus=g.minus or None,
+                       filters=g.filters or None, values=g.values or None,
+                       binds=g.binds or None,
+                       distinct_solutions=distinct_solutions,
+                       solution_joins=sj, **cols)
+    nullable = (_group_nullable(g) | sub_nul)
+    out_nul: set[str] = set()
+    scalar = False
+    has_agg = any(item[0] == "agg" for item in (q.select or []))
+    if q.group_by or has_agg:
+        if q.select_star:
+            raise SparqlSyntaxError("SELECT * with GROUP BY is not SPARQL")
+        scalar = has_agg and not q.group_by
+        aggs, out_order = [], []
+        for item in q.select:
+            if item[0] == "agg":
+                aggs.append(_agg_column(item[1], item[2], df.columns))
+                out_order.append(item[2])
+                name, arg = item[1][0], item[1][1]
+                # COUNT is never null; other aggregates are null on an
+                # empty (scalar) input or an all-null nullable arg
+                if name != "count" and (scalar or (
+                        arg and any(x in nullable
+                                    for x in _expr_identifiers(arg)))):
+                    out_nul.add(item[2])
+            elif item[0] == "var":
+                if item[1] not in q.group_by:
+                    raise SparqlSyntaxError(
+                        f"?{item[1]} is projected but neither grouped "
+                        "nor aggregated")
+                out_order.append(item[1])
+                if item[1] in nullable:
+                    out_nul.add(item[1])
+            else:
+                raise SparqlUnsupportedError(
+                    "(expr AS ?x) beside aggregates — compute it with "
+                    "BIND before grouping")
+        if aggs:
+            df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by \
+                else df.agg(*aggs)
+        else:
+            # GROUP BY with no aggregate in SELECT: one row per group
+            df = df.select(*q.group_by).distinct()
+        df = df.select(*out_order)
+    elif q.select and not q.select_star:
+        out_cols = []
+        for item in q.select:
+            if item[0] == "var":
+                out_cols.append(F.col(item[1]))
+                if item[1] in nullable:
+                    out_nul.add(item[1])
+            elif item[0] == "expr":
+                out_cols.append(F.expr(item[1]).alias(item[2]))
+                # conservative: an arbitrary expression may evaluate
+                # to null even over bound inputs
+                out_nul.add(item[2])
+            else:  # pragma: no cover — has_agg branch above catches
+                raise AssertionError
+        df = df.select(*out_cols)
+        if q.distinct and distinct_solutions:
+            df = df.distinct()
+    else:
+        # SELECT * projects only named variables — blank-node-label
+        # variables are non-distinguished and drop out here (dedup
+        # afterwards: distinct solutions may collapse once they go)
+        bn = [c for c in df.columns if c.startswith(_BNODE_VAR_PREFIX)]
+        if bn:
+            df = df.select(*[c for c in df.columns if c not in bn])
+            if distinct_solutions:
+                df = df.distinct()
+        out_nul = {v for v in df.columns if v in nullable}
+    for h in q.having:
+        df = df.where(F.expr(h))
+    if q.order_by:
+        df = df.orderBy(*[F.expr(e).desc() if d else F.expr(e).asc()
+                          for e, d in q.order_by])
+    if q.offset is not None:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df, {v for v in out_nul if v in df.columns}, scalar
+
+
 def sparql_query(triples: DataFrame, query: str,
                  s_col: str = "subj", p_col: str = "pred",
                  o_col: str = "obj_value", g_col: str = "graph",
@@ -1004,6 +1200,8 @@ def sparql_query(triples: DataFrame, query: str,
                         F.col(q.describe_var).isNotNull()),
                     node_col=q.describe_var,
                     s_col=s_col, p_col=p_col, o_col=o_col)
+            dsj, _ = _compile_subqueries(triples, gg, cols,
+                                         distinct_solutions)
             sol = bgp_match(triples, gg.patterns,
                             optional=gg.optional or None,
                             not_exists=gg.not_exists or None,
@@ -1011,7 +1209,8 @@ def sparql_query(triples: DataFrame, query: str,
                             minus=gg.minus or None,
                             filters=gg.filters or None,
                             values=gg.values or None,
-                            binds=gg.binds or None, **cols)
+                            binds=gg.binds or None,
+                            solution_joins=dsj, **cols)
             if q.describe_var not in sol.columns:
                 raise SparqlSyntaxError(
                     f"DESCRIBE ?{q.describe_var}: variable is not "
@@ -1034,6 +1233,10 @@ def sparql_query(triples: DataFrame, query: str,
             raise SparqlUnsupportedError(
                 "BIND/OPTIONAL inside ASK are not supported — they "
                 "cannot change an existence answer, drop them")
+        if g.subqueries:
+            raise SparqlUnsupportedError(
+                "subqueries inside ASK are not supported — lift the "
+                "subquery's constraint into the outer group")
         if g.union_branches is not None:
             # ASK over a UNION: true iff any branch matches
             # (short-circuits branch by branch)
@@ -1044,76 +1247,44 @@ def sparql_query(triples: DataFrame, query: str,
                     filters=g.filters or None, values=g.values or None,
                     **cols)
     if q.form == "construct":
+        for tri in q.template:
+            for term in tri:
+                if term.startswith("?" + _BNODE_VAR_PREFIX):
+                    raise SparqlUnsupportedError(
+                        "blank nodes in a CONSTRUCT template (fresh "
+                        "node per solution) are not supported — "
+                        "BIND a skolem IRI and use that variable")
         if g.union_branches:
-            raise SparqlUnsupportedError(
-                "CONSTRUCT over UNION is not supported — run one "
-                "CONSTRUCT per branch and union the graphs")
+            # CONSTRUCT over UNION: instantiate the template once per
+            # branch and union the constructed graphs (a graph is a
+            # triple SET — the final distinct dedups across branches).
+            # Template variables need not be bound by every branch;
+            # per SPARQL an unbound template slot skips that triple.
+            outs = []
+            for branch in g.union_branches:
+                bvars = _pattern_var_names(branch)
+                tmpl = [t for t in q.template
+                        if all(not term.startswith("?")
+                               or term[1:] in bvars for term in t)]
+                if tmpl:
+                    outs.append(construct(triples, branch, tmpl, **cols))
+            if not outs:
+                raise SparqlSyntaxError(
+                    "CONSTRUCT over UNION: no template triple is fully "
+                    "bound by any branch")
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o)
+            return df.distinct()
+        csj, _ = _compile_subqueries(triples, g, cols,
+                                     distinct_solutions)
         return construct(triples, g.patterns, q.template,
                          optional=g.optional or None,
                          not_exists=g.not_exists or None,
                          exists=g.exists or None, minus=g.minus or None,
                          filters=g.filters or None,
                          values=g.values or None, binds=g.binds or None,
-                         **cols)
+                         solution_joins=csj, **cols)
     # SELECT
-    if g.union_branches is not None:
-        if g.optional or g.filters or g.not_exists or g.exists \
-                or g.minus or g.values or g.binds:
-            raise SparqlUnsupportedError(
-                "UNION mixed with other clauses is not supported")
-        df = bgp_union(triples, g.union_branches, **cols)
-    else:
-        df = bgp_match(triples, g.patterns, optional=g.optional or None,
-                       not_exists=g.not_exists or None,
-                       exists=g.exists or None, minus=g.minus or None,
-                       filters=g.filters or None, values=g.values or None,
-                       binds=g.binds or None,
-                       distinct_solutions=distinct_solutions, **cols)
-    has_agg = any(item[0] == "agg" for item in (q.select or []))
-    if q.group_by or has_agg:
-        if q.select_star:
-            raise SparqlSyntaxError("SELECT * with GROUP BY is not SPARQL")
-        aggs, out_order = [], []
-        for item in q.select:
-            if item[0] == "agg":
-                aggs.append(_agg_column(item[1], item[2], df.columns))
-                out_order.append(item[2])
-            elif item[0] == "var":
-                if item[1] not in q.group_by:
-                    raise SparqlSyntaxError(
-                        f"?{item[1]} is projected but neither grouped "
-                        "nor aggregated")
-                out_order.append(item[1])
-            else:
-                raise SparqlUnsupportedError(
-                    "(expr AS ?x) beside aggregates — compute it with "
-                    "BIND before grouping")
-        if aggs:
-            df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by \
-                else df.agg(*aggs)
-        else:
-            # GROUP BY with no aggregate in SELECT: one row per group
-            df = df.select(*q.group_by).distinct()
-        df = df.select(*out_order)
-    elif q.select and not q.select_star:
-        out_cols = []
-        for item in q.select:
-            if item[0] == "var":
-                out_cols.append(F.col(item[1]))
-            elif item[0] == "expr":
-                out_cols.append(F.expr(item[1]).alias(item[2]))
-            else:  # pragma: no cover — has_agg branch above catches
-                raise AssertionError
-        df = df.select(*out_cols)
-        if q.distinct and distinct_solutions:
-            df = df.distinct()
-    for h in q.having:
-        df = df.where(F.expr(h))
-    if q.order_by:
-        df = df.orderBy(*[F.expr(e).desc() if d else F.expr(e).asc()
-                          for e, d in q.order_by])
-    if q.offset is not None:
-        df = df.offset(q.offset)
-    if q.limit is not None:
-        df = df.limit(q.limit)
+    df, _, _ = _compile_select(triples, q, cols, distinct_solutions)
     return df

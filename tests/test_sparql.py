@@ -568,3 +568,146 @@ def test_exec_plan_identical_to_programmatic(triples):
                       df._jdf.queryExecution().optimizedPlan().toString())
 
     assert norm(got) == norm(want)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 subqueries (compiled to bgp_match solution_joins)
+# ---------------------------------------------------------------------------
+
+def test_parse_subquery():
+    q = _parse(PFX + """SELECT ?d WHERE {
+        ?d ex:lang 'en' .
+        { SELECT ?d WHERE { ?d ex:author 'alice' } }
+    }""")
+    assert len(q.where.subqueries) == 1
+    sq = q.where.subqueries[0]
+    assert sq.form == "select"
+    assert sq.where.patterns == [("?d", EX + "author", "alice")]
+
+
+def test_exec_subquery_shared_var_join(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        ?d ex:lang 'en' .
+        { SELECT ?d ?a WHERE { ?d ex:author ?a } }
+    }""")
+    assert _rows(got) == [("d1", "alice"), ("d3", "bob")]
+
+
+def test_exec_subquery_grouped(triples):
+    # citation count per author's docs, via a grouped subquery
+    got = sparql_query(triples, PFX + """SELECT ?d ?n WHERE {
+        ?d ex:author 'alice' .
+        { SELECT ?d (COUNT(?o) AS ?n) WHERE { ?d ex:cites ?o }
+          GROUP BY ?d }
+    }""")
+    assert _rows(got) == [("d1", 1), ("d2", 1)]
+
+
+def test_exec_scalar_subquery_argmax(triples):
+    # classic idiom: rows achieving the global max
+    got = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:cites ?o .
+        { SELECT (MAX(?c) AS ?m) WHERE { ?x ex:cites ?c } }
+        FILTER(?o = ?m)
+    }""")
+    assert _rows(got) == [("d2",)]
+
+
+def test_exec_subquery_only_member(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        { SELECT ?d WHERE { ?d ex:lang 'en' } }
+        FILTER(?d != 'd3')
+    }""")
+    assert _rows(got) == [("d1",)]
+
+
+def test_subquery_limit_inside(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        ?d ex:author ?a .
+        { SELECT ?a WHERE { ?x ex:author ?a } ORDER BY ?a LIMIT 1 }
+    }""")
+    assert _rows(got) == [("d1", "alice"), ("d2", "alice")]
+
+
+def test_subquery_nullable_join_var_raises(triples):
+    # the subquery's ?r comes from an OPTIONAL → may be unbound →
+    # unsafe join key
+    with pytest.raises(ValueError, match="nullable|unbound"):
+        sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
+            ?d ex:reviewer ?r .
+            { SELECT ?d ?r WHERE { ?d ex:lang ?l
+                OPTIONAL { ?d ex:reviewer ?r } } }
+        }""").collect()
+
+
+def test_subquery_disjoint_nonscalar_raises(triples):
+    with pytest.raises(ValueError, match="cartesian|disjoint"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:lang ?l .
+            { SELECT ?a WHERE { ?x ex:author ?a } }
+        }""").collect()
+
+
+def test_subquery_in_ask_raises(triples):
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_query(triples, PFX + """ASK {
+            { SELECT ?d WHERE { ?d ex:lang 'en' } } }""")
+
+
+def test_exec_subquery_in_construct(triples):
+    got = sparql_query(triples, PFX + """CONSTRUCT { ?d ex:tag 'en' }
+        WHERE {
+        ?d ex:lang 'en' .
+        { SELECT ?d WHERE { ?d ex:author 'alice' } }
+    }""")
+    assert _rows(got) == [("d1", EX + "tag", "en")]
+
+
+# ---------------------------------------------------------------------------
+# blank nodes in patterns
+# ---------------------------------------------------------------------------
+
+def test_bnode_label_joins_and_is_not_projected(triples):
+    got = sparql_query(triples, PFX + """SELECT * WHERE {
+        _:d ex:author 'alice' . _:d ex:lang ?l }""")
+    assert got.columns == ["l"]
+    assert _rows(got) == [("de",), ("en",)]
+
+
+def test_anon_bnode_object(triples):
+    got = sparql_query(triples, PFX +
+                       "SELECT ?d WHERE { ?d ex:cites [] }")
+    assert _rows(got) == [("d1",), ("d2",)]
+
+
+def test_bnode_property_list_raises():
+    with pytest.raises(SparqlUnsupportedError, match="property list"):
+        _parse(PFX + "SELECT ?d WHERE { ?d ex:cites [ ex:lang 'en' ] }")
+
+
+def test_construct_template_bnode_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="skolem"):
+        sparql_query(triples, PFX + """CONSTRUCT { _:z ex:of ?d }
+            WHERE { ?d ex:lang 'en' }""")
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT over UNION
+# ---------------------------------------------------------------------------
+
+def test_exec_construct_over_union(triples):
+    got = sparql_query(triples, PFX + """CONSTRUCT { ?a ex:touches ?b }
+        WHERE { { ?a ex:cites ?b } UNION { ?b ex:cites ?a } }""")
+    assert _rows(got) == sorted([
+        ("d1", EX + "touches", "d2"), ("d2", EX + "touches", "d3"),
+        ("d2", EX + "touches", "d1"), ("d3", EX + "touches", "d2")])
+
+
+def test_construct_over_union_partial_template_binding(triples):
+    # a template triple not bound by a branch is skipped per branch
+    got = sparql_query(triples, PFX + """CONSTRUCT { ?a ex:seen 'y' .
+        ?r ex:rev ?a }
+        WHERE { { ?a ex:cites ?o } UNION { ?a ex:reviewer ?r } }""")
+    rows = _rows(got)
+    assert ("rev1", EX + "rev", "d1") in rows
+    assert ("d1", EX + "seen", "y") in rows and ("d2", EX + "seen", "y") in rows
