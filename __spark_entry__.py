@@ -868,6 +868,58 @@ def q_sparql_not_exists_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 subqueries from text (operators/sparql.py →
+    kg.bgp_match solution_joins): a GROUPed subquery (docs per source)
+    joins the outer solutions on the shared ?src; a SCALAR subquery
+    (global max of those counts, itself computed over a NESTED
+    subquery) broadcasts disjoint; the FILTER keeps the docs of the
+    most-populous source(s). Each subquery is compiled bottom-up
+    (SPARQL §18.2.2) and planned as an ordinary join — grouped side
+    shuffles once on src, scalar side is a 1-row broadcast."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?src ?d ?nd
+        WHERE {
+            ?d dct:source ?src .
+            { SELECT ?src (COUNT(?d2) AS ?nd)
+              WHERE { ?d2 dct:source ?src } GROUP BY ?src }
+            { SELECT (MAX(?n2) AS ?mx) WHERE {
+                { SELECT ?s3 (COUNT(?d3) AS ?n2)
+                  WHERE { ?d3 dct:source ?s3 } GROUP BY ?s3 } } }
+            FILTER(?nd = ?mx)
+        }
+    """)
+
+
+def q_construct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT over a UNION where clause, from SPARQL text: the
+    template instantiates once per branch and the constructed graphs
+    union (set semantics dedups across branches). Branch 1 also
+    exercises blank-node pattern syntax — ``[]`` compiles to a
+    non-distinguished variable, here an existence constraint on
+    ex:nChars. Plan: one pushed-filter scan + template projection per
+    branch, one union, one distinct — no joins beyond the bnode
+    existence join."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX schema: <http://schema.org/>
+        PREFIX ex: <http://example.org/>
+        CONSTRUCT { ?d ex:connected ?o }
+        WHERE {
+            { ?d dct:source ?o . ?d ex:nChars [] }
+            UNION
+            { ?d schema:associatedMedia ?o }
+        }
+    """)
+
+
 def q_bgp_star_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bgp_star star join on the term-dictionary-ENCODED layout
     (operators/encode.py): subjects/objects hash to 8-byte xxhash64
@@ -1675,6 +1727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_append": q_ivf_index_append,
         "bgp_optional_chain": q_bgp_optional_chain,
         "bgp_path_pattern": q_bgp_path_pattern,
+        "sparql_subquery": q_sparql_subquery,
+        "construct_union": q_construct_union,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1710,12 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "streaming_sessions": q_streaming_sessions,
         "streaming_user_totals": q_streaming_user_totals,
-        "doc_stats": q_doc_stats,
-        "doc_repetition": q_doc_repetition,
         "bgp_exists_minus": q_bgp_exists_minus,
         # ---- driver window ends here (50 entries above) ----
         # -- long-stable rows rotated out this round (hash-matched in
         #    two or more prior rounds; queries unchanged) --
+        "doc_stats": q_doc_stats,
+        "doc_repetition": q_doc_repetition,
         "event_sessions": q_event_sessions,
         "graph_degrees": q_graph_degrees,
         "corpus_profile": q_corpus_profile,
@@ -2210,6 +2264,29 @@ sol AS (SELECT DISTINCT s.src, s.d, n.n FROM s JOIN n USING (d))
 SELECT src, d, n FROM sol o
 WHERE NOT EXISTS (SELECT 1 FROM sol i WHERE i.src = o.src
                   AND CAST(i.n AS BIGINT) > CAST(o.n AS BIGINT))
+"""
+
+_SPARQL_SUBQUERY_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+s AS (SELECT DISTINCT subj AS d, obj_value AS src FROM t
+      WHERE pred = 'http://purl.org/dc/terms/source'),
+c AS (SELECT src, CAST(count(*) AS BIGINT) AS nd FROM s GROUP BY src),
+m AS (SELECT max(nd) AS mx FROM c)
+SELECT s.src, s.d, c.nd
+FROM s JOIN c USING (src), m WHERE c.nd = m.mx
+"""
+
+_CONSTRUCT_UNION_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+b1 AS (SELECT s.subj, 'http://example.org/connected' AS pred,
+              s.obj_value
+       FROM t s WHERE s.pred = 'http://purl.org/dc/terms/source'
+         AND EXISTS (SELECT 1 FROM t n WHERE n.subj = s.subj
+                     AND n.pred = 'http://example.org/nChars')),
+b2 AS (SELECT subj, 'http://example.org/connected' AS pred, obj_value
+       FROM t WHERE pred = 'http://schema.org/associatedMedia')
+SELECT DISTINCT subj, pred, obj_value
+FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
 """
 
 _SPARQL_OPT_GROUP_ORACLE = f"""
@@ -3258,6 +3335,10 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_OPT_GROUP_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_not_exists_max":
             _SPARQL_NOT_EXISTS_MAX_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_subquery":
+            _SPARQL_SUBQUERY_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "construct_union":
+            _CONSTRUCT_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":
