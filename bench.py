@@ -104,6 +104,8 @@ EXTENDED = [
     "sparql_text",
     "sparql_optional_group",
     "sparql_not_exists_max",
+    "sparql_subquery",
+    "construct_union",
 ]
 
 

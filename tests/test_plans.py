@@ -427,3 +427,36 @@ def test_kg_path_star_no_cartesian_and_pushed_pred(spark, tmp_path):
     plan = _plan(out)
     assert "EqualTo(pred,p/child)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_subquery_scalar_broadcast_no_cartesian(spark, tmp_path):
+    """A disjoint (scalar-aggregate) subquery joins via a BROADCAST
+    nested loop of its one-row side — never a CartesianProduct — and
+    a grouped subquery joined on its shared variable stays an
+    equi-join. The plan a 100 TB argmax must have."""
+    from jsonld_spark.operators.sparql import sparql_query
+    path = str(tmp_path / "subq_triples")
+    spark.createDataFrame(
+        [(f"d{i}", "http://x/src", f"s{i % 7}") for i in range(200)],
+        "subj string, pred string, obj_value string").write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = """
+        PREFIX x: <http://x/>
+        SELECT ?src ?d ?nd WHERE {
+            ?d x:src ?src .
+            { SELECT ?src (COUNT(?d2) AS ?nd)
+              WHERE { ?d2 x:src ?src } GROUP BY ?src }
+            { SELECT (MAX(?n2) AS ?mx) WHERE {
+                { SELECT ?s3 (COUNT(?d3) AS ?n2)
+                  WHERE { ?d3 x:src ?s3 } GROUP BY ?s3 } } }
+            FILTER(?nd = ?mx)
+        }
+    """
+    df = sparql_query(triples, q)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the 1-row scalar side joins via broadcast — Catalyst even turns
+    # cross-join + equality FILTER into a broadcast HASH join on the
+    # filter's keys (nd = mx); accept any broadcast strategy
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert df.count() > 0
