@@ -35,12 +35,48 @@ DOMAIN = RDFS + "domain"
 RANGE = RDFS + "range"
 
 
+#: suffixes of the per-variable term-metadata columns bgp_match emits
+#: when ``meta_vars`` requests them (e.g. ``x__kind``, ``x__lang``)
+META_SUFFIXES = ("__kind", "__lang", "__datatype")
+
+
+def _meta_exprs(var: str, position: str, meta_cols: dict | None):
+    """Term-metadata columns for a variable binding: RDF node kind /
+    language tag / datatype IRI (the inputs of SPARQL's LANG() /
+    DATATYPE() / isIRI() / isLiteral() / isBlank()). Object-position
+    bindings read the frame's kind/lang/datatype columns; subject and
+    graph bindings derive kind from the ``_:`` prefix (never
+    literals); predicate bindings are always IRIs."""
+    if position == "object":
+        if meta_cols is None:
+            raise ValueError(
+                f"?{var}: LANG()/DATATYPE()/isIRI() need the "
+                "obj_kind/obj_lang/obj_datatype columns — this triples "
+                "frame has no term-metadata columns")
+        return [F.col(meta_cols["kind"]).alias(f"{var}__kind"),
+                F.col(meta_cols["lang"]).alias(f"{var}__lang"),
+                F.col(meta_cols["datatype"]).alias(f"{var}__datatype")]
+    if position == "predicate":
+        kind = F.lit("iri")
+    else:   # position = a node column name (subject/graph/src/dst)
+        kind = F.when(F.col(position).startswith("_:"),
+                      F.lit("bnode")).otherwise(F.lit("iri"))
+    return [kind.alias(f"{var}__kind"),
+            F.lit(None).cast("string").alias(f"{var}__lang"),
+            F.lit(None).cast("string").alias(f"{var}__datatype")]
+
+
 def _apply_terms(step: DataFrame, terms: tuple, cols: tuple,
-                 i: int) -> tuple[DataFrame, list[str]]:
+                 i: int, meta_vars: frozenset = frozenset(),
+                 meta_cols: dict | None = None,
+                 o_col: str | None = None, p_col: str | None = None
+                 ) -> tuple[DataFrame, list[str]]:
     """Apply pattern terms to the matching columns: constants become
     equality filters (pushed to the scan), variables rename columns,
     a variable repeated within one pattern becomes an equality
-    constraint binding once (SPARQL semantics)."""
+    constraint binding once (SPARQL semantics). Variables in
+    ``meta_vars`` additionally bind ``{var}__kind/__lang/__datatype``
+    term-metadata columns."""
     rename: dict[str, str] = {}
     for term, col in zip(terms, cols):
         if term.startswith("?"):
@@ -55,12 +91,24 @@ def _apply_terms(step: DataFrame, terms: tuple, cols: tuple,
                 rename[col] = var
         else:
             step = step.where(F.col(col) == term)
-    return (step.select(*[F.col(c).alias(v) for c, v in rename.items()]),
-            list(rename.values()))
+    sel = [F.col(c).alias(v) for c, v in rename.items()]
+    out_vars = list(rename.values())
+    for c, v in rename.items():
+        if v in meta_vars:
+            if c == o_col:
+                sel += _meta_exprs(v, "object", meta_cols)
+            elif c == p_col:
+                sel += _meta_exprs(v, "predicate", meta_cols)
+            else:
+                sel += _meta_exprs(v, c, meta_cols)
+    return step.select(*sel), out_vars
 
 
 def _pattern_step(triples: DataFrame, pat: tuple, i: int,
-                  pos_cols: tuple) -> tuple[DataFrame, list[str]]:
+                  pos_cols: tuple,
+                  meta_vars: frozenset = frozenset(),
+                  meta_cols: dict | None = None
+                  ) -> tuple[DataFrame, list[str]]:
     """One triple/quad pattern → (filtered projection, its variable
     names). A 3-tuple is (s, p, o); a 4-tuple is (s, p, o, g) — the
     SPARQL GRAPH clause — matched against the graph column (constant
@@ -86,12 +134,17 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
             # graph's edges only (the filter pushes to the scan)
             rel = kg_path(scope, pat[1], s_col=pos_cols[0],
                           p_col=pos_cols[1], o_col=pos_cols[2])
-            return _apply_terms(rel, (pat[0], pat[2]), ("src", "dst"), i)
+            # path endpoints are nodes (IRI/bnode) — kind derivable,
+            # never literals, so meta_cols is not needed
+            return _apply_terms(rel, (pat[0], pat[2]), ("src", "dst"),
+                                i, meta_vars=meta_vars)
         raise ValueError(
             f"pattern {i}: a property path under a VARIABLE graph "
             "term would need one closure per graph — bind the graph "
             "to a constant or drop the path")
-    return _apply_terms(triples, pat, pos_cols[:len(pat)], i)
+    return _apply_terms(triples, pat, pos_cols[:len(pat)], i,
+                        meta_vars=meta_vars, meta_cols=meta_cols,
+                        o_col=pos_cols[2], p_col=pos_cols[1])
 
 
 _SQL_WORDS = frozenset("""
@@ -183,7 +236,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph",
               distinct_solutions: bool = True,
-              solution_joins: list | None = None) -> DataFrame:
+              solution_joins: list | None = None,
+              meta_vars: set | None = None) -> DataFrame:
     """Match a SPARQL-style basic graph pattern: ``patterns`` is a list
     of (subject, predicate, object) terms where a term starting with
     ``?`` is a variable and anything else a constant. A 4-tuple
@@ -288,6 +342,18 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     solution join seeds the solutions. Disjoint (no shared variable)
     entries require ``allow_disjoint`` and broadcast — the scalar
     aggregate-subquery idiom; nullable shared variables raise.
+    ``meta_vars`` requests TERM METADATA for the named variables: the
+    first pattern binding such a variable also emits
+    ``{var}__kind`` / ``{var}__lang`` / ``{var}__datatype`` columns
+    (object positions read the frame's obj_kind/obj_lang/obj_datatype
+    columns — required to exist; subject/graph/path positions derive
+    kind from the ``_:`` prefix; predicates are IRIs). These feed
+    SPARQL's LANG() / DATATYPE() / isIRI() / isLiteral() / isBlank()
+    in ``filters``/``binds``, ride along every join, and participate
+    in the solution dedup (distinctness becomes RDF *term* identity
+    for those variables — literals differing only in language stay
+    distinct). The metadata columns remain in the output for the
+    caller to consume or drop.
     ``minus`` groups are SPARQL MINUS: like NOT EXISTS an anti-join on
     the shared variables, EXCEPT that a group sharing NO variable with
     the outer query removes nothing (SPARQL §8.3.3: disjoint domains
@@ -318,8 +384,26 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     # on one of these later needs the unbound-compatibility branches.
     nullable: set[str] = set()
     gates: list[DataFrame] = []
+    # term-metadata plumbing: the FIRST pattern binding a requested
+    # variable also emits its {var}__kind/__lang/__datatype columns
+    # (mv_pending shrinks as vars are served, so no later duplicate)
+    mv_pending: set[str] = set(meta_vars or ())
+    meta_bound: list[str] = []
+    _mcols = {"kind": "obj_kind", "lang": "obj_lang",
+              "datatype": "obj_datatype"}
+    meta_cols = _mcols if all(c in triples.columns
+                              for c in _mcols.values()) else None
+
+    def _note_meta(step_vars: list[str]) -> None:
+        for v in step_vars:
+            if v in mv_pending:
+                mv_pending.discard(v)
+                meta_bound.extend(f"{v}{s}" for s in META_SUFFIXES)
+
     for i, pat in enumerate(patterns):
-        step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+        step, step_vars = _pattern_step(
+            triples, pat, i, pos_cols,
+            meta_vars=frozenset(mv_pending), meta_cols=meta_cols)
         if not step_vars:
             # all-constant pattern: existence gate, binds nothing.
             # limit(1) short-circuits the scan at the first match.
@@ -327,6 +411,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             continue
         if out is None:
             out, bound = step, step_vars
+            _note_meta(step_vars)
             continue
         shared = [v for v in step_vars if v in bound]
         if not shared:
@@ -335,6 +420,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 "— a cartesian product; reorder or constrain the query")
         out = out.join(step, shared)
         bound += [v for v in step_vars if v not in bound]
+        _note_meta(step_vars)
     if out is None and not sjoins:
         raise ValueError(
             "all patterns are constant — use ask() for a pure "
@@ -347,7 +433,11 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     # both modes agree. The default (True) is SELECT DISTINCT — a
     # documented deviation the property tests rely on.
     if out is not None:
-        out = out.select(*bound)
+        # meta columns ride along the dedup: distinct over
+        # value+kind+lang+datatype is RDF TERM distinctness for the
+        # metadata-requested vars (two literals differing only in
+        # language stay distinct solutions, per SPARQL)
+        out = out.select(*bound, *meta_bound)
         if distinct_solutions:
             out = out.distinct()
     # solution joins (SPARQL 1.1 subqueries / pre-computed solution
@@ -446,7 +536,10 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             # binds nothing
             step, step_vars = _group_solutions(pat, i, "optional")
         else:
-            step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+            step, step_vars = _pattern_step(
+                triples, pat, i, pos_cols,
+                meta_vars=frozenset(mv_pending), meta_cols=meta_cols)
+        step_meta = [c for c in step.columns if c not in step_vars]
         shared = [v for v in step_vars if v in bound]
         new = [v for v in step_vars if v not in bound]
         if not shared:
@@ -455,10 +548,18 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 "required patterns — a cartesian product")
         # dedup the optional side unconditionally: duplicate input rows
         # (or an all-shared-vars pattern) must not multiply solutions
-        step = step.dropDuplicates(step_vars)
+        # (metadata columns participate: RDF term distinctness)
+        step = step.dropDuplicates(step_vars + step_meta)
         nshared = [v for v in shared if v in nullable]
         if not nshared:
             out = out.join(step, shared, "left")
+            _note_meta(step_vars)
+        elif step_meta:
+            raise ValueError(
+                f"optional pattern {i}: LANG()/DATATYPE()/isIRI() "
+                "metadata on an OPTIONAL sharing a nullable variable "
+                "is not supported — bind the variable in a required "
+                "pattern")
         else:
             # SPARQL leftjoin compatibility: a shared var the solution
             # left unbound matches any optional binding and takes it.
@@ -679,9 +780,15 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         if anti_on:
             out = _compat_join(out, inner, anti_on, "minus", gi, "anti")
         # disjoint-domain MINUS removes nothing (SPARQL §8.3.3)
-    out = out.select(*bound)
+    out = out.select(*bound, *meta_bound)
     for expr in filters or []:
         out = out.where(F.expr(expr))
+    if mv_pending:
+        missing = sorted(mv_pending)
+        raise ValueError(
+            f"meta_vars {missing} were never bound by a pattern — "
+            "LANG()/DATATYPE()/isIRI() need the variable bound in a "
+            "required or OPTIONAL triple pattern")
     return out
 
 
@@ -728,7 +835,8 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
               binds: list[tuple[str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph",
-              solution_joins: list | None = None) -> DataFrame:
+              solution_joins: list | None = None,
+              meta_vars: set | None = None) -> DataFrame:
     """SPARQL CONSTRUCT: match the WHERE clause (same arguments as
     ``bgp_match``) and instantiate each ``template`` triple once per
     solution, returning a new (subj, pred, obj_value) triple table —
@@ -751,7 +859,7 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     not_exists=not_exists, exists=exists, minus=minus,
                     filters=filters, values=values, binds=binds,
                     s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col,
-                    solution_joins=solution_joins)
+                    solution_joins=solution_joins, meta_vars=meta_vars)
     bound = set(sol.columns)
 
     def term(t: str, alias: str):
@@ -1396,7 +1504,8 @@ def ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
         filters: list[str] | None = None,
         values: list[dict[str, str | None]] | None = None,
         s_col: str = "subj", p_col: str = "pred",
-        o_col: str = "obj_value", g_col: str = "graph") -> bool:
+        o_col: str = "obj_value", g_col: str = "graph",
+        meta_vars: set | None = None) -> bool:
     """SPARQL ASK: does at least one solution exist? Planned as the
     same join tree as ``bgp_match`` under a ``limit(1)`` — Spark stops
     the scan at the first produced row (LocalLimit short-circuit), so
@@ -1404,7 +1513,8 @@ def ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
     return bool(bgp_match(triples, patterns, not_exists=not_exists,
                           exists=exists, minus=minus, values=values,
                           filters=filters, s_col=s_col, p_col=p_col,
-                          o_col=o_col, g_col=g_col).limit(1).take(1))
+                          o_col=o_col, g_col=g_col,
+                          meta_vars=meta_vars).limit(1).take(1))
 
 
 SAME_AS = OWL + "sameAs"

@@ -71,8 +71,10 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-from .kg import RDF_TYPE, _expr_identifiers, ask as _ask, bgp_match, \
-    bgp_union, construct, describe, describe_nodes
+from .kg import META_SUFFIXES, RDF_TYPE, _expr_identifiers, ask as _ask, \
+    bgp_match, bgp_union, construct, describe, describe_nodes
+
+_META_SUFFIXES = tuple(META_SUFFIXES)
 
 __all__ = ["sparql_query", "SparqlSyntaxError", "SparqlUnsupportedError"]
 
@@ -104,6 +106,8 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];.,*/|^+?!=<>-])
 """, re.VERBOSE)
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 # blank-node labels in patterns compile to variables with this prefix:
 # non-distinguished per SPARQL — joined where repeated, never projected
@@ -212,6 +216,10 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
         self._anon_bn = 0
+        # variables whose term metadata (kind/lang/datatype columns)
+        # the compiled expressions reference — LANG(?x) etc.; passed
+        # to bgp_match(meta_vars=...) at compile time
+        self.meta_vars: set[str] = set()
 
     # -- token helpers ----------------------------------------------------
     def _peek(self, ahead: int = 0) -> _Tok:
@@ -800,11 +808,41 @@ class _Parser:
                         "only 'i' (case-insensitive)")
                 return f"({args[0]} RLIKE concat('(?i)', {args[1]}))", "expr"
             return f"({args[0]} RLIKE {args[1]})", "expr"
-        if name == "datatype" or name == "lang" or name == "isiri" \
-                or name == "isliteral" or name == "isblank":
-            raise SparqlUnsupportedError(
-                f"{name.upper()}() needs the kind/datatype/lang columns "
-                "— filter those columns before bgp_match instead")
+        if name in ("datatype", "lang", "isiri", "isuri", "isliteral",
+                    "isblank"):
+            # term-metadata builtins: compile onto the
+            # {var}__kind/__lang/__datatype columns bgp_match emits
+            # for meta_vars (the argument must be a plain variable)
+            m = re.fullmatch(r"`(\w+)`", args[0]) if args else None
+            if m is None:
+                raise SparqlUnsupportedError(
+                    f"{name.upper()}() takes a plain variable "
+                    "argument in this subset")
+            v = m.group(1)
+            self.meta_vars.add(v)
+            if name == "lang":
+                return f"coalesce(`{v}__lang`, '')", "expr"
+            if name == "datatype":
+                # lang-tagged → rdf:langString; plain literal →
+                # declared datatype or xsd:string; IRI/bnode → null
+                # (SPARQL type error: the solution drops in FILTER)
+                return (
+                    f"(CASE WHEN `{v}__lang` IS NOT NULL THEN "
+                    f"'{_RDF_NS}langString' WHEN `{v}__kind` = "
+                    f"'literal' THEN coalesce(`{v}__datatype`, "
+                    f"'{self._XSD}string') ELSE NULL END)", "expr")
+            kind = {"isiri": "iri", "isuri": "iri",
+                    "isliteral": "literal", "isblank": "bnode"}[name]
+            return f"(`{v}__kind` = '{kind}')", "expr"
+        if name == "langmatches":
+            if len(args) != 2:
+                raise SparqlSyntaxError("LANGMATCHES takes 2 arguments")
+            a, b = args
+            return (
+                f"(CASE WHEN {b} = '*' THEN {a} <> '' ELSE "
+                f"(lower({a}) = lower({b}) OR "
+                f"startswith(lower({a}), lower({b}) || '-')) END)",
+                "expr")
         if name == "replace" and len(args) > 3:
             raise SparqlUnsupportedError(
                 "REPLACE() flags argument is not supported")
@@ -1049,7 +1087,8 @@ def _group_nullable(g: _Group) -> set[str]:
 
 
 def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
-                        distinct_solutions: bool
+                        distinct_solutions: bool,
+                        meta_vars: frozenset = frozenset()
                         ) -> tuple[list[dict] | None, set[str]]:
     """Compile a group's subqueries bottom-up (SPARQL 1.1 §18.2.2)
     into bgp_match solution-join entries. Returns (entries, nullable
@@ -1060,7 +1099,7 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
     nul: set[str] = set()
     for sq in g.subqueries:
         sdf, snul, scalar = _compile_select(
-            triples, sq, cols, distinct_solutions)
+            triples, sq, cols, distinct_solutions, meta_vars=meta_vars)
         entries.append({"df": sdf, "nullable": snul,
                         "allow_disjoint": scalar})
         nul |= snul
@@ -1068,7 +1107,8 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
 
 
 def _compile_select(triples: DataFrame, q: _Query, cols: dict,
-                    distinct_solutions: bool
+                    distinct_solutions: bool,
+                    meta_vars: frozenset = frozenset()
                     ) -> tuple[DataFrame, set[str], bool]:
     """Compile a (sub)SELECT to (solutions DataFrame, nullable
     projected variables, is_scalar) — is_scalar marks an aggregate
@@ -1076,7 +1116,7 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
     scalar-subquery idiom; joined disjoint via broadcast)."""
     g = q.where
     sj, sub_nul = _compile_subqueries(triples, g, cols,
-                                      distinct_solutions)
+                                      distinct_solutions, meta_vars)
     if g.union_branches is not None:
         if g.optional or g.filters or g.not_exists or g.exists \
                 or g.minus or g.values or g.binds or g.subqueries:
@@ -1084,13 +1124,16 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                 "UNION mixed with other clauses is not supported")
         df = bgp_union(triples, g.union_branches, **cols)
     else:
+        gvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         df = bgp_match(triples, g.patterns, optional=g.optional or None,
                        not_exists=g.not_exists or None,
                        exists=g.exists or None, minus=g.minus or None,
                        filters=g.filters or None, values=g.values or None,
                        binds=g.binds or None,
                        distinct_solutions=distinct_solutions,
-                       solution_joins=sj, **cols)
+                       solution_joins=sj,
+                       meta_vars=(set(meta_vars) & gvars) or None,
+                       **cols)
     nullable = (_group_nullable(g) | sub_nul)
     out_nul: set[str] = set()
     scalar = False
@@ -1149,11 +1192,14 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
             df = df.distinct()
     else:
         # SELECT * projects only named variables — blank-node-label
-        # variables are non-distinguished and drop out here (dedup
-        # afterwards: distinct solutions may collapse once they go)
-        bn = [c for c in df.columns if c.startswith(_BNODE_VAR_PREFIX)]
-        if bn:
-            df = df.select(*[c for c in df.columns if c not in bn])
+        # variables and {var}__kind/__lang/__datatype term-metadata
+        # columns drop out here (dedup afterwards: distinct solutions
+        # may collapse once they go)
+        drop = [c for c in df.columns
+                if c.startswith(_BNODE_VAR_PREFIX)
+                or c.endswith(_META_SUFFIXES)]
+        if drop:
+            df = df.select(*[c for c in df.columns if c not in drop])
             if distinct_solutions:
                 df = df.distinct()
         out_nul = {v for v in df.columns if v in nullable}
@@ -1184,7 +1230,9 @@ def sparql_query(triples: DataFrame, query: str,
     (pushed-down constants, broadcast VALUES, null-mask OPTIONAL
     branches, Catalyst join ordering) carries over verbatim.
     """
-    q = _Parser(query).parse()
+    parser = _Parser(query)
+    q = parser.parse()
+    meta_vars = frozenset(parser.meta_vars)
     cols = dict(s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col)
     if q.form == "describe":
         if q.describe_var is not None:
@@ -1245,7 +1293,7 @@ def sparql_query(triples: DataFrame, query: str,
         return _ask(triples, g.patterns, not_exists=g.not_exists or None,
                     exists=g.exists or None, minus=g.minus or None,
                     filters=g.filters or None, values=g.values or None,
-                    **cols)
+                    meta_vars=set(meta_vars) or None, **cols)
     if q.form == "construct":
         for tri in q.template:
             for term in tri:
@@ -1278,13 +1326,17 @@ def sparql_query(triples: DataFrame, query: str,
             return df.distinct()
         csj, _ = _compile_subqueries(triples, g, cols,
                                      distinct_solutions)
+        cvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         return construct(triples, g.patterns, q.template,
                          optional=g.optional or None,
                          not_exists=g.not_exists or None,
                          exists=g.exists or None, minus=g.minus or None,
                          filters=g.filters or None,
                          values=g.values or None, binds=g.binds or None,
-                         solution_joins=csj, **cols)
+                         solution_joins=csj,
+                         meta_vars=(set(meta_vars) & cvars) or None,
+                         **cols)
     # SELECT
-    df, _, _ = _compile_select(triples, q, cols, distinct_solutions)
+    df, _, _ = _compile_select(triples, q, cols, distinct_solutions,
+                               meta_vars=meta_vars)
     return df

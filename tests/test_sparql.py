@@ -213,8 +213,10 @@ def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
         _parse(PFX + "SELECT * WHERE { ?d ex:p ?a ")
     with pytest.raises(SparqlUnsupportedError):
+        # STRUUID remains outside the compiled subset (LANG/DATATYPE/
+        # isIRI are now supported via term-metadata columns)
         _parse(PFX + "SELECT * WHERE { ?d ex:p ?a "
-               "FILTER (LANG(?a) = 'en') }")
+               "FILTER (STRUUID() = 'x') }")
     with pytest.raises(SparqlUnsupportedError):
         _parse(PFX + "SELECT * WHERE { { ?d ex:a ?x } UNION "
                "{ ?d ex:b ?x } ?d ex:c ?y }")
@@ -711,3 +713,107 @@ def test_construct_over_union_partial_template_binding(triples):
     rows = _rows(got)
     assert ("rev1", EX + "rev", "d1") in rows
     assert ("d1", EX + "seen", "y") in rows and ("d2", EX + "seen", "y") in rows
+
+
+# ---------------------------------------------------------------------------
+# term-metadata builtins: LANG / DATATYPE / isIRI / isLiteral / isBlank
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+@pytest.fixture()
+def typed_triples(spark):
+    rows = [
+        ("d1", EX + "name", "literal", "chat", XSD + "string", None),
+        ("d1", EX + "name", "literal", "chat", None, "fr"),
+        ("d1", EX + "link", "iri", "http://x/d2", None, None),
+        ("d1", EX + "n", "literal", "5", XSD + "integer", None),
+        ("_:b1", EX + "name", "literal", "hi", XSD + "string", "en-GB"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_kind string, "
+              "obj_value string, obj_datatype string, obj_lang string")
+
+
+def test_lang_filter_and_term_identity(typed_triples):
+    # the plain and @fr "chat" literals are DISTINCT terms — both
+    # solutions exist, and LANG() separates them
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?s ?o WHERE { ?s ex:name ?o "
+                       "FILTER(LANG(?o) = 'fr') }")
+    assert _rows(got) == [("d1", "chat")]
+    none = sparql_query(typed_triples, PFX +
+                        "SELECT ?s ?o WHERE { ?s ex:name ?o "
+                        "FILTER(LANG(?o) = '') }")
+    assert _rows(none) == [("d1", "chat")]
+
+
+def test_datatype_builtin(typed_triples):
+    got = sparql_query(
+        typed_triples, PFX + f"PREFIX xsd: <{XSD}> "
+        "SELECT ?o WHERE { ?s ?p ?o FILTER(DATATYPE(?o) = xsd:integer) }")
+    assert _rows(got) == [("5",)]
+    # lang-tagged literal → rdf:langString
+    ls = sparql_query(
+        typed_triples, PFX +
+        f"SELECT ?o WHERE {{ ?s ex:name ?o "
+        f"FILTER(DATATYPE(?o) = <{RDF_LS}>) }}")
+    assert _rows(ls) == [("chat",), ("hi",)]
+    # DATATYPE of an IRI is a type error → solution drops
+    iri = sparql_query(
+        typed_triples, PFX + f"PREFIX xsd: <{XSD}> "
+        "SELECT ?o WHERE { ?s ex:link ?o "
+        "FILTER(DATATYPE(?o) = xsd:string) }")
+    assert _rows(iri) == []
+
+
+def test_is_kind_builtins(typed_triples):
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?o WHERE { ?s ?p ?o FILTER(isIRI(?o)) }")
+    assert _rows(got) == [("http://x/d2",)]
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?s WHERE { ?s ex:name ?o "
+                       "FILTER(isBlank(?s)) }")
+    assert _rows(got) == [("_:b1",)]
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?s WHERE { ?s ?p ?o "
+                       "FILTER(isLiteral(?o) && isIRI(?s)) }")
+    assert ("d1",) in _rows(got) and ("_:b1",) not in _rows(got)
+
+
+def test_langmatches_range(typed_triples):
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?o WHERE { ?s ex:name ?o "
+                       "FILTER(LANGMATCHES(LANG(?o), 'en')) }")
+    assert _rows(got) == [("hi",)]    # en-GB matches range en
+    star = sparql_query(typed_triples, PFX +
+                        "SELECT ?o WHERE { ?s ex:name ?o "
+                        "FILTER(LANGMATCHES(LANG(?o), '*')) }")
+    assert _rows(star) == [("chat",), ("hi",)]
+
+
+def test_lang_projection_and_select_star_drops_meta(typed_triples):
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?s (LANG(?o) AS ?l) WHERE "
+                       "{ ?s ex:name ?o FILTER(LANG(?o) != '') }")
+    assert _rows(got) == [("_:b1", "en-GB"), ("d1", "fr")]
+    star = sparql_query(typed_triples, PFX +
+                        "SELECT * WHERE { ?s ex:name ?o "
+                        "FILTER(isLiteral(?o)) }")
+    assert star.columns == ["s", "o"]
+
+
+def test_meta_builtin_requires_variable(typed_triples):
+    with pytest.raises(SparqlUnsupportedError, match="plain variable"):
+        sparql_query(typed_triples, PFX +
+                     "SELECT ?s WHERE { ?s ex:name ?o "
+                     "FILTER(LANG(STR(?o)) = 'fr') }")
+
+
+def test_meta_on_frame_without_kind_columns_raises(triples):
+    with pytest.raises(ValueError, match="term-metadata|obj_kind"):
+        sparql_query(triples, PFX +
+                     "SELECT ?o WHERE { ?d ex:author ?o "
+                     "FILTER(isLiteral(?o)) }").collect()
