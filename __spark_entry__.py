@@ -895,6 +895,24 @@ def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-metadata builtins from SPARQL text: isLiteral() gates the
+    solutions and DATATYPE() (via BIND) classifies every literal —
+    lang-tagged → rdf:langString, plain → declared datatype or
+    xsd:string. Compiles onto bgp_match(meta_vars={'o'}): the scan
+    emits o__kind/__lang/__datatype beside the binding, solution
+    dedup is RDF TERM identity, and the whole plan stays one scan +
+    one aggregate."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir)
+    return sparql_query(triples, """
+        SELECT ?dt (COUNT(?o) AS ?n) WHERE {
+            ?s ?p ?o FILTER(isLiteral(?o))
+            BIND(DATATYPE(?o) AS ?dt)
+        } GROUP BY ?dt ORDER BY ?dt
+    """)
+
+
 def q_construct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT over a UNION where clause, from SPARQL text: the
     template instantiates once per branch and the constructed graphs
@@ -1729,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_path_pattern": q_bgp_path_pattern,
         "sparql_subquery": q_sparql_subquery,
         "construct_union": q_construct_union,
+        "sparql_typed": q_sparql_typed,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1758,7 +1777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_reps": q_simhash_neardup_reps,
         "decontaminate": q_decontaminate,
-        "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_hi": q_embedding_neardup_hi,
         "embedding_incremental": q_embedding_incremental,
         "embedding_clusters": q_embedding_clusters,
@@ -1770,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    two or more prior rounds; queries unchanged) --
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
+        "embedding_neardup": q_embedding_neardup,
         "event_sessions": q_event_sessions,
         "graph_degrees": q_graph_degrees,
         "corpus_profile": q_corpus_profile,
@@ -2274,6 +2293,20 @@ c AS (SELECT src, CAST(count(*) AS BIGINT) AS nd FROM s GROUP BY src),
 m AS (SELECT max(nd) AS mx FROM c)
 SELECT s.src, s.d, c.nd
 FROM s JOIN c USING (src), m WHERE c.nd = m.mx
+"""
+
+_SPARQL_TYPED_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+d AS (SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang,
+             obj_datatype
+      FROM t WHERE obj_kind = 'literal')
+SELECT CASE WHEN obj_lang IS NOT NULL
+            THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+            ELSE COALESCE(obj_datatype,
+                          'http://www.w3.org/2001/XMLSchema#string')
+       END AS dt,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY dt ORDER BY dt
 """
 
 _CONSTRUCT_UNION_ORACLE = """
@@ -3339,6 +3372,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_SUBQUERY_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "construct_union":
             _CONSTRUCT_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_typed":
+            _SPARQL_TYPED_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

@@ -106,6 +106,7 @@ EXTENDED = [
     "sparql_not_exists_max",
     "sparql_subquery",
     "construct_union",
+    "sparql_typed",
 ]
 
 
