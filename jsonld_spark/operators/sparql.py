@@ -40,14 +40,21 @@ so the compiled plan is identical to the hand-written call):
   scalar aggregate subquery (no GROUP BY — the ``MAX``-argmax idiom)
   joins disjoint via broadcast. Subqueries projecting possibly-
   unbound variables used as join keys raise rather than mis-join
-* blank nodes in patterns: ``_:label`` and ``[]`` compile to
-  non-distinguished variables (``SELECT *`` does not project them);
-  ``[ p o ]`` property lists and template blank nodes raise
+* blank nodes in patterns: ``_:label``, ``[]`` and
+  ``[ p1 o1 ; p2 o2 ]`` property lists (nesting allowed) compile to
+  non-distinguished variables + desugared patterns (``SELECT *``
+  does not project them); template blank nodes raise
+* term-test builtins LANG / DATATYPE / isIRI / isLiteral / isBlank /
+  LANGMATCHES over the quad frame's kind/lang/datatype columns
+  (``bgp_match(meta_vars=...)``), plus STRBEFORE / STRAFTER /
+  ENCODE_FOR_URI / MD5 / SHA1 / SHA256/384/512 and IRI()/URI()
+  (identity on the stored lexical IRI — enables skolem templates)
 
 Deviations / limits (all raise a clear error, never mis-execute):
 SERVICE, nested GRAPH, UNION mixed with other group members,
-``[ p o ]`` blank-node property lists, subqueries inside ASK /
-EXISTS / MINUS bodies, and OPTIONAL-group filters
+subqueries inside ASK / EXISTS / MINUS bodies, nondeterministic
+builtins (NOW / UUID / RAND / BNODE), STRLANG/STRDT, and
+OPTIONAL-group filters
 referencing outer variables are not supported. Expression
 translation casts a variable compared against a numeric literal to
 ``double``, and ``xsd:integer(?v)``-style constructors cast
@@ -216,6 +223,9 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
         self._anon_bn = 0
+        # patterns produced by desugaring [ p o ] blank-node property
+        # lists; drained into the enclosing triples block
+        self._bn_buf: list[tuple] = []
         # variables whose term metadata (kind/lang/datatype columns)
         # the compiled expressions reference — LANG(?x) etc.; passed
         # to bgp_match(meta_vars=...) at compile time
@@ -314,10 +324,9 @@ class _Parser:
                 self._next()
                 self._anon_bn += 1
                 return f"?{_BNODE_VAR_PREFIX}anon{self._anon_bn}"
-            raise SparqlUnsupportedError(
-                "[ predicate object ] blank-node property lists are "
-                "not supported — name the node with a variable or "
-                "_:label instead")
+            # [ p o ; ... ] blank-node property list: desugars to a
+            # fresh non-distinguished variable + buffered patterns
+            return self._bnode_property_list()
         raise SparqlSyntaxError(
             f"bad {position} term {t.value!r} at offset {t.pos}")
 
@@ -406,6 +415,18 @@ class _Parser:
         trailing '.'; returns 3- or 4-tuples (graph term appended)."""
         pats: list[tuple] = []
         subj = self._term("subject")
+        if self._bn_buf and subj.startswith("?" + _BNODE_VAR_PREFIX) \
+                and self._peek().kind == "OP" \
+                and self._peek().value in (".", "}"):
+            # TriplesSameSubject = blankNodePropertyList with an empty
+            # outer property list: { [ p o ] . } — the desugared
+            # patterns ARE the block
+            if self._peek().value == ".":
+                self._next()
+            for bp in self._bn_buf:
+                pats.append(bp + (graph,) if graph is not None else bp)
+            self._bn_buf.clear()
+            return pats
         while True:
             pred = self._predicate()
             while True:
@@ -428,7 +449,40 @@ class _Parser:
             break
         if self._peek().kind == "OP" and self._peek().value == ".":
             self._next()
+        # drain patterns desugared from [ p o ] property lists parsed
+        # inside this block (they scope to the same graph)
+        for bp in self._bn_buf:
+            pats.append(bp + (graph,) if graph is not None else bp)
+        self._bn_buf.clear()
         return pats
+
+    def _bnode_property_list(self) -> str:
+        """``[`` already consumed, non-empty body: a blank-node
+        property list ``[ p1 o1 ; p2 o2 , o3 ]`` — desugars to a
+        fresh non-distinguished variable plus buffered
+        (var, p, o) patterns the enclosing triples block drains.
+        Nests (an object may itself be a property list)."""
+        self._anon_bn += 1
+        var = f"?{_BNODE_VAR_PREFIX}anon{self._anon_bn}"
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._term("object")
+                self._bn_buf.append((var, pred, obj))
+                if self._peek().kind == "OP" \
+                        and self._peek().value == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek().kind == "OP" and self._peek().value == ";":
+                self._next()
+                if self._peek().kind == "OP" \
+                        and self._peek().value == "]":
+                    break
+                continue
+            break
+        self._expect("OP", "]")
+        return var
 
     def _graphify(self, pats: list[tuple], gterm: str) -> list[tuple]:
         """Home a GRAPH body's patterns into the graph term. A path
@@ -735,6 +789,27 @@ class _Parser:
         "floor": None, "round": None, "coalesce": None, "if": None,
         # SPARQL REPLACE is fn:replace = REGEX-based, not literal
         "replace": "regexp_replace({0}, {1}, {2})",
+        # STRBEFORE/STRAFTER return '' when the needle is absent;
+        # with an empty needle instr() = 1, giving '' / the whole
+        # string — exactly the fn:substring-before/-after contract
+        "strbefore": "(CASE WHEN instr({0}, {1}) > 0 THEN "
+                     "substring({0}, 1, instr({0}, {1}) - 1) "
+                     "ELSE '' END)",
+        "strafter": "(CASE WHEN instr({0}, {1}) > 0 THEN "
+                    "substring({0}, instr({0}, {1}) + length({1})) "
+                    "ELSE '' END)",
+        # url_encode is form-encoding (space → '+'); ENCODE_FOR_URI
+        # wants %20 — literal '+' is already %2B-escaped, so the
+        # replace is unambiguous
+        "encode_for_uri": "replace(url_encode({0}), '+', '%20')",
+        "md5": None, "sha1": None,
+        "sha256": "sha2({0}, 256)", "sha384": "sha2({0}, 384)",
+        "sha512": "sha2({0}, 512)",
+        # the triples frame stores IRIs as plain strings, so IRI(x)
+        # is the identity on the lexical value (no base resolution —
+        # the engine's IRIs are absolute); enables the documented
+        # skolem-template idiom BIND(IRI(CONCAT(...)) AS ?node)
+        "iri": "{0}", "uri": "{0}",
     }
 
     def _expr_primary(self) -> tuple[str, str]:

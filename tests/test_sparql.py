@@ -682,9 +682,10 @@ def test_anon_bnode_object(triples):
     assert _rows(got) == [("d1",), ("d2",)]
 
 
-def test_bnode_property_list_raises():
-    with pytest.raises(SparqlUnsupportedError, match="property list"):
-        _parse(PFX + "SELECT ?d WHERE { ?d ex:cites [ ex:lang 'en' ] }")
+def test_bnode_property_list_parses():
+    # property lists are now desugared (see the dedicated tests below)
+    q = _parse(PFX + "SELECT ?d WHERE { ?d ex:cites [ ex:lang 'en' ] }")
+    assert len(q.where.patterns) == 2
 
 
 def test_construct_template_bnode_raises(triples):
@@ -817,3 +818,63 @@ def test_meta_on_frame_without_kind_columns_raises(triples):
         sparql_query(triples, PFX +
                      "SELECT ?o WHERE { ?d ex:author ?o "
                      "FILTER(isLiteral(?o)) }").collect()
+
+
+# ---------------------------------------------------------------------------
+# [ p o ] property lists and string/hash/IRI builtins
+# ---------------------------------------------------------------------------
+
+def test_bnode_property_list_object_position(triples):
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE "
+                       "{ ?d ex:cites [ ex:lang 'en' ] }")
+    assert _rows(got) == [("d2",)]   # d2 cites d3 which is lang en
+
+
+def test_bnode_property_list_subject_and_nesting(triples):
+    got = sparql_query(triples, PFX + "SELECT ?a WHERE "
+                       "{ [ ex:author ?a ; ex:lang 'de' ] }")
+    assert _rows(got) == [("alice",)]
+    nested = sparql_query(triples, PFX + "SELECT ?d WHERE "
+                          "{ ?d ex:cites [ ex:cites [] ] }")
+    assert _rows(nested) == [("d1",)]
+
+
+def test_parse_property_list_desugar():
+    q = _parse(PFX + "SELECT ?s WHERE { ?s ex:p [ ex:a 'x' ; "
+               "ex:b 'y' , 'z' ] }")
+    pats = q.where.patterns
+    bn = pats[0][2]
+    assert bn.startswith("?_bn_")
+    assert (bn, EX + "a", "x") in pats
+    assert (bn, EX + "b", "y") in pats and (bn, EX + "b", "z") in pats
+
+
+def test_str_before_after_builtins(triples):
+    got = sparql_query(triples, PFX +
+                       "SELECT ?a (STRAFTER(?a, 'a') AS ?rest) WHERE "
+                       "{ ?d ex:author ?a "
+                       "  FILTER(STRBEFORE(?a, 'lice') = 'a') }")
+    assert _rows(got) == [("alice", "lice")]
+    # absent needle returns '' (fn:substring-after contract)
+    empty = sparql_query(triples, PFX +
+                         "SELECT ?a WHERE { ?d ex:author ?a "
+                         "FILTER(STRAFTER(?a, 'zzz') = '') }")
+    assert ("alice",) in _rows(empty) and ("bob",) in _rows(empty)
+
+
+def test_hash_builtins(triples):
+    import hashlib
+    got = sparql_query(triples, PFX +
+                       "SELECT DISTINCT (MD5(?a) AS ?m) "
+                       "(SHA256(?a) AS ?s) WHERE "
+                       "{ ?d ex:author ?a FILTER(?a = 'bob') }")
+    rows = _rows(got)
+    assert rows == [(hashlib.md5(b"bob").hexdigest(),
+                     hashlib.sha256(b"bob").hexdigest())]
+
+
+def test_iri_constructor_skolem_bind(triples):
+    got = sparql_query(triples, PFX + """CONSTRUCT { ?n ex:of ?d }
+        WHERE { ?d ex:author ?a . ?d ex:lang 'de'
+                BIND(IRI(CONCAT('http://sk/', ?a)) AS ?n) }""")
+    assert _rows(got) == [("http://sk/alice", EX + "of", "d2")]
