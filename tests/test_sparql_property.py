@@ -96,7 +96,7 @@ def test_values_roundtrip(cells):
 
 
 @given(st.text(
-    alphabet="SELECT WHERE{}()?ab<>:'\".|^+*/!=&#\n\t 0123456789",
+    alphabet="SELECT WHERE{}()[]?ab_;<>:'\".|^+*/!=&#\n\t 0123456789",
     min_size=0, max_size=80))
 @settings(max_examples=500, deadline=None)
 def test_parser_never_crashes(text):
