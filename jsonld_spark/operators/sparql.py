@@ -1217,7 +1217,7 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
         if q.select_star:
             raise SparqlSyntaxError("SELECT * with GROUP BY is not SPARQL")
         scalar = has_agg and not q.group_by
-        aggs, out_order = [], []
+        aggs, out_order, post_exprs = [], [], []
         for item in q.select:
             if item[0] == "agg":
                 aggs.append(_agg_column(item[1], item[2], df.columns))
@@ -1238,15 +1238,29 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                 if item[1] in nullable:
                     out_nul.add(item[1])
             else:
-                raise SparqlUnsupportedError(
-                    "(expr AS ?x) beside aggregates — compute it with "
-                    "BIND before grouping")
+                # (expr AS ?x) beside aggregates: a projection over
+                # the grouped frame — may reference group keys and
+                # earlier SELECT aliases (SPARQL's in-scope rule);
+                # anything else surfaces as an unresolved column
+                refs = _expr_identifiers(item[1])
+                bad = [x for x in refs
+                       if x in set(df.columns) - set(q.group_by)]
+                if bad:
+                    raise SparqlSyntaxError(
+                        f"(… AS ?{item[2]}) references ungrouped "
+                        f"variables {sorted(bad)} — aggregate them "
+                        "or add them to GROUP BY")
+                post_exprs.append((item[2], item[1]))
+                out_order.append(item[2])
+                out_nul.add(item[2])
         if aggs:
             df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by \
                 else df.agg(*aggs)
         else:
             # GROUP BY with no aggregate in SELECT: one row per group
             df = df.select(*q.group_by).distinct()
+        for alias, sql in post_exprs:
+            df = df.withColumn(alias, F.expr(sql))
         df = df.select(*out_order)
     elif q.select and not q.select_star:
         out_cols = []

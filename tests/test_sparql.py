@@ -878,3 +878,18 @@ def test_iri_constructor_skolem_bind(triples):
         WHERE { ?d ex:author ?a . ?d ex:lang 'de'
                 BIND(IRI(CONCAT('http://sk/', ?a)) AS ?n) }""")
     assert _rows(got) == [("http://sk/alice", EX + "of", "d2")]
+
+
+def test_expr_beside_aggregates(triples):
+    got = sparql_query(triples, PFX + """
+        SELECT ?l (COUNT(?d) AS ?n) (?n * 2 AS ?dbl)
+               (CONCAT(?l, '!') AS ?tag)
+        WHERE { ?d ex:lang ?l } GROUP BY ?l ORDER BY ?l""")
+    assert _rows(got) == [("de", 1, 2, "de!"), ("en", 2, 4, "en!")]
+
+
+def test_expr_beside_aggregates_ungrouped_ref_raises(triples):
+    with pytest.raises(SparqlSyntaxError, match="ungrouped"):
+        sparql_query(triples, PFX +
+                     "SELECT (COUNT(?d) AS ?n) (STRLEN(?a) AS ?bad) "
+                     "WHERE { ?d ex:author ?a }")
