@@ -29,7 +29,8 @@ so the compiled plan is identical to the hand-written call):
   leftjoin's expr argument in its common form)
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
-  ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards),
+  ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,
+  in-group AND the trailing ValuesClause after solution modifiers),
   ``BIND (expr AS ?v)``
 * a WHERE clause that is entirely ``{ BGP } UNION { BGP } ...``
   compiles to ``bgp_union``; ``CONSTRUCT`` over such a UNION
@@ -206,6 +207,7 @@ class _Query:
     describe_nodes: list[str] | None = None
     describe_var: str | None = None
     aggregates: list[tuple[Any, str]] = field(default_factory=list)
+    post_values: list[dict] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -1084,6 +1086,10 @@ class _Parser:
                 q.offset = self._nonneg_int("OFFSET")
             else:
                 break
+        if self._eat_kw("values"):
+            # trailing ValuesClause (SPARQL grammar rule [28]):
+            # joined to the FINAL results, after solution modifiers
+            q.post_values = self._values_clause()
         return q
 
     def _nonneg_int(self, what: str) -> int:
@@ -1179,6 +1185,47 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
                         "allow_disjoint": scalar})
         nul |= snul
     return entries, nul
+
+
+def _post_values_join(df: DataFrame, rows: list[dict],
+                      nullable: set[str]) -> DataFrame:
+    """Trailing VALUES clause: join the inline table to the FINAL
+    query results (SPARQL grammar rule [28] — after solution
+    modifiers, unlike a group VALUES). Same compatible-bindings
+    semantics as the in-group form: UNDEF cells and
+    possibly-unbound result variables are compatible with anything;
+    variables new to the result extend it. Always a broadcast —
+    VALUES tables are literal and tiny."""
+    vvars: list[str] = []
+    for row in rows:
+        vvars += [v for v in row if v not in vvars]
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        [tuple(row.get(v) for v in vvars) for row in rows],
+        ", ".join(f"`{v}` string" for v in vvars))
+    shared = [v for v in vvars if v in df.columns]
+    order = list(df.columns) + [v for v in vvars if v not in df.columns]
+    if not shared:
+        return df.crossJoin(F.broadcast(vdf)).select(*order)
+    undef = any(row.get(v) is None for row in rows for v in shared)
+    if not undef and not (set(shared) & nullable):
+        return df.join(F.broadcast(vdf), shared).select(*order)
+    vdf2 = vdf.select(*[F.col(v).alias(f"_v_{v}") for v in vvars])
+    cond = None
+    for v in shared:
+        c = F.col(f"_v_{v}").isNull() | (F.col(f"_v_{v}") == F.col(v))
+        if v in nullable:
+            c = c | F.col(v).isNull()
+        cond = c if cond is None else (cond & c)
+    out = df.join(F.broadcast(vdf2), cond)
+    for v in shared:
+        if v in nullable:
+            out = out.withColumn(
+                v, F.coalesce(F.col(v), F.col(f"_v_{v}")))
+    for v in vvars:
+        if v not in shared:
+            out = out.withColumnRenamed(f"_v_{v}", v)
+    return out.drop(*[f"_v_{v}" for v in shared]).select(*order)
 
 
 def _compile_select(triples: DataFrame, q: _Query, cols: dict,
@@ -1301,6 +1348,10 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
+    if q.post_values:
+        df = _post_values_join(df, q.post_values, out_nul)
+        out_nul |= {v for row in q.post_values for v in row
+                    if any(r.get(v) is None for r in q.post_values)}
     return df, {v for v in out_nul if v in df.columns}, scalar
 
 

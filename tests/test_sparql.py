@@ -893,3 +893,26 @@ def test_expr_beside_aggregates_ungrouped_ref_raises(triples):
         sparql_query(triples, PFX +
                      "SELECT (COUNT(?d) AS ?n) (STRLEN(?a) AS ?bad) "
                      "WHERE { ?d ex:author ?a }")
+
+
+def test_trailing_values_clause(triples):
+    # constrains shared ?a and extends with new ?tier
+    got = sparql_query(triples, PFX + """
+        SELECT ?d ?a WHERE { ?d ex:author ?a }
+        VALUES (?a ?tier) { ('alice' 'gold') }""")
+    assert got.columns == ["d", "a", "tier"]
+    assert _rows(got) == [("d1", "alice", "gold"),
+                          ("d2", "alice", "gold")]
+
+
+def test_trailing_values_after_limit_and_undef(triples):
+    got = sparql_query(triples, PFX + """
+        SELECT ?a (COUNT(?d) AS ?n) WHERE { ?d ex:author ?a }
+        GROUP BY ?a ORDER BY ?a
+        VALUES ?a { 'bob' }""")
+    assert _rows(got) == [("bob", 1)]
+    # UNDEF cell matches any binding
+    undf = sparql_query(triples, PFX + """
+        SELECT ?d ?a WHERE { ?d ex:author ?a }
+        VALUES (?a ?tag) { (UNDEF 'x') }""")
+    assert len(_rows(undf)) == 3
