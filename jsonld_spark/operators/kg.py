@@ -134,8 +134,17 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
             # graph's edges only (the filter pushes to the scan)
             rel = kg_path(scope, pat[1], s_col=pos_cols[0],
                           p_col=pos_cols[1], o_col=pos_cols[2])
-            # path endpoints are nodes (IRI/bnode) — kind derivable,
-            # never literals, so meta_cols is not needed
+            # the path SOURCE is always a subject (IRI/bnode — kind
+            # derivable from the _: prefix), but the DESTINATION
+            # carries object values whose kind/lang/datatype the
+            # closure does not track — a literal would silently
+            # classify as 'iri', so metadata there must raise
+            if pat[2].startswith("?") and pat[2][1:] in meta_vars:
+                raise ValueError(
+                    f"pattern {i}: LANG()/DATATYPE()/isIRI() on a "
+                    "property-path destination is not supported — the "
+                    "closure does not track term metadata; bind the "
+                    "variable in a plain triple pattern")
             return _apply_terms(rel, (pat[0], pat[2]), ("src", "dst"),
                                 i, meta_vars=meta_vars)
         raise ValueError(
@@ -780,15 +789,18 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         if anti_on:
             out = _compat_join(out, inner, anti_on, "minus", gi, "anti")
         # disjoint-domain MINUS removes nothing (SPARQL §8.3.3)
-    out = out.select(*bound, *meta_bound)
-    for expr in filters or []:
-        out = out.where(F.expr(expr))
     if mv_pending:
+        # before the filter loop: a filter referencing the missing
+        # {var}__kind column would otherwise die in analysis with an
+        # opaque unresolved-column error instead of this one
         missing = sorted(mv_pending)
         raise ValueError(
             f"meta_vars {missing} were never bound by a pattern — "
             "LANG()/DATATYPE()/isIRI() need the variable bound in a "
             "required or OPTIONAL triple pattern")
+    out = out.select(*bound, *meta_bound)
+    for expr in filters or []:
+        out = out.where(F.expr(expr))
     return out
 
 

@@ -61,6 +61,11 @@ translation casts a variable compared against a numeric literal to
 ``double``, and ``xsd:integer(?v)``-style constructors cast
 explicitly (SPARQL compares typed values; the triples frame stores
 lexical forms — a bare var-to-var comparison is lexicographic).
+GROUP BY and projected DISTINCT likewise group/dedup on the LEXICAL
+value: with ``meta_vars`` the solution set keeps literals differing
+only in language/datatype as distinct TERMS, but a subsequent
+``GROUP BY ?o`` merges them into one lexical group (project
+``(LANG(?o) AS ?l)`` and group by both to group by term).
 Plain SELECT defaults to set semantics (the engine-wide documented
 deviation; pass ``distinct_solutions=False`` for bag semantics on
 pre-deduplicated warehouse tables).
@@ -898,7 +903,12 @@ class _Parser:
             v = m.group(1)
             self.meta_vars.add(v)
             if name == "lang":
-                return f"coalesce(`{v}__lang`, '')", "expr"
+                # LANG of a non-literal is a SPARQL type error → NULL
+                # here, so a FILTER comparison drops the solution
+                # (mirrors the DATATYPE branch below)
+                return (f"(CASE WHEN `{v}__kind` = 'literal' THEN "
+                        f"coalesce(`{v}__lang`, '') ELSE NULL END)",
+                        "expr")
             if name == "datatype":
                 # lang-tagged → rdf:langString; plain literal →
                 # declared datatype or xsd:string; IRI/bnode → null
@@ -1150,6 +1160,11 @@ def _group_nullable(g: _Group) -> set[str]:
     keys (nullable keys raise in bgp_match's solution join)."""
     req = _pattern_var_names(g.patterns)
     nul: set[str] = set()
+    if g.union_branches:
+        # bgp_union pads a variable missing from a branch with null —
+        # any var not bound by EVERY branch may be unbound
+        per_branch = [_pattern_var_names(b) for b in g.union_branches]
+        nul |= set.union(*per_branch) - set.intersection(*per_branch)
     for opt in g.optional:
         if isinstance(opt, dict):
             pats = opt["patterns"]
@@ -1189,13 +1204,16 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
 
 def _post_values_join(df: DataFrame, rows: list[dict],
                       nullable: set[str]) -> DataFrame:
-    """Trailing VALUES clause: join the inline table to the FINAL
-    query results (SPARQL grammar rule [28] — after solution
-    modifiers, unlike a group VALUES). Same compatible-bindings
-    semantics as the in-group form: UNDEF cells and
-    possibly-unbound result variables are compatible with anything;
-    variables new to the result extend it. Always a broadcast —
-    VALUES tables are literal and tiny."""
+    """Trailing VALUES clause (SPARQL 18.2.4.3): joined BEFORE
+    projection and the solution modifiers — the caller applies it to
+    the pre-projection solution frame (non-aggregate queries) or the
+    grouped frame after HAVING (aggregate queries). Same
+    compatible-bindings semantics as bgp_match's in-group VALUES
+    branch (kg.py — kept in sync by hand; a semantics change there
+    must be mirrored here): UNDEF cells and possibly-unbound result
+    variables are compatible with anything; variables new to the
+    result extend it. Always a broadcast — VALUES tables are literal
+    and tiny."""
     vvars: list[str] = []
     for row in rows:
         vvars += [v for v in row if v not in vvars]
@@ -1260,6 +1278,16 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
     out_nul: set[str] = set()
     scalar = False
     has_agg = any(item[0] == "agg" for item in (q.select or []))
+    # trailing VALUES joins BEFORE projection and solution modifiers
+    # (SPARQL 18.2.4.3: after aggregation+HAVING, before Project /
+    # Distinct / OrderBy / Slice). Non-aggregate queries join the
+    # full solution frame here; aggregate queries join the grouped
+    # frame after HAVING below.
+    if q.post_values and not (q.group_by or has_agg):
+        df = _post_values_join(df, q.post_values, nullable)
+        nullable |= {v for row in q.post_values for v in row
+                     if any(r.get(v) is None for r in q.post_values)}
+    agg_out_order: list[str] | None = None
     if q.group_by or has_agg:
         if q.select_star:
             raise SparqlSyntaxError("SELECT * with GROUP BY is not SPARQL")
@@ -1309,6 +1337,7 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
         for alias, sql in post_exprs:
             df = df.withColumn(alias, F.expr(sql))
         df = df.select(*out_order)
+        agg_out_order = out_order
     elif q.select and not q.select_star:
         out_cols = []
         for item in q.select:
@@ -1341,6 +1370,12 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
         out_nul = {v for v in df.columns if v in nullable}
     for h in q.having:
         df = df.where(F.expr(h))
+    if q.post_values and agg_out_order is not None:
+        # aggregate path: VALUES joins the grouped frame after HAVING,
+        # then the spec's Project re-applies (new VALUES variables do
+        # not survive an explicit select list)
+        df = _post_values_join(df, q.post_values, out_nul)
+        df = df.select(*agg_out_order)
     if q.order_by:
         df = df.orderBy(*[F.expr(e).desc() if d else F.expr(e).asc()
                           for e, d in q.order_by])
@@ -1348,10 +1383,6 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    if q.post_values:
-        df = _post_values_join(df, q.post_values, out_nul)
-        out_nul |= {v for row in q.post_values for v in row
-                    if any(r.get(v) is None for r in q.post_values)}
     return df, {v for v in out_nul if v in df.columns}, scalar
 
 
@@ -1389,7 +1420,8 @@ def sparql_query(triples: DataFrame, query: str,
                     node_col=q.describe_var,
                     s_col=s_col, p_col=p_col, o_col=o_col)
             dsj, _ = _compile_subqueries(triples, gg, cols,
-                                         distinct_solutions)
+                                         distinct_solutions, meta_vars)
+            dvars = _pattern_var_names(gg.patterns) | _group_nullable(gg)
             sol = bgp_match(triples, gg.patterns,
                             optional=gg.optional or None,
                             not_exists=gg.not_exists or None,
@@ -1398,7 +1430,9 @@ def sparql_query(triples: DataFrame, query: str,
                             filters=gg.filters or None,
                             values=gg.values or None,
                             binds=gg.binds or None,
-                            solution_joins=dsj, **cols)
+                            solution_joins=dsj,
+                            meta_vars=(set(meta_vars) & dvars) or None,
+                            **cols)
             if q.describe_var not in sol.columns:
                 raise SparqlSyntaxError(
                     f"DESCRIBE ?{q.describe_var}: variable is not "
@@ -1465,7 +1499,7 @@ def sparql_query(triples: DataFrame, query: str,
                 df = df.unionByName(o)
             return df.distinct()
         csj, _ = _compile_subqueries(triples, g, cols,
-                                     distinct_solutions)
+                                     distinct_solutions, meta_vars)
         cvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         return construct(triples, g.patterns, q.template,
                          optional=g.optional or None,

@@ -896,13 +896,26 @@ def test_expr_beside_aggregates_ungrouped_ref_raises(triples):
 
 
 def test_trailing_values_clause(triples):
-    # constrains shared ?a and extends with new ?tier
+    # joins BEFORE projection (SPARQL 18.2.4.3): constrains shared
+    # ?a; ?tier is dropped by the explicit select list unless named
     got = sparql_query(triples, PFX + """
         SELECT ?d ?a WHERE { ?d ex:author ?a }
         VALUES (?a ?tier) { ('alice' 'gold') }""")
-    assert got.columns == ["d", "a", "tier"]
-    assert _rows(got) == [("d1", "alice", "gold"),
-                          ("d2", "alice", "gold")]
+    assert got.columns == ["d", "a"]
+    assert _rows(got) == [("d1", "alice"), ("d2", "alice")]
+    sel = sparql_query(triples, PFX + """
+        SELECT ?d ?tier WHERE { ?d ex:author ?a }
+        VALUES (?a ?tier) { ('alice' 'gold') }""")
+    assert _rows(sel) == [("d1", "gold"), ("d2", "gold")]
+
+
+def test_trailing_values_constrains_unprojected_var(triples):
+    # the join sees pre-projection variables, so a VALUES var absent
+    # from the SELECT list still constrains
+    got = sparql_query(triples, PFX + """
+        SELECT ?d WHERE { ?d ex:author ?a }
+        VALUES ?a { 'alice' }""")
+    assert _rows(got) == [("d1",), ("d2",)]
 
 
 def test_trailing_values_after_limit_and_undef(triples):
@@ -915,4 +928,52 @@ def test_trailing_values_after_limit_and_undef(triples):
     undf = sparql_query(triples, PFX + """
         SELECT ?d ?a WHERE { ?d ex:author ?a }
         VALUES (?a ?tag) { (UNDEF 'x') }""")
-    assert len(_rows(undf)) == 3
+    assert len(_rows(undf)) == 3 and undf.columns == ["d", "a"]
+
+
+# ---------------------------------------------------------------------------
+# review fixes: nullable tracking, LANG type error, meta guards
+# ---------------------------------------------------------------------------
+
+def test_subquery_union_padded_var_raises(triples):
+    # bgp_union pads ?x with null in the branch that doesn't bind it;
+    # joining the outer ?x on it must raise, not silently drop rows
+    with pytest.raises(ValueError, match="nullable|unbound"):
+        sparql_query(triples, PFX + """SELECT ?d ?x WHERE {
+            ?d ex:lang ?x .
+            { SELECT ?d ?x WHERE {
+                { ?d ex:cites ?x } UNION { ?d ex:author 'bob' } } }
+        }""").collect()
+
+
+def test_lang_of_non_literal_is_type_error(typed_triples):
+    # SPARQL: LANG of an IRI is a type error → the FILTER drops the
+    # row; '' must match only no-language LITERALS
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?o WHERE { ?s ?p ?o "
+                       "FILTER(LANG(?o) = '') }")
+    rows = _rows(got)
+    assert ("http://x/d2",) not in rows          # the IRI object
+    assert ("chat",) in rows and ("5",) in rows  # plain literals
+
+
+def test_meta_on_path_destination_raises(typed_triples):
+    with pytest.raises(ValueError, match="property-path destination"):
+        sparql_query(typed_triples, PFX +
+                     "SELECT ?o WHERE { ?s ex:link+ ?o "
+                     "FILTER(isLiteral(?o)) }").collect()
+
+
+def test_meta_never_bound_raises_clearly(typed_triples):
+    from jsonld_spark.operators.kg import bgp_match
+    with pytest.raises(ValueError, match="never bound"):
+        bgp_match(typed_triples, [("?s", EX + "name", "?o")],
+                  meta_vars={"z"},
+                  filters=["`z__kind` = 'literal'"])
+
+
+def test_describe_with_meta_filter(typed_triples):
+    got = sparql_query(typed_triples, PFX +
+                       "DESCRIBE ?s WHERE { ?s ex:name ?o "
+                       "FILTER(LANGMATCHES(LANG(?o), 'en')) }")
+    assert sorted({r[0] for r in got.collect()}) == ["_:b1"]
