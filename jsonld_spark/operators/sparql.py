@@ -16,7 +16,9 @@ so the compiled plan is identical to the hand-written call):
   ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
   and the SPARQL aggregates ``COUNT / SUM / AVG / MIN / MAX /
   SAMPLE / GROUP_CONCAT`` (GROUP_CONCAT is made deterministic by
-  sorting the group's values — SPARQL leaves the order undefined)
+  sorting the group's values — SPARQL leaves the order undefined);
+  aggregates may appear directly inside HAVING constraints (hidden
+  aggregate columns, dropped after the filter)
 * ``ASK`` / ``CONSTRUCT { template } WHERE`` / ``DESCRIBE <node>``
 * triple patterns with ``;`` / ``,`` predicate-object lists,
   property-path predicates (``^ / | + * ?`` and ``!`` negated sets
@@ -204,6 +206,7 @@ class _Query:
     distinct: bool = True
     group_by: list[str] = field(default_factory=list)
     having: list[str] = field(default_factory=list)
+    having_aggs: list[tuple] = field(default_factory=list)  # (alias, spec)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
@@ -233,6 +236,9 @@ class _Parser:
         # patterns produced by desugaring [ p o ] blank-node property
         # lists; drained into the enclosing triples block
         self._bn_buf: list[tuple] = []
+        # inside a HAVING constraint, aggregate calls are legal: they
+        # compile to hidden aggregate columns on the current query
+        self._having_q = None
         # variables whose term metadata (kind/lang/datatype columns)
         # the compiled expressions reference — LANG(?x) etc.; passed
         # to bgp_match(meta_vars=...) at compile time
@@ -855,6 +861,18 @@ class _Parser:
             s = self._expression()
             self._expect("OP", ")")
             return s, "expr"
+        if t.kind == "NAME" and t.value.lower() in _AGG_FUNCS \
+                and self._having_q is not None:
+            # aggregate inside a HAVING constraint: compile to a
+            # hidden aggregate column (dropped after the filter)
+            spec = self._agg_spec_after_name(t.value.lower())
+            hq = self._having_q
+            for alias, sp in hq.having_aggs:
+                if sp == spec:
+                    return f"`{alias}`", "expr"
+            alias = f"_h_agg_{len(hq.having_aggs)}"
+            hq.having_aggs.append((alias, spec))
+            return f"`{alias}`", "expr"
         if t.kind == "NAME" or (t.kind == "KW" and t.value == "bound"):
             return self._builtin_call(t)
         raise SparqlSyntaxError(
@@ -963,26 +981,31 @@ class _Parser:
         t = self._peek()
         if t.kind == "NAME" and t.value.lower() in _AGG_FUNCS:
             name = self._next().value.lower()
-            self._expect("OP", "(")
-            distinct = self._eat_kw("distinct")
-            sep = " "   # SPARQL 1.1 §18.5.1.7: default separator is a space
-            if self._peek().kind == "OP" and self._peek().value == "*":
-                self._next()
-                arg = None
-            else:
-                arg = self._expression()
-            if name == "group_concat" and self._peek().kind == "OP" \
-                    and self._peek().value == ";":
-                self._next()
-                w = self._next()       # SEPARATOR keyword (as NAME)
-                if w.kind != "NAME" or w.value.lower() != "separator":
-                    raise SparqlSyntaxError(
-                        f"expected SEPARATOR at offset {w.pos}")
-                self._expect("OP", "=")
-                sep = _unquote(self._expect("STRING").value)
-            self._expect("OP", ")")
-            return ("agg", (name, arg, distinct, sep))
+            return ("agg", self._agg_spec_after_name(name))
         return ("expr", self._expression())
+
+    def _agg_spec_after_name(self, name: str) -> tuple:
+        """Aggregate call body after its NAME token: '(' [DISTINCT]
+        expr|'*' [; SEPARATOR=str] ')' -> (name, arg, distinct, sep)."""
+        self._expect("OP", "(")
+        distinct = self._eat_kw("distinct")
+        sep = " "   # SPARQL 1.1 §18.5.1.7: default separator is a space
+        if self._peek().kind == "OP" and self._peek().value == "*":
+            self._next()
+            arg = None
+        else:
+            arg = self._expression()
+        if name == "group_concat" and self._peek().kind == "OP" \
+                and self._peek().value == ";":
+            self._next()
+            w = self._next()       # SEPARATOR keyword (as NAME)
+            if w.kind != "NAME" or w.value.lower() != "separator":
+                raise SparqlSyntaxError(
+                    f"expected SEPARATOR at offset {w.pos}")
+            self._expect("OP", "=")
+            sep = _unquote(self._expect("STRING").value)
+        self._expect("OP", ")")
+        return (name, arg, distinct, sep)
 
     # -- query forms -------------------------------------------------------
     def parse(self) -> _Query:
@@ -1069,9 +1092,11 @@ class _Parser:
             if not q.group_by:
                 raise SparqlSyntaxError("empty GROUP BY")
         if self._eat_kw("having"):
+            self._having_q = q
             q.having.append(self._expression())
             while self._peek().kind == "OP" and self._peek().value == "(":
                 q.having.append(self._expression())
+            self._having_q = None
         if self._eat_kw("order"):
             self._expect("KW", "by")
             while True:
@@ -1288,7 +1313,8 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
         nullable |= {v for row in q.post_values for v in row
                      if any(r.get(v) is None for r in q.post_values)}
     agg_out_order: list[str] | None = None
-    if q.group_by or has_agg:
+    having_handled = False
+    if q.group_by or has_agg or q.having_aggs:
         if q.select_star:
             raise SparqlSyntaxError("SELECT * with GROUP BY is not SPARQL")
         scalar = has_agg and not q.group_by
@@ -1328,14 +1354,26 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                 post_exprs.append((item[2], item[1]))
                 out_order.append(item[2])
                 out_nul.add(item[2])
-        if aggs:
-            df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by \
-                else df.agg(*aggs)
+        # aggregates referenced only by HAVING become hidden columns,
+        # computed with the visible ones and dropped by the final
+        # projection after the HAVING filter runs
+        hidden = [_agg_column(spec, alias, df.columns)
+                  for alias, spec in q.having_aggs]
+        if aggs or hidden:
+            all_aggs = aggs + hidden
+            df = df.groupBy(*q.group_by).agg(*all_aggs) if q.group_by \
+                else df.agg(*all_aggs)
         else:
             # GROUP BY with no aggregate in SELECT: one row per group
             df = df.select(*q.group_by).distinct()
         for alias, sql in post_exprs:
             df = df.withColumn(alias, F.expr(sql))
+        if hidden:
+            # HAVING must see the hidden aggregate columns — filter
+            # here, then project them away
+            for h in q.having:
+                df = df.where(F.expr(h))
+            having_handled = True
         df = df.select(*out_order)
         agg_out_order = out_order
     elif q.select and not q.select_star:
@@ -1368,8 +1406,9 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
             if distinct_solutions:
                 df = df.distinct()
         out_nul = {v for v in df.columns if v in nullable}
-    for h in q.having:
-        df = df.where(F.expr(h))
+    if not having_handled:
+        for h in q.having:
+            df = df.where(F.expr(h))
     if q.post_values and agg_out_order is not None:
         # aggregate path: VALUES joins the grouped frame after HAVING,
         # then the spec's Project re-applies (new VALUES variables do

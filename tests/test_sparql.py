@@ -977,3 +977,18 @@ def test_describe_with_meta_filter(typed_triples):
                        "DESCRIBE ?s WHERE { ?s ex:name ?o "
                        "FILTER(LANGMATCHES(LANG(?o), 'en')) }")
     assert sorted({r[0] for r in got.collect()}) == ["_:b1"]
+
+
+def test_having_with_direct_aggregates(triples):
+    # HAVING aggregates compile to hidden columns dropped after the
+    # filter — no SELECT alias needed
+    got = sparql_query(triples, PFX + """
+        SELECT ?a WHERE { ?d ex:author ?a } GROUP BY ?a
+        HAVING(COUNT(?d) > 1)""")
+    assert got.columns == ["a"]
+    assert _rows(got) == [("alice",)]
+    # mixed with a visible aggregate and a repeated spec
+    got = sparql_query(triples, PFX + """
+        SELECT ?a (MIN(?d) AS ?m) WHERE { ?d ex:author ?a }
+        GROUP BY ?a HAVING(COUNT(?d) = 2 && COUNT(?d) != 3)""")
+    assert _rows(got) == [("alice", "d1")]
