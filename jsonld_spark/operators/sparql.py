@@ -530,6 +530,16 @@ class _Parser:
                 inner = self._plain_bgp()
                 pats += self._graphify(inner, g)
                 continue
+            t = self._peek()
+            if (t.kind == "KW" and t.value in (
+                    "optional", "bind", "values", "minus", "union",
+                    "filter", "select")) \
+                    or (t.kind == "OP" and t.value == "{"):
+                raise SparqlUnsupportedError(
+                    f"{t.value.upper()} inside this group body is not "
+                    "supported — only triple patterns and GRAPH "
+                    "blocks here; restructure with the construct at "
+                    "the outer group level")
             pats += self._triples_block(None)
         self._next()
         return pats
@@ -556,6 +566,17 @@ class _Parser:
                 pats += self._graphify(self._plain_bgp(), gterm)
             elif self._peek().kind == "OP" and self._peek().value == ".":
                 self._next()
+            elif (self._peek().kind == "KW"
+                  and self._peek().value in ("optional", "bind",
+                                             "values", "minus",
+                                             "union")) \
+                    or (self._peek().kind == "OP"
+                        and self._peek().value == "{"):
+                raise SparqlUnsupportedError(
+                    f"{self._peek().value.upper()} inside a {label} "
+                    "group is not supported — only triple patterns, "
+                    "GRAPH blocks, and plain FILTERs; restructure "
+                    "with the construct at the outer group level")
             else:
                 pats += self._triples_block(None)
         self._next()
