@@ -2208,7 +2208,9 @@ SELECT DISTINCT subj, pred, obj FROM (
   SELECT * FROM ent7
   UNION ALL SELECT * FROM ent2
   UNION ALL SELECT * FROM ent3
-  UNION ALL SELECT * FROM ent9)
+  UNION ALL SELECT * FROM ent9
+  UNION ALL SELECT sub, '{SUB_PROP}' AS pred, sup FROM pclo
+  UNION ALL SELECT sub, '{SUB_CLASS}' AS pred, sup FROM cclo)
 """
 
 

@@ -168,7 +168,8 @@ _SQL_WORDS = frozenset("""
 def _expr_identifiers(expr: str) -> set[str]:
     """Candidate column identifiers in a SQL expression string:
     backticked names plus bare names not followed by ``(`` (function
-    calls), ignoring single-quoted literals, ``AS <type>`` cast
+    calls), ignoring single- AND double-quoted literals (Spark SQL
+    treats double quotes as strings by default), ``AS <type>`` cast
     targets, and common SQL keywords/type names (a variable that
     happens to share a keyword's name would otherwise misclassify a
     filter — and a silently-misclassified filter mis-executes). Used
@@ -179,7 +180,8 @@ def _expr_identifiers(expr: str) -> set[str]:
     variable get the right answer."""
     import re as _re
     ids: set[str] = set()
-    parts = _re.split(r"('(?:[^'\\]|\\.)*')", expr)
+    parts = _re.split(
+        r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", expr)
     for j in range(0, len(parts), 2):
         s = parts[j]
         ids |= set(_re.findall(r"`([^`]+)`", s))
@@ -193,12 +195,13 @@ def _expr_identifiers(expr: str) -> set[str]:
 
 def _rewrite_refs(expr: str, mapping: dict[str, str]) -> str:
     """Rename variable references in a SQL expression string — both
-    backtick-quoted and bare occurrences — without touching
-    single-quoted string literals. Used to point a correlated group
+    backtick-quoted and bare occurrences — without touching single-
+    or double-quoted string literals. Used to point a correlated group
     filter's group-variable references at the join's renamed right
     side."""
     import re as _re
-    parts = _re.split(r"('(?:[^'\\]|\\.)*')", expr)
+    parts = _re.split(
+        r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", expr)
     for j in range(0, len(parts), 2):
         s = parts[j]
         for old, new in mapping.items():
@@ -309,6 +312,16 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     null and the row is dropped — test for boundness explicitly with
     ``"x IS NULL"`` / ``"x IS NOT NULL"``. Filters referencing only
     required variables are pushed down through the joins by Catalyst.
+
+    DEVIATION — lexical join identity: patterns join on the VALUE
+    columns, so a literal whose lexical form equals an IRI (e.g. a
+    URL-valued string literal) unifies with that IRI where SPARQL's
+    term semantics would not. Web-data queries where this matters
+    should add an explicit kind filter (``filters=["x__kind =
+    'iri'"]`` with ``meta_vars``) or pre-filter ``obj_kind`` on the
+    triples frame; making every join key a (value, kind) struct would
+    double the shuffled key width for a case that clean warehouse
+    data does not hit, so it is deliberately not the default.
 
     Plan shape: each pattern is a filtered projection of the triples
     scan — constants become pushed-down filters (``PushedFilters`` on
@@ -500,8 +513,16 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(f"{kind} group {gi} is empty")
         inner: DataFrame | None = None
         gbound: list[str] = []
+        ggates: list[DataFrame] = []
         for i, pat in enumerate(group):
             step, step_vars = _pattern_step(triples, pat, i, pos_cols)
+            if not step_vars:
+                # all-constant pattern inside the group: a legal
+                # SPARQL existence gate — same limit(1) probe shape
+                # as the required-pattern loop
+                ggates.append(step.limit(1).select(
+                    F.lit(1).alias(f"_gg{gi}_{i}")))
+                continue
             if inner is None:
                 inner, gbound = step, step_vars
                 continue
@@ -513,6 +534,18 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     "product; reorder or constrain the group")
             inner = inner.join(step, shared)
             gbound += [v for v in step_vars if v not in gbound]
+        if inner is None:
+            # every pattern constant: a zero-variable group. The
+            # per-kind callers decide — MINUS over a disjoint domain
+            # removes nothing (§8.3.3), EXISTS/NOT EXISTS raise their
+            # shares-no-variable error. Return the probe frame
+            # (contents irrelevant: gbound is empty).
+            inner = ggates[0]
+            for gg in ggates[1:]:
+                inner = inner.crossJoin(gg)
+            return inner, gbound
+        for gg in ggates:
+            inner = inner.crossJoin(gg).drop(gg.columns[0])
         return inner, gbound
 
     for i, pat in enumerate(optional or []):
@@ -597,6 +630,10 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 sel = [F.coalesce(F.col(v), F.col(f"_o_{v}")).alias(v)
                        if v in mask else F.col(v) for v in bound]
                 sel += [F.col(f"_o_{v}").alias(v) for v in new]
+                # previously bound term-metadata columns ride along
+                # (the left side carries them; the final select
+                # expects them)
+                sel += [F.col(c) for c in meta_bound]
                 branches.append(j.select(*sel))
             out = branches[0]
             for b in branches[1:]:
@@ -1009,8 +1046,15 @@ def rdfs_closure(triples: DataFrame, schema: DataFrame,
     ent9 = (types.join(F.broadcast(cc), types.obj == cc.c_sub)
             .select("subj", "pred", F.col("c_sup").alias("obj")))
 
+    # rdfs5/rdfs11: the transitive subPropertyOf/subClassOf triples
+    # themselves are entailments too (schema-sized — tiny)
+    ent5 = _edge_df(prop_clo, "subj", "obj").select(
+        "subj", F.lit(SUB_PROP).alias("pred"), "obj")
+    ent11 = _edge_df(cls_clo, "subj", "obj").select(
+        "subj", F.lit(SUB_CLASS).alias("pred"), "obj")
     return (ent7.select("subj", "pred", "obj")
             .unionByName(ent2).unionByName(ent3).unionByName(ent9)
+            .unionByName(ent5).unionByName(ent11)
             .distinct())
 
 
@@ -1378,14 +1422,21 @@ def shacl_validate(triples: DataFrame, shapes: list[Shape],
         else:
             focus = triples
         focus = focus.select(F.col(s_col).alias("focus")).distinct()
+        lang_col = "obj_lang" if "obj_lang" in triples.columns else None
         vals = (triples.where(F.col(p_col) == sh.path)
                 .select(F.col(s_col).alias("focus"),
                         F.col(o_col).alias("value"),
                         F.col(kind_col).alias("_kind"),
-                        F.col(dt_col).alias("_dt")))
+                        F.col(dt_col).alias("_dt"),
+                        (F.col(lang_col) if lang_col
+                         else F.lit(None).cast("string")).alias("_lang")))
         if sh.min_count is not None or sh.max_count is not None:
+            # cardinality counts distinct RDF TERMS, not lexical
+            # forms: "chat"@en and "chat"@fr are two value nodes
             cnt = vals.groupBy("focus").agg(
-                F.countDistinct("value").alias("_n"))
+                F.countDistinct(
+                    F.struct("value", "_kind", "_dt", "_lang"))
+                .alias("_n"))
             card = (focus.join(cnt, "focus", "left")
                     .withColumn("_n", F.coalesce("_n", F.lit(0))))
             if sh.min_count is not None:
@@ -1495,12 +1546,48 @@ def owl_closure(triples: DataFrame, schema: DataFrame,
         ents.append(node_facts.where(F.col("pred").isin(sym))
                     .select(F.col("obj").alias("subj"), "pred",
                             F.col("subj").alias("obj")))
+    # rules INTERACT on a transitive predicate: symmetry makes its
+    # edge set undirected, and an inverse partner's edges are its
+    # edges reversed — the closure must run over the UNION of
+    # asserted + derived edges, and inverse entailments must cover
+    # closure-derived pairs too (else (a p b),(b p c) ⊢ (a p c) but
+    # (c q a) would be silently missing). One union per predicate
+    # suffices: sym/inv are involutions and the closure of a
+    # symmetric edge set is symmetric, so no mutual fixpoint is
+    # needed.
+    inv_partners: dict[str, list[str]] = {}
+    for a, b in inv:
+        inv_partners.setdefault(a, []).append(b)
     for p in trans:
-        ents.append(property_path(triples, p, s_col=s_col, p_col=p_col,
-                                  o_col=o_col, max_rounds=max_rounds)
-                    .select(F.col("src").alias("subj"),
+        asserted = (triples.where(F.col(p_col) == p)
+                    .select(F.col(s_col).alias("subj"),
                             F.lit(p).alias("pred"),
-                            F.col("dst").alias("obj")))
+                            F.col(o_col).alias("obj_value")))
+        derived = []
+        if p in sym:
+            derived.append(node_facts.where(F.col("pred") == p)
+                           .select(F.col("obj").alias("subj"),
+                                   F.lit(p).alias("pred"),
+                                   F.col("subj").alias("obj_value")))
+        for q in inv_partners.get(p, ()):
+            derived.append(node_facts.where(F.col("pred") == q)
+                           .select(F.col("obj").alias("subj"),
+                                   F.lit(p).alias("pred"),
+                                   F.col("subj").alias("obj_value")))
+        edges = asserted
+        for d in derived:
+            edges = edges.unionByName(d)
+        if derived:
+            edges = edges.distinct()
+        clo = property_path(edges, p, max_rounds=max_rounds)
+        ents.append(clo.select(F.col("src").alias("subj"),
+                               F.lit(p).alias("pred"),
+                               F.col("dst").alias("obj")))
+        for q in inv_partners.get(p, ()):
+            # inverse entailments over the CLOSURE, not just asserted
+            ents.append(clo.select(F.col("dst").alias("subj"),
+                                   F.lit(q).alias("pred"),
+                                   F.col("src").alias("obj")))
     if not ents:
         return node_facts.select("subj", "pred", "obj").limit(0)
     out = ents[0]
@@ -1521,7 +1608,28 @@ def ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
     """SPARQL ASK: does at least one solution exist? Planned as the
     same join tree as ``bgp_match`` under a ``limit(1)`` — Spark stops
     the scan at the first produced row (LocalLimit short-circuit), so
-    an ASK over 100 TB that matches early reads almost nothing."""
+    an ASK over 100 TB that matches early reads almost nothing.
+    All-constant pattern sets (``ASK { <s> <p> <o> }`` — the primary
+    SPARQL ASK idiom) short-circuit here directly: one pushed-filter
+    probe scan per pattern, no join tree at all."""
+    if patterns and all(
+            not t.startswith("?") for pat in patterns for t in pat) \
+            and not (not_exists or exists or minus or filters
+                     or values):
+        pos = (s_col, p_col, o_col, g_col)
+        for i, pat in enumerate(patterns):
+            if "<" in pat[1]:       # constant property-path pattern
+                rel = kg_path(triples, pat[1], s_col=s_col,
+                              p_col=p_col, o_col=o_col)
+                probe = rel.where((F.col("src") == pat[0])
+                                  & (F.col("dst") == pat[2]))
+            else:
+                probe = triples
+                for term, col in zip(pat, pos):
+                    probe = probe.where(F.col(col) == term)
+            if not probe.limit(1).take(1):
+                return False
+        return True
     return bool(bgp_match(triples, patterns, not_exists=not_exists,
                           exists=exists, minus=minus, values=values,
                           filters=filters, s_col=s_col, p_col=p_col,
@@ -1563,11 +1671,20 @@ def same_as_fuse(triples: DataFrame,
                     & (F.col(kind_col) != "literal"))
              .select(F.col(s_col).alias("src"), F.col(o_col).alias("dst")))
     cc = connected_components(edges)
-    fused = link_triples(
-        triples if keep_same_as
-        else triples.where(F.col(p_col) != SAME_AS),
-        cc, rewrite_kinds=("iri", "bnode"))
-    return fused.distinct()
+    facts = triples if keep_same_as \
+        else triples.where(F.col(p_col) != SAME_AS)
+    # link_triples reads the default column names (subj/obj_value/
+    # obj_kind) — rename around the call for custom layouts
+    ren = [(s_col, "subj"), (o_col, "obj_value"), (kind_col, "obj_kind")]
+    renamed = [(a, b) for a, b in ren if a != b]
+    for a, b in renamed:
+        facts = facts.withColumnRenamed(a, b)
+    fused = link_triples(facts, cc, rewrite_kinds=("iri", "bnode"))
+    for a, b in renamed:
+        fused = fused.withColumnRenamed(b, a)
+    # the rewrite joins move the key columns first — restore the
+    # caller's column order
+    return fused.select(*triples.columns).distinct()
 
 
 def describe(triples: DataFrame, node: str,

@@ -796,3 +796,133 @@ def test_kg_path_negated_property_set(path_triples):
     assert got == {("a", "b"), ("b", "c"), ("a", "c"), ("a", "x")}
     with pytest.raises(ValueError, match="negated"):
         kg_path(path_triples, "!(<p>/<q>)")
+
+
+# ---------------------------------------------------------------------------
+# round-5 full-file review fixes
+# ---------------------------------------------------------------------------
+
+def test_ask_all_constant_patterns(spark):
+    from jsonld_spark.operators.kg import ask
+    t = spark.createDataFrame([("s", "p", "o"), ("s2", "p", "o2")],
+                              "subj string, pred string, obj_value string")
+    assert ask(t, [("s", "p", "o")]) is True
+    assert ask(t, [("s", "p", "zzz")]) is False
+    assert ask(t, [("s", "p", "o"), ("s2", "p", "o2")]) is True
+    assert ask(t, [("s", "p", "o"), ("s2", "p", "nope")]) is False
+
+
+def test_ask_constant_property_path(spark):
+    from jsonld_spark.operators.kg import ask
+    t = spark.createDataFrame(
+        [("a", "http://x/p", "b"), ("b", "http://x/p", "c")],
+        "subj string, pred string, obj_value string")
+    assert ask(t, [("a", "<http://x/p>+", "c")]) is True
+    assert ask(t, [("c", "<http://x/p>+", "a")]) is False
+
+
+def test_same_as_fuse_custom_columns(spark):
+    from jsonld_spark.operators.kg import SAME_AS, same_as_fuse
+    t = spark.createDataFrame(
+        [("a", SAME_AS, "b", "iri"), ("a", "http://x/p", "v", "literal"),
+         ("b", "http://x/p", "v", "literal")],
+        "s string, p string, o string, k string")
+    got = same_as_fuse(t, s_col="s", p_col="p", o_col="o", kind_col="k")
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {("a", "http://x/p", "v", "literal")}
+    assert got.columns == ["s", "p", "o", "k"]
+
+
+def test_minus_filter_double_quoted_literal_not_correlated(spark):
+    # a double-quoted Spark SQL string literal must not be mistaken
+    # for an outer-variable reference (which would silently turn the
+    # MINUS into a no-op per the no-substitution rule)
+    from jsonld_spark.operators.kg import bgp_match
+    t = spark.createDataFrame(
+        [("e1", "http://x/status", "x"), ("e2", "http://x/status", "y"),
+         ("e1", "http://x/of", "x"), ("e2", "http://x/of", "x")],
+        "subj string, pred string, obj_value string")
+    got = bgp_match(
+        t, [("?e", "http://x/of", "?x")],
+        minus=[{"patterns": [("?e", "http://x/status", "?s")],
+                "filters": ['s = "x"']}])
+    assert {tuple(r) for r in got.collect()} == {("e2", "x")}
+
+
+def test_group_constant_pattern_is_gate(spark):
+    from jsonld_spark.operators.kg import bgp_match
+    t = spark.createDataFrame(
+        [("flag", "http://x/on", "true"), ("d1", "http://x/p", "v1"),
+         ("d1", "http://x/q", "w")],
+        "subj string, pred string, obj_value string")
+    # constant pattern inside EXISTS gates the group
+    got = bgp_match(t, [("?d", "http://x/p", "?v")],
+                    exists=[[("flag", "http://x/on", "true"),
+                             ("?d", "http://x/q", "?w")]])
+    assert {tuple(r) for r in got.collect()} == {("d1", "v1")}
+    # gate closed: the group can never match
+    got2 = bgp_match(t, [("?d", "http://x/p", "?v")],
+                     exists=[[("flag", "http://x/on", "false"),
+                              ("?d", "http://x/q", "?w")]])
+    assert got2.count() == 0
+
+
+def test_rdfs_closure_emits_schema_closure_triples(spark):
+    from jsonld_spark.operators.kg import RDF_TYPE, SUB_CLASS, rdfs_closure
+    t = spark.createDataFrame(
+        [("n1", RDF_TYPE, "A", "iri")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    sch = spark.createDataFrame(
+        [("A", SUB_CLASS, "B"), ("B", SUB_CLASS, "C")],
+        "subj string, pred string, obj_value string")
+    got = {tuple(r) for r in rdfs_closure(t, sch).collect()}
+    # rdfs11: the transitive subClassOf triple itself is entailed
+    assert ("A", SUB_CLASS, "C") in got
+    assert ("n1", RDF_TYPE, "C") in got
+
+
+def test_owl_closure_symmetric_transitive_interaction(spark):
+    from jsonld_spark.operators.kg import (
+        RDF_TYPE, SYMMETRIC_PROPERTY, TRANSITIVE_PROPERTY, owl_closure)
+    P = "http://x/linked"
+    t = spark.createDataFrame(
+        [("a", P, "b", "iri"), ("c", P, "b", "iri")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    sch = spark.createDataFrame(
+        [(P, RDF_TYPE, SYMMETRIC_PROPERTY),
+         (P, RDF_TYPE, TRANSITIVE_PROPERTY)],
+        "subj string, pred string, obj_value string")
+    got = {tuple(r) for r in owl_closure(t, sch).collect()}
+    # requires symmetry-derived (b,P,c) to feed the transitive closure
+    assert ("a", P, "c") in got and ("c", P, "a") in got
+
+
+def test_owl_closure_inverse_of_transitive_closure_pairs(spark):
+    from jsonld_spark.operators.kg import (
+        INVERSE_OF, RDF_TYPE, TRANSITIVE_PROPERTY, owl_closure)
+    P, Q = "http://x/anc", "http://x/desc"
+    t = spark.createDataFrame(
+        [("a", P, "b", "iri"), ("b", P, "c", "iri")],
+        "subj string, pred string, obj_value string, obj_kind string")
+    sch = spark.createDataFrame(
+        [(P, RDF_TYPE, TRANSITIVE_PROPERTY), (Q, INVERSE_OF, P)],
+        "subj string, pred string, obj_value string")
+    got = {tuple(r) for r in owl_closure(t, sch).collect()}
+    # the inverse of the CLOSURE-derived (a,P,c) must be entailed
+    assert ("a", P, "c") in got and ("c", Q, "a") in got
+
+
+def test_shacl_cardinality_counts_distinct_terms(spark):
+    from jsonld_spark.operators.kg import Shape, shacl_validate
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    t = spark.createDataFrame(
+        [("n1", "http://x/label", "chat", "literal", XSD + "string", None),
+         ("n1", "http://x/label", "chat", "literal", None, "fr"),
+         ("n1", "http://x/kind", "thing", "literal", XSD + "string", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_datatype string, obj_lang string")
+    sh = Shape(shape_id="s1", targets="http://x/kind",
+               path="http://x/label", min_count=2)
+    viols = shacl_validate(t, [sh])
+    # "chat" plain and "chat"@fr are TWO value nodes — no violation
+    assert viols.count() == 0
