@@ -938,6 +938,25 @@ def q_construct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
+    mints one fresh node per solution, shared across the solution's
+    two template triples — the reification/annotation-node idiom of
+    KG construction. Minting is deterministic (``_:m`` + md5 over the
+    solution's length-prefix-encoded bindings), so the oracle can
+    reproduce the exact ids; zero extra shuffles (the mint is a
+    projection over the match)."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX ex: <http://example.org/>
+        CONSTRUCT { _:z ex:citation ?d . _:z ex:src ?src }
+        WHERE { ?d dct:source ?src }
+    """)
+
+
 def q_bgp_star_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bgp_star star join on the term-dictionary-ENCODED layout
     (operators/encode.py): subjects/objects hash to 8-byte xxhash64
@@ -1747,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_path_pattern": q_bgp_path_pattern,
         "sparql_subquery": q_sparql_subquery,
         "construct_union": q_construct_union,
+        "construct_bnode": q_construct_bnode,
         "sparql_typed": q_sparql_typed,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
@@ -1781,11 +1801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental": q_embedding_incremental,
         "embedding_clusters": q_embedding_clusters,
         "streaming_sessions": q_streaming_sessions,
-        "streaming_user_totals": q_streaming_user_totals,
         "bgp_exists_minus": q_bgp_exists_minus,
         # ---- driver window ends here (50 entries above) ----
         # -- long-stable rows rotated out this round (hash-matched in
         #    two or more prior rounds; queries unchanged) --
+        "streaming_user_totals": q_streaming_user_totals,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
         "embedding_neardup": q_embedding_neardup,
@@ -2322,6 +2342,22 @@ b2 AS (SELECT subj, 'http://example.org/connected' AS pred, obj_value
        FROM t WHERE pred = 'http://schema.org/associatedMedia')
 SELECT DISTINCT subj, pred, obj_value
 FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+"""
+
+_CONSTRUCT_BNODE_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+s AS (SELECT DISTINCT subj AS d, obj_value AS src FROM t
+      WHERE pred = 'http://purl.org/dc/terms/source'),
+m AS (SELECT d, src,
+             '_:m' || md5('_bn_z|' ||
+                          length(d)::VARCHAR || ':' || d || '|' ||
+                          length(src)::VARCHAR || ':' || src) AS node
+      FROM s)
+SELECT DISTINCT subj, pred, obj_value FROM (
+  SELECT node AS subj, 'http://example.org/citation' AS pred,
+         d AS obj_value FROM m
+  UNION ALL
+  SELECT node, 'http://example.org/src', src FROM m)
 """
 
 _SPARQL_OPT_GROUP_ORACLE = f"""
@@ -3374,6 +3410,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_SUBQUERY_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "construct_union":
             _CONSTRUCT_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "construct_bnode":
+            _CONSTRUCT_BNODE_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_typed":
             _SPARQL_TYPED_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,

@@ -885,7 +885,8 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph",
               solution_joins: list | None = None,
-              meta_vars: set | None = None) -> DataFrame:
+              meta_vars: set | None = None,
+              mint_vars: set[str] | None = None) -> DataFrame:
     """SPARQL CONSTRUCT: match the WHERE clause (same arguments as
     ``bgp_match``) and instantiate each ``template`` triple once per
     solution, returning a new (subj, pred, obj_value) triple table —
@@ -896,6 +897,18 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
     non-matching OPTIONAL) is skipped for that solution; other template
     triples of the same solution still emit. Output is distinct (a
     graph is a triple SET).
+
+    ``mint_vars`` — template blank-node labels (SPARQL "blank nodes
+    in the template", §16.2): each listed name is minted as a fresh
+    blank node per solution — the same node across every template
+    triple of one solution, a different node for a different
+    solution. Template labels are scoped to the template (§19.6), so
+    a mint name shadows any same-named WHERE variable. Minting is
+    deterministic and distributed (no shuffle, no driver state): the
+    id is ``_:m`` + md5(label + a length-prefixed encoding of every
+    solution column), so distinct solutions yield distinct nodes and
+    re-running the query re-mints the same ids (idempotent
+    materialization).
 
     Plan shape: one ``bgp_match`` join tree, then each template triple
     is a projection over it — the match is planned once and the
@@ -910,10 +923,27 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col,
                     solution_joins=solution_joins, meta_vars=meta_vars)
     bound = set(sol.columns)
+    mint = set(mint_vars or ())
+    mint_key = None
+    if mint:
+        # solution identity, null-safe and unambiguous: each column is
+        # length-prefixed ("3:abc", null -> "n") so no concatenation of
+        # different solutions can collide
+        enc = []
+        for c in sorted(sol.columns):
+            cs = F.col(c).cast("string")
+            enc.append(F.when(cs.isNull(), F.lit("n")).otherwise(
+                F.concat(F.length(cs).cast("string"), F.lit(":"), cs)))
+        mint_key = F.concat_ws("|", *enc)
 
     def term(t: str, alias: str):
         if t.startswith("?"):
             var = t[1:]
+            if var in mint:
+                return F.concat(
+                    F.lit("_:m"),
+                    F.md5(F.concat_ws("|", F.lit(var), mint_key))
+                ).alias(alias)
             if var not in bound:
                 raise ValueError(
                     f"template variable ?{var} is not bound by the "

@@ -1529,13 +1529,14 @@ def sparql_query(triples: DataFrame, query: str,
                     filters=g.filters or None, values=g.values or None,
                     meta_vars=set(meta_vars) or None, **cols)
     if q.form == "construct":
-        for tri in q.template:
-            for term in tri:
-                if term.startswith("?" + _BNODE_VAR_PREFIX):
-                    raise SparqlUnsupportedError(
-                        "blank nodes in a CONSTRUCT template (fresh "
-                        "node per solution) are not supported — "
-                        "BIND a skolem IRI and use that variable")
+        # blank-node labels in the template (SPARQL §16.2): minted as
+        # a fresh deterministic node per solution by construct().
+        # Template labels are scoped to the template (§19.6) — one
+        # that also appears in the WHERE clause shadows that
+        # (independent) non-distinguished variable rather than
+        # joining with it
+        tmpl_mint = {term[1:] for tri in q.template for term in tri
+                     if term.startswith("?" + _BNODE_VAR_PREFIX)}
         if g.union_branches:
             # CONSTRUCT over UNION: instantiate the template once per
             # branch and union the constructed graphs (a graph is a
@@ -1544,12 +1545,14 @@ def sparql_query(triples: DataFrame, query: str,
             # per SPARQL an unbound template slot skips that triple.
             outs = []
             for branch in g.union_branches:
-                bvars = _pattern_var_names(branch)
+                bvars = _pattern_var_names(branch) | tmpl_mint
                 tmpl = [t for t in q.template
                         if all(not term.startswith("?")
                                or term[1:] in bvars for term in t)]
                 if tmpl:
-                    outs.append(construct(triples, branch, tmpl, **cols))
+                    outs.append(construct(triples, branch, tmpl,
+                                          mint_vars=tmpl_mint or None,
+                                          **cols))
             if not outs:
                 raise SparqlSyntaxError(
                     "CONSTRUCT over UNION: no template triple is fully "
@@ -1569,7 +1572,7 @@ def sparql_query(triples: DataFrame, query: str,
                          values=g.values or None, binds=g.binds or None,
                          solution_joins=csj,
                          meta_vars=(set(meta_vars) & cvars) or None,
-                         **cols)
+                         mint_vars=tmpl_mint or None, **cols)
     # SELECT
     df, _, _ = _compile_select(triples, q, cols, distinct_solutions,
                                meta_vars=meta_vars)

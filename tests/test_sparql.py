@@ -688,10 +688,55 @@ def test_bnode_property_list_parses():
     assert len(q.where.patterns) == 2
 
 
-def test_construct_template_bnode_raises(triples):
-    with pytest.raises(SparqlUnsupportedError, match="skolem"):
-        sparql_query(triples, PFX + """CONSTRUCT { _:z ex:of ?d }
-            WHERE { ?d ex:lang 'en' }""")
+def test_construct_template_bnode_mints_per_solution(triples):
+    # SPARQL §16.2: a template blank node is a FRESH node per
+    # solution, shared across that solution's template triples
+    got = sparql_query(triples, PFX + """CONSTRUCT {
+        _:z ex:of ?d . _:z ex:by ?a }
+        WHERE { ?d ex:author ?a ; ex:lang 'en' }""")
+    rows = _rows(got)
+    assert len(rows) == 4  # 2 solutions x 2 template triples
+    of = {r[2]: r[0] for r in rows if r[1] == EX + "of"}
+    by = {r[2]: r[0] for r in rows if r[1] == EX + "by"}
+    # distinct solutions mint distinct nodes ...
+    assert of["d1"] != of["d3"]
+    # ... and one solution's two template triples share ONE node
+    assert of["d1"] == by["alice"] and of["d3"] == by["bob"]
+    assert all(n.startswith("_:m") for n in of.values())
+    # deterministic: re-running mints the same ids
+    assert _rows(sparql_query(triples, PFX + """CONSTRUCT {
+        _:z ex:of ?d . _:z ex:by ?a }
+        WHERE { ?d ex:author ?a ; ex:lang 'en' }""")) == rows
+
+
+def test_construct_template_anon_bnode_property_list(triples):
+    # [ ... ] in a template desugars to a minted fresh node
+    got = sparql_query(triples, PFX + """CONSTRUCT {
+        ?d ex:entry [ ex:by ?a ] }
+        WHERE { ?d ex:author ?a ; ex:lang 'en' }""")
+    rows = _rows(got)
+    assert len(rows) == 4
+    entry = {r[0]: r[2] for r in rows if r[1] == EX + "entry"}
+    by = {r[0]: r[2] for r in rows if r[1] == EX + "by"}
+    assert entry["d1"] != entry["d3"]
+    assert by[entry["d1"]] == "alice" and by[entry["d3"]] == "bob"
+
+
+def test_construct_template_bnode_distinct_labels_distinct_nodes(
+        triples):
+    got = sparql_query(triples, PFX + """CONSTRUCT {
+        _:x ex:of ?d . _:y ex:of ?d }
+        WHERE { ?d ex:lang 'de' }""")
+    rows = _rows(got)
+    assert len(rows) == 2 and rows[0][0] != rows[1][0]
+
+
+def test_construct_over_union_with_template_bnode(triples):
+    got = sparql_query(triples, PFX + """CONSTRUCT { _:e ex:about ?a }
+        WHERE { { ?a ex:cites ?o } UNION { ?o ex:cites ?a } }""")
+    rows = _rows(got)
+    assert {r[2] for r in rows} == {"d1", "d2", "d3"}
+    assert all(r[0].startswith("_:m") for r in rows)
 
 
 # ---------------------------------------------------------------------------
