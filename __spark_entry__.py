@@ -938,6 +938,28 @@ def q_construct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_union_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION mixed with other group members — the algebra
+    Join(Union(A, B), rest): the union block compiles to a
+    solution-join entry of bgp_match (same machinery as subqueries),
+    joined to the required patterns on the shared variable. Each
+    branch stays an independently-planned pushed-filter scan; the
+    join key ?d is bound by every branch, so no
+    unbound-compatibility branching is needed."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX schema: <http://schema.org/>
+        PREFIX ex: <http://example.org/>
+        SELECT ?d ?o WHERE {
+            ?d ex:nChars ?n .
+            { ?d dct:source ?o } UNION { ?d schema:associatedMedia ?o }
+        }
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -1767,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": q_sparql_subquery,
         "construct_union": q_construct_union,
         "construct_bnode": q_construct_bnode,
+        "sparql_union_join": q_sparql_union_join,
         "sparql_typed": q_sparql_typed,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
@@ -1791,7 +1814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "entity_link": q_entity_link,
         # -- core LLM-pipeline surface --
-        "minhash_pairs": q_minhash_pairs,
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
@@ -1806,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- long-stable rows rotated out this round (hash-matched in
         #    two or more prior rounds; queries unchanged) --
         "streaming_user_totals": q_streaming_user_totals,
+        "minhash_pairs": q_minhash_pairs,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
         "embedding_neardup": q_embedding_neardup,
@@ -2342,6 +2365,18 @@ b2 AS (SELECT subj, 'http://example.org/connected' AS pred, obj_value
        FROM t WHERE pred = 'http://schema.org/associatedMedia')
 SELECT DISTINCT subj, pred, obj_value
 FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+"""
+
+_SPARQL_UNION_JOIN_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+n AS (SELECT DISTINCT subj AS d FROM t
+      WHERE pred = 'http://example.org/nChars'),
+u AS (SELECT subj AS d, obj_value AS o FROM t
+      WHERE pred = 'http://purl.org/dc/terms/source'
+      UNION
+      SELECT subj, obj_value FROM t
+      WHERE pred = 'http://schema.org/associatedMedia')
+SELECT DISTINCT n.d AS d, u.o AS o FROM n JOIN u USING (d)
 """
 
 _CONSTRUCT_BNODE_ORACLE = """
@@ -3412,6 +3447,8 @@ def oracle_sql() -> dict[str, str]:
             _CONSTRUCT_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "construct_bnode":
             _CONSTRUCT_BNODE_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_union_join":
+            _SPARQL_UNION_JOIN_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_typed":
             _SPARQL_TYPED_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,

@@ -194,6 +194,10 @@ class _Group:
     values: list[dict] = field(default_factory=list)
     binds: list[tuple[str, str]] = field(default_factory=list)
     union_branches: list[list[tuple]] | None = None
+    # UNION blocks mixed with other group members: each entry is one
+    # { A } UNION { B } ... block's branch list, compiled to a
+    # solution join — algebra Join(Union(A, B), rest-of-group)
+    inline_unions: list[list[list[tuple]]] = field(default_factory=list)
     subqueries: list["_Query"] = field(default_factory=list)
 
 
@@ -602,16 +606,16 @@ class _Parser:
                 self._next()
                 branches.append(self._plain_bgp())
             if len(branches) > 1:
-                if not (self._peek().kind == "OP"
+                if (self._peek().kind == "OP"
                         and self._peek().value == "}"):
-                    raise SparqlUnsupportedError(
-                        "UNION mixed with other group members is not "
-                        "supported — lift the other members into each "
-                        "branch")
-                self._next()
-                g.union_branches = branches
-                return g
-            g.patterns += branches[0]
+                    self._next()
+                    g.union_branches = branches
+                    return g
+                # other members follow the UNION block: compiles to
+                # Join(Union(branches), rest) via a solution join
+                g.inline_unions.append(branches)
+            else:
+                g.patterns += branches[0]
         while not (self._peek().kind == "OP" and self._peek().value == "}"):
             t = self._peek()
             if t.kind == "EOF":
@@ -663,9 +667,17 @@ class _Parser:
                     g.subqueries.append(self._parse_select())
                     self._expect("OP", "}")
                     continue
-                raise SparqlUnsupportedError(
-                    "nested group / UNION after other members is not "
-                    "supported in this subset")
+                # nested group / UNION block after other members
+                branches = [self._plain_bgp()]
+                while self._at_kw("union"):
+                    self._next()
+                    branches.append(self._plain_bgp())
+                if len(branches) == 1:
+                    # a single nested plain group joins by inlining
+                    g.patterns += branches[0]
+                else:
+                    g.inline_unions.append(branches)
+                continue
             elif t.kind == "OP" and t.value == ".":
                 self._next()
             else:
@@ -1211,6 +1223,9 @@ def _group_nullable(g: _Group) -> set[str]:
         # any var not bound by EVERY branch may be unbound
         per_branch = [_pattern_var_names(b) for b in g.union_branches]
         nul |= set.union(*per_branch) - set.intersection(*per_branch)
+    for branches in g.inline_unions:
+        per_branch = [_pattern_var_names(b) for b in branches]
+        nul |= set.union(*per_branch) - set.intersection(*per_branch)
     for opt in g.optional:
         if isinstance(opt, dict):
             pats = opt["patterns"]
@@ -1233,9 +1248,10 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
                         meta_vars: frozenset = frozenset()
                         ) -> tuple[list[dict] | None, set[str]]:
     """Compile a group's subqueries bottom-up (SPARQL 1.1 §18.2.2)
-    into bgp_match solution-join entries. Returns (entries, nullable
-    variable names the subqueries may contribute)."""
-    if not g.subqueries:
+    and its inline UNION blocks (a UNION mixed with other group
+    members) into bgp_match solution-join entries. Returns (entries,
+    nullable variable names they may contribute)."""
+    if not g.subqueries and not g.inline_unions:
         return None, set()
     entries: list[dict] = []
     nul: set[str] = set()
@@ -1245,6 +1261,26 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
         entries.append({"df": sdf, "nullable": snul,
                         "allow_disjoint": scalar})
         nul |= snul
+    for branches in g.inline_unions:
+        # UNION mixed with other group members: the union's solution
+        # set joins the rest of the group on the shared variables
+        # (algebra Join(Union(...), rest)). A variable not bound by
+        # EVERY branch is nullable — bgp_match raises (typed) if such
+        # a variable is a join key, per its unbound-compatibility
+        # policy for solution joins
+        udf = bgp_union(triples, branches, **cols)
+        per_branch = [_pattern_var_names(b) for b in branches]
+        bad = (set(meta_vars) & set.union(*per_branch)) \
+            - _pattern_var_names(g.patterns)
+        if bad:
+            raise SparqlUnsupportedError(
+                "LANG()/DATATYPE()/isIRI()-family builtins over the "
+                f"UNION-bound variable(s) {sorted(bad)} are not "
+                "supported — bind the variable in a required triple "
+                "pattern outside the UNION")
+        unul = set.union(*per_branch) - set.intersection(*per_branch)
+        entries.append({"df": udf, "nullable": unul})
+        nul |= unul
     return entries, nul
 
 
@@ -1519,6 +1555,11 @@ def sparql_query(triples: DataFrame, query: str,
             raise SparqlUnsupportedError(
                 "subqueries inside ASK are not supported — lift the "
                 "subquery's constraint into the outer group")
+        if g.inline_unions:
+            raise SparqlUnsupportedError(
+                "UNION mixed with other members inside ASK is not "
+                "supported — use SELECT ... LIMIT 1, or lift the "
+                "other members into each branch")
         if g.union_branches is not None:
             # ASK over a UNION: true iff any branch matches
             # (short-circuits branch by branch)

@@ -217,9 +217,12 @@ def test_parse_errors():
         # isIRI are now supported via term-metadata columns)
         _parse(PFX + "SELECT * WHERE { ?d ex:p ?a "
                "FILTER (STRUUID() = 'x') }")
-    with pytest.raises(SparqlUnsupportedError):
-        _parse(PFX + "SELECT * WHERE { { ?d ex:a ?x } UNION "
+    # UNION mixed with other group members is supported since round 5
+    # (compiles to Join(Union(A, B), rest) via a solution join)
+    q = _parse(PFX + "SELECT * WHERE { { ?d ex:a ?x } UNION "
                "{ ?d ex:b ?x } ?d ex:c ?y }")
+    assert len(q.where.inline_unions) == 1
+    assert q.where.patterns == [("?d", EX + "c", "?y")]
 
 
 def test_parse_ask_construct_describe():
@@ -749,6 +752,80 @@ def test_exec_construct_over_union(triples):
     assert _rows(got) == sorted([
         ("d1", EX + "touches", "d2"), ("d2", EX + "touches", "d3"),
         ("d2", EX + "touches", "d1"), ("d3", EX + "touches", "d2")])
+
+
+def test_union_mixed_with_pattern(triples):
+    # Join(Union(A, B), rest): the shared variable ?d is bound in
+    # every branch, so the join is a plain inner join
+    got = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        ?d ex:lang 'en' .
+        { ?d ex:author ?a } UNION { ?d ex:reviewer ?a } }""")
+    assert _rows(got) == [("d1", "alice"), ("d1", "rev1"),
+                          ("d3", "bob")]
+    # leading-union form compiles the same
+    got2 = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        { ?d ex:author ?a } UNION { ?d ex:reviewer ?a }
+        ?d ex:lang 'en' . }""")
+    assert _rows(got2) == _rows(got)
+
+
+def test_union_mixed_with_filter_and_optional(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?o ?r WHERE {
+        { ?d ex:cites ?o } UNION { ?o ex:cites ?d }
+        ?d ex:lang 'en'
+        OPTIONAL { ?d ex:reviewer ?r }
+        FILTER (?o != 'd9') }""")
+    assert _rows(got) == [("d1", "d2", "rev1"), ("d3", "d2", None)]
+
+
+def test_union_only_with_filter(triples):
+    # a union block followed only by a FILTER: the union's solution
+    # set seeds the group and the filter applies to it
+    got = sparql_query(triples, PFX + """SELECT ?d ?x WHERE {
+        { ?d ex:author ?x } UNION { ?d ex:reviewer ?x }
+        FILTER (?x = 'rev1' || ?x = 'bob') }""")
+    assert _rows(got) == [("d1", "rev1"), ("d3", "bob")]
+
+
+def test_union_nullable_join_var_raises(triples):
+    # ?a is bound by only one branch (nullable) AND is the join key
+    # with the required pattern — bgp_match refuses (typed) rather
+    # than silently dropping rows via Spark's null != null
+    with pytest.raises(ValueError, match="unbound|nullable|null"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            { ?x ex:cites ?d . ?x ex:author ?a }
+            UNION { ?x ex:cites ?d } }""").collect()
+
+
+def test_union_meta_builtin_over_union_var_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="UNION-bound"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:lang 'en' .
+            { ?d ex:author ?a } UNION { ?d ex:reviewer ?a }
+            FILTER (isLiteral(?a)) }""")
+
+
+def test_nested_plain_group_after_members_inlines(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        ?d ex:lang 'en' . { ?d ex:author ?a } }""")
+    want = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        ?d ex:lang 'en' . ?d ex:author ?a }""")
+    assert _rows(got) == _rows(want)
+
+
+def test_construct_with_inline_union(triples):
+    got = sparql_query(triples, PFX + """CONSTRUCT { ?d ex:touch ?o }
+        WHERE { ?d ex:lang 'en' .
+                { ?d ex:cites ?o } UNION { ?o ex:cites ?d } }""")
+    assert _rows(got) == sorted([
+        ("d1", EX + "touch", "d2"), ("d3", EX + "touch", "d2")])
+
+
+def test_ask_with_inline_union_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="LIMIT 1"):
+        sparql_query(triples, PFX + """ASK { ?d ex:lang 'en' .
+            { ?d ex:cites ?o } UNION { ?o ex:cites ?d } }""")
 
 
 def test_construct_over_union_partial_template_binding(triples):
