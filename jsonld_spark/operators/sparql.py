@@ -54,11 +54,16 @@ so the compiled plan is identical to the hand-written call):
   (identity on the stored lexical IRI — enables skolem templates)
 
 Deviations / limits (all raise a clear error, never mis-execute):
-SERVICE, nested GRAPH, UNION mixed with other group members,
-subqueries inside ASK / EXISTS / MINUS bodies, nondeterministic
-builtins (NOW / UUID / RAND / BNODE), STRLANG/STRDT, and
-OPTIONAL-group filters
-referencing outer variables are not supported. Expression
+SERVICE, nested GRAPH, subqueries inside EXISTS / MINUS bodies,
+nondeterministic builtins (NOW / UUID / RAND / BNODE), STRLANG/STRDT,
+and OPTIONAL-group filters
+referencing outer variables are not supported. A UNION block mixed
+with other group members compiles to Join(Union(branches), rest) via
+a solution join (a variable not bound by every branch is nullable;
+using one as the join key, or in a term-metadata builtin, raises).
+ASK over any group shape — including OPTIONAL / BIND / subqueries /
+inline UNION — compiles through the SELECT machinery under
+``limit(1)``. Expression
 translation casts a variable compared against a numeric literal to
 ``double``, and ``xsd:integer(?v)``-style constructors cast
 explicitly (SPARQL compares typed values; the triples frame stores
@@ -1547,19 +1552,21 @@ def sparql_query(triples: DataFrame, query: str,
                         s_col=s_col, p_col=p_col, o_col=o_col)
     g = q.where
     if q.form == "ask":
-        if g.binds or g.optional:
-            raise SparqlUnsupportedError(
-                "BIND/OPTIONAL inside ASK are not supported — they "
-                "cannot change an existence answer, drop them")
-        if g.subqueries:
-            raise SparqlUnsupportedError(
-                "subqueries inside ASK are not supported — lift the "
-                "subquery's constraint into the outer group")
-        if g.inline_unions:
-            raise SparqlUnsupportedError(
-                "UNION mixed with other members inside ASK is not "
-                "supported — use SELECT ... LIMIT 1, or lift the "
-                "other members into each branch")
+        if g.binds or g.optional or g.subqueries or g.inline_unions:
+            # General group shapes (BIND / OPTIONAL / subqueries /
+            # inline UNION blocks) compile through the SELECT
+            # machinery and probe emptiness. OPTIONAL or BIND alone
+            # cannot change an existence answer, but a group FILTER
+            # or join over their variables can, so the full group
+            # semantics must run; distinct is skipped (existence
+            # needs no dedup exchange) and limit(1) short-circuits
+            # the scan via Catalyst's LocalLimit pushdown.
+            sq = _Query(form="select", where=g, select_star=True,
+                        distinct=False, limit=1)
+            df, _, _ = _compile_select(triples, sq, cols,
+                                       distinct_solutions=False,
+                                       meta_vars=meta_vars)
+            return bool(df.take(1))
         if g.union_branches is not None:
             # ASK over a UNION: true iff any branch matches
             # (short-circuits branch by branch)

@@ -653,10 +653,13 @@ def test_subquery_disjoint_nonscalar_raises(triples):
         }""").collect()
 
 
-def test_subquery_in_ask_raises(triples):
-    with pytest.raises(SparqlUnsupportedError):
-        sparql_query(triples, PFX + """ASK {
-            { SELECT ?d WHERE { ?d ex:lang 'en' } } }""")
+def test_ask_with_subquery(triples):
+    # subqueries inside ASK compile through the SELECT machinery
+    assert sparql_query(triples, PFX + """ASK {
+        { SELECT ?d WHERE { ?d ex:lang 'en' } } }""") is True
+    assert sparql_query(triples, PFX + """ASK {
+        ?d ex:author 'bob' .
+        { SELECT ?d WHERE { ?d ex:lang 'de' } } }""") is False
 
 
 def test_exec_subquery_in_construct(triples):
@@ -822,10 +825,28 @@ def test_construct_with_inline_union(triples):
         ("d1", EX + "touch", "d2"), ("d3", EX + "touch", "d2")])
 
 
-def test_ask_with_inline_union_raises(triples):
-    with pytest.raises(SparqlUnsupportedError, match="LIMIT 1"):
-        sparql_query(triples, PFX + """ASK { ?d ex:lang 'en' .
-            { ?d ex:cites ?o } UNION { ?o ex:cites ?d } }""")
+def test_ask_with_inline_union(triples):
+    assert sparql_query(triples, PFX + """ASK { ?d ex:lang 'en' .
+        { ?d ex:cites ?o } UNION { ?o ex:cites ?d } }""") is True
+    assert sparql_query(triples, PFX + """ASK { ?d ex:lang 'fr' .
+        { ?d ex:cites ?o } UNION { ?o ex:cites ?d } }""") is False
+
+
+def test_ask_with_optional_and_bind(triples):
+    # OPTIONAL alone never changes an existence answer …
+    assert sparql_query(triples, PFX + """ASK { ?d ex:author 'bob' .
+        OPTIONAL { ?d ex:reviewer ?r } }""") is True
+    # … but a group FILTER over the optional variable can: BOUND(?r)
+    # is false for bob's doc (d3 has no reviewer)
+    assert sparql_query(triples, PFX + """ASK { ?d ex:author 'bob' .
+        OPTIONAL { ?d ex:reviewer ?r } FILTER (BOUND(?r)) }""") is False
+    assert sparql_query(triples, PFX + """ASK { ?d ex:author 'alice' .
+        OPTIONAL { ?d ex:reviewer ?r } FILTER (BOUND(?r)) }""") is True
+    # BIND feeding a FILTER changes existence too
+    assert sparql_query(triples, PFX + """ASK { ?d ex:author ?a .
+        BIND (STRLEN(?a) AS ?n) FILTER (?n > 4) }""") is True
+    assert sparql_query(triples, PFX + """ASK { ?d ex:author ?a .
+        BIND (STRLEN(?a) AS ?n) FILTER (?n > 9) }""") is False
 
 
 def test_construct_over_union_partial_template_binding(triples):
