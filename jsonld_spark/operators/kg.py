@@ -268,7 +268,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     additionally applies group-scoped FILTER expressions to the
     group's solutions before the left join (SPARQL leftjoin's expr
     argument, for the case where it references only group
-    variables; outer-variable references raise).
+    variables; outer-variable references raise). A dict entry
+    ``{'union': [branch, ...], 'filters': [...]}`` is
+    ``OPTIONAL { { A } UNION { B } }`` — algebra LeftJoin(rest,
+    Union(A, B)): the branches' solution union (missing variables
+    null-padded) left-joins on the shared variables; a shared
+    variable not bound by EVERY branch raises (an unbound optional-
+    side join key would silently never match).
     Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
     when a later OPTIONAL shares a variable that an EARLIER
     non-matching OPTIONAL left unbound (null), that solution is
@@ -549,7 +555,37 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         return inner, gbound
 
     for i, pat in enumerate(optional or []):
-        if isinstance(pat, dict):
+        union_nullable: set[str] = set()
+        if isinstance(pat, dict) and "union" in pat:
+            # OPTIONAL { { A } UNION { B } }: SPARQL algebra
+            # LeftJoin(rest, Union(A, B)). The union's solution set
+            # (each branch an independent join tree, missing vars
+            # null-padded) becomes the optional side. A variable not
+            # bound by EVERY branch is unbound (null) in some rows —
+            # legal as a NEW variable, but as the left-join KEY it
+            # would need right-side unbound-compatibility branching,
+            # which is out of scope: raise instead of mis-joining.
+            step = bgp_union(triples, pat["union"], s_col=s_col,
+                             p_col=p_col, o_col=o_col, g_col=g_col)
+            step_vars = list(step.columns)
+            per_branch = [{t[1:] for p3 in branch for t in p3
+                           if isinstance(t, str) and t.startswith("?")}
+                          for branch in pat["union"]]
+            union_nullable = set.union(*per_branch) \
+                - set.intersection(*per_branch)
+            svset = set(step_vars)
+            for fexpr in pat.get("filters", []):
+                outer = {x for x in _expr_identifiers(fexpr)
+                         if x in bound and x not in svset}
+                if outer:
+                    raise ValueError(
+                        f"optional group {i} filter {fexpr!r} "
+                        f"references outer variables {sorted(outer)} "
+                        "— only group variables are supported in "
+                        "OPTIONAL group filters (outer references "
+                        "would need a conditional left join)")
+                step = step.where(F.expr(fexpr))
+        elif isinstance(pat, dict):
             # {'patterns': [...], 'filters': [...]}: an OPTIONAL group
             # with group-scoped FILTERs. Per SPARQL leftjoin(Ω1, Ω2,
             # expr) the filter conditions the join; when expr
@@ -588,6 +624,14 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(
                 f"optional pattern {i} shares no variable with the "
                 "required patterns — a cartesian product")
+        bad_union_keys = sorted(set(shared) & union_nullable)
+        if bad_union_keys:
+            raise ValueError(
+                f"optional union group {i}: shared variable(s) "
+                f"{bad_union_keys} are not bound by every UNION "
+                "branch — an unbound join key on the optional side "
+                "would silently never match (Spark null != null); "
+                "bind them in every branch or in a required pattern")
         # dedup the optional side unconditionally: duplicate input rows
         # (or an all-shared-vars pattern) must not multiply solutions
         # (metadata columns participate: RDF term distinctness)

@@ -28,7 +28,10 @@ so the compiled plan is identical to the hand-written call):
   its patterns inner-join among themselves, then the joined group
   left-joins the solutions); group-scoped ``FILTER`` inside the
   OPTIONAL body (must reference only group variables — SPARQL
-  leftjoin's expr argument in its common form)
+  leftjoin's expr argument in its common form); an OPTIONAL body
+  that is a ``{ A } UNION { B }`` block compiles to
+  LeftJoin(rest, Union(A, B)) — a shared join variable must be
+  bound by every branch (else a typed error)
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,
@@ -553,13 +556,18 @@ class _Parser:
         self._next()
         return pats
 
-    def _filtered_body(self, label: str) -> tuple[list[tuple], list[str]]:
+    def _filtered_body(self, label: str, allow_union: bool = False
+                       ) -> tuple[list[tuple], list[str],
+                                  list[list[tuple]] | None]:
         """A group body that may mix triple patterns (incl. GRAPH)
         with group-scoped FILTER expressions — the body shape of
-        OPTIONAL / [NOT] EXISTS / MINUS groups."""
+        OPTIONAL / [NOT] EXISTS / MINUS groups. With ``allow_union``
+        (OPTIONAL only) a ``{ A } UNION { B }`` block is accepted and
+        returned as the third element (branch pattern lists)."""
         self._expect("OP", "{")
         pats: list[tuple] = []
         filters: list[str] = []
+        union: list[list[tuple]] | None = None
         while not (self._peek().kind == "OP" and self._peek().value == "}"):
             if self._peek().kind == "EOF":
                 raise SparqlSyntaxError(f"unterminated {label} group")
@@ -575,6 +583,22 @@ class _Parser:
                 pats += self._graphify(self._plain_bgp(), gterm)
             elif self._peek().kind == "OP" and self._peek().value == ".":
                 self._next()
+            elif (allow_union and self._peek().kind == "OP"
+                    and self._peek().value == "{"):
+                branches = [self._plain_bgp()]
+                while self._at_kw("union"):
+                    self._next()
+                    branches.append(self._plain_bgp())
+                if len(branches) == 1:
+                    # a plain nested group inlines
+                    pats += branches[0]
+                elif union is not None:
+                    raise SparqlUnsupportedError(
+                        f"multiple UNION blocks inside one {label} "
+                        "group are not supported — merge the branches "
+                        "into one UNION")
+                else:
+                    union = branches
             elif (self._peek().kind == "KW"
                   and self._peek().value in ("optional", "bind",
                                              "values", "minus",
@@ -589,12 +613,17 @@ class _Parser:
             else:
                 pats += self._triples_block(None)
         self._next()
-        if not pats:
+        if union is not None and pats:
+            raise SparqlUnsupportedError(
+                f"UNION mixed with triple patterns inside one {label} "
+                "group is not supported — lift the patterns into each "
+                "branch, or move them outside the group")
+        if not pats and union is None:
             raise SparqlSyntaxError(f"empty {label} group")
-        return pats, filters
+        return pats, filters, union
 
     def _group_entry(self, label: str) -> list | dict:
-        pats, fs = self._filtered_body(label)
+        pats, fs, _ = self._filtered_body(label)
         return {"patterns": pats, "filters": fs} if fs else pats
 
     # -- group graph pattern ----------------------------------------------
@@ -626,11 +655,18 @@ class _Parser:
             if t.kind == "EOF":
                 raise SparqlSyntaxError("unterminated group")
             if self._eat_kw("optional"):
-                pats, fs = self._filtered_body("OPTIONAL")
+                pats, fs, ub = self._filtered_body("OPTIONAL",
+                                                   allow_union=True)
                 # single pattern → tuple (plain left join); several →
                 # list = OPTIONAL group evaluated as a unit; with
-                # group-scoped FILTERs → dict form
-                if fs:
+                # group-scoped FILTERs → dict form; a UNION body →
+                # union-dict form (LeftJoin(rest, Union(A, B)))
+                if ub is not None:
+                    entry: dict = {"union": ub}
+                    if fs:
+                        entry["filters"] = fs
+                    g.optional.append(entry)
+                elif fs:
                     g.optional.append({"patterns": pats, "filters": fs})
                 else:
                     g.optional.append(pats[0] if len(pats) == 1
@@ -1232,7 +1268,9 @@ def _group_nullable(g: _Group) -> set[str]:
         per_branch = [_pattern_var_names(b) for b in branches]
         nul |= set.union(*per_branch) - set.intersection(*per_branch)
     for opt in g.optional:
-        if isinstance(opt, dict):
+        if isinstance(opt, dict) and "union" in opt:
+            pats = [p for branch in opt["union"] for p in branch]
+        elif isinstance(opt, dict):
             pats = opt["patterns"]
         elif opt and isinstance(opt[0], (list, tuple)):
             pats = opt

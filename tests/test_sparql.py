@@ -817,6 +817,49 @@ def test_nested_plain_group_after_members_inlines(triples):
     assert _rows(got) == _rows(want)
 
 
+def test_optional_over_union(triples):
+    # OPTIONAL { { A } UNION { B } } = LeftJoin(rest, Union(A, B)):
+    # d1 cites d2 (branch 1), d3 is cited by d2 (branch 2), d2 both
+    got = sparql_query(triples, PFX + """SELECT ?d ?o WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { { ?d ex:cites ?o } UNION { ?o ex:cites ?d } } }""")
+    assert _rows(got) == [("d1", "d2"), ("d2", "d1"), ("d2", "d3"),
+                          ("d3", "d2")]
+    # group FILTER applies to the union's solutions before the join,
+    # so a filtered-out optional row leaves ?o unbound, not dropped
+    got2 = sparql_query(triples, PFX + """SELECT ?d ?o WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { { ?d ex:cites ?o } UNION { ?o ex:cites ?d }
+                   FILTER (?o != 'd2') } }""")
+    assert _rows(got2) == [("d1", None), ("d2", "d1"), ("d2", "d3"),
+                           ("d3", None)]
+
+
+def test_optional_union_unbound_join_key_raises(triples):
+    # ?a is the join key but only branch 1 binds it
+    with pytest.raises(ValueError, match="every UNION branch"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            OPTIONAL { { ?x ex:cites ?d . ?x ex:author ?a }
+                       UNION { ?x ex:cites ?d } } }""").collect()
+
+
+def test_optional_union_mixed_with_patterns_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="lift the"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            OPTIONAL { ?d ex:lang ?l
+                       { ?d ex:cites ?o } UNION { ?o ex:cites ?d } } }""")
+
+
+def test_optional_nested_plain_group_inlines(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
+        ?d ex:author ?a . OPTIONAL { { ?d ex:reviewer ?r } } }""")
+    want = sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
+        ?d ex:author ?a . OPTIONAL { ?d ex:reviewer ?r } }""")
+    assert _rows(got) == _rows(want)
+
+
 def test_construct_with_inline_union(triples):
     got = sparql_query(triples, PFX + """CONSTRUCT { ?d ex:touch ?o }
         WHERE { ?d ex:lang 'en' .
