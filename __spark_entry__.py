@@ -960,6 +960,36 @@ def q_sparql_union_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL over a UNION body — the algebra
+    LeftJoin(rest, Union(A, B)): the branches' solution union becomes
+    the optional side, with the group-scoped FILTER applied to the
+    union's solutions BEFORE the left join (SPARQL leftjoin's expr).
+    Branch 1 takes English docs' dct:source, branch 2 German docs'
+    media ref; zh/es/fr docs match neither branch and keep a null
+    ``?o`` (the left-join null path), and en docs whose source the
+    FILTER rejects fall to null too rather than being dropped. The
+    join key ?d is bound by every branch (the engine raises
+    otherwise), so no unbound-compatibility branching is needed."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX schema: <http://schema.org/>
+        PREFIX ex: <http://example.org/>
+        SELECT ?d ?o WHERE {
+            ?d ex:nChars ?n .
+            OPTIONAL {
+                { ?d schema:inLanguage 'en' . ?d dct:source ?o }
+                UNION
+                { ?d schema:inLanguage 'de' . ?d schema:associatedMedia ?o }
+                FILTER (?o != 'src3')
+            }
+        }
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -1791,10 +1821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construct_bnode": q_construct_bnode,
         "sparql_union_join": q_sparql_union_join,
         "sparql_typed": q_sparql_typed,
+        "sparql_optional_union": q_sparql_optional_union,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
-        "nquads_media_lines": q_nquads_media_lines,
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
@@ -1826,7 +1856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_exists_minus": q_bgp_exists_minus,
         # ---- driver window ends here (50 entries above) ----
         # -- long-stable rows rotated out this round (hash-matched in
-        #    two or more prior rounds; queries unchanged) --
+        #    two or more prior rounds; queries unchanged;
+        #    nquads_media_lines is subsumed by nquads_roundtrip, whose
+        #    serializer path it shares) --
+        "nquads_media_lines": q_nquads_media_lines,
         "streaming_user_totals": q_streaming_user_totals,
         "minhash_pairs": q_minhash_pairs,
         "doc_stats": q_doc_stats,
@@ -2377,6 +2410,25 @@ u AS (SELECT subj AS d, obj_value AS o FROM t
       SELECT subj, obj_value FROM t
       WHERE pred = 'http://schema.org/associatedMedia')
 SELECT DISTINCT n.d AS d, u.o AS o FROM n JOIN u USING (d)
+"""
+
+_SPARQL_OPT_UNION_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+n AS (SELECT DISTINCT subj AS d FROM t
+      WHERE pred = 'http://example.org/nChars'),
+u AS (SELECT s.subj AS d, s.obj_value AS o FROM t s
+      WHERE s.pred = 'http://purl.org/dc/terms/source'
+        AND EXISTS (SELECT 1 FROM t l WHERE l.subj = s.subj
+                    AND l.pred = 'http://schema.org/inLanguage'
+                    AND l.obj_value = 'en')
+      UNION
+      SELECT m.subj, m.obj_value FROM t m
+      WHERE m.pred = 'http://schema.org/associatedMedia'
+        AND EXISTS (SELECT 1 FROM t l WHERE l.subj = m.subj
+                    AND l.pred = 'http://schema.org/inLanguage'
+                    AND l.obj_value = 'de')),
+f AS (SELECT * FROM u WHERE o <> 'src3')
+SELECT n.d AS d, f.o AS o FROM n LEFT JOIN f USING (d)
 """
 
 _CONSTRUCT_BNODE_ORACLE = """
@@ -3451,6 +3503,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_UNION_JOIN_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_typed":
             _SPARQL_TYPED_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_optional_union":
+            _SPARQL_OPT_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":
