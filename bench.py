@@ -107,6 +107,11 @@ EXTENDED = [
     "sparql_subquery",
     "construct_union",
     "sparql_typed",
+    "bgp_path_pattern",
+    "bgp_star_encoded",
+    "construct_bnode",
+    "sparql_union_join",
+    "sparql_optional_union",
 ]
 
 

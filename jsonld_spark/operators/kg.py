@@ -302,7 +302,21 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     ``minus`` group a correlated filter references a variable UNBOUND
     inside the group (MINUS does not substitute, SPARQL §8.3.3), so
     the expression errors, the group is empty, and the MINUS is
-    faithfully a no-op. A shared variable
+    faithfully a no-op. A group may also be a dict ``{'union':
+    [branch, ...], 'filters': [...]}`` — the body is ``{ A } UNION
+    { B }``. NOT EXISTS and MINUS distribute over UNION (NOT
+    EXISTS{A∪B} ≡ NOT EXISTS{A} AND NOT EXISTS{B}; MINUS removals
+    union), so each branch becomes its own group through the
+    unchanged compat/substitution machinery. EXISTS over UNION is an
+    OR — not expressible as chained semi joins — and plans as one
+    left join per branch against the branch's DISTINCT shared-key
+    set with a marker column (unique keys: no row multiplication),
+    keeping solutions with any marker set; correlated filters or
+    nullable shared variables there raise typed errors. A union-dict
+    filter must reference only variables bound by EVERY branch (or
+    outer variables): distributed into a branch that does not bind
+    its variable it would be a type error → false, silently emptying
+    just that branch. A shared variable
     the solution left unbound (null, from a non-matching OPTIONAL)
     follows SPARQL's substitution semantics: it stays a FREE variable
     inside the group, so the group constrains only the solution's
@@ -831,7 +845,81 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             cond = cond & F.expr(_rewrite_refs(fexpr, ren))
         return out_df.join(right, cond, how)
 
+    def _expand_union_group(group, gi: int, kind: str) -> list:
+        """{'union': [...], 'filters': [...]} → per-branch group
+        entries. NOT EXISTS and MINUS distribute over UNION (NOT
+        EXISTS{A∪B} ≡ NOT EXISTS{A} AND NOT EXISTS{B}; MINUS
+        removals union), so each branch runs through the unchanged
+        compat/substitution machinery; EXISTS consumes the entries
+        in its marker-join path. Filters must reference only
+        variables bound by every branch (or outer variables) —
+        distributed into a branch that does not bind the variable
+        the filter would be a type error → false, silently emptying
+        just that branch."""
+        branches = group["union"]
+        fs = group.get("filters", [])
+        per = [{t[1:] for p3 in b for t in p3
+                if isinstance(t, str) and t.startswith("?")}
+               for b in branches]
+        allv, common = set.union(*per), set.intersection(*per)
+        for fexpr in fs:
+            bad = sorted(x for x in _expr_identifiers(fexpr)
+                         if x in allv and x not in common
+                         and x not in bound)
+            if bad:
+                raise ValueError(
+                    f"{kind} group {gi}: filter {fexpr!r} references "
+                    f"variable(s) {bad} not bound by every UNION "
+                    "branch — bind them in every branch")
+        return [{"patterns": b, "filters": fs} if fs else b
+                for b in branches]
+
+    def _exists_union(out_df: DataFrame, group, gi: int) -> DataFrame:
+        """EXISTS { {A} UNION {B} } ≡ EXISTS{A} OR EXISTS{B} — not
+        expressible as chained semi joins (those AND). Bag-correct
+        plan: one left join per branch against the branch's DISTINCT
+        shared-key set carrying a marker column (unique keys: no row
+        multiplication), then keep solutions with any marker set."""
+        markers: list[str] = []
+        cur = out_df
+        for bi, entry in enumerate(_expand_union_group(group, gi,
+                                                       "exists")):
+            inner, gbound, cfil = _prep_group(entry, gi, "exists")
+            if cfil:
+                raise ValueError(
+                    f"exists group {gi} (UNION branch {bi}): "
+                    "correlated filters over a UNION body are not "
+                    "supported — split the EXISTS per branch")
+            semi_on = [v for v in gbound if v in bound]
+            if not semi_on:
+                raise ValueError(
+                    f"exists group {gi} (UNION branch {bi}) shares "
+                    "no variable with the required patterns — it is "
+                    "not a per-solution test")
+            nsh = [v for v in semi_on if v in nullable]
+            if nsh:
+                raise ValueError(
+                    f"exists group {gi} (UNION branch {bi}): "
+                    f"nullable shared variable(s) {nsh} over a UNION "
+                    "body are not supported — bind them in a "
+                    "required pattern")
+            m = f"_ex_{gi}_{bi}"
+            right = inner.select(*semi_on).distinct() \
+                .withColumn(m, F.lit(1))
+            cur = cur.join(right, semi_on, "left")
+            markers.append(m)
+        cond = F.col(markers[0]).isNotNull()
+        for m in markers[1:]:
+            cond = cond | F.col(m).isNotNull()
+        return cur.filter(cond).drop(*markers)
+
+    ne_groups: list = []
     for gi, group in enumerate(not_exists or []):
+        if isinstance(group, dict) and "union" in group:
+            ne_groups += _expand_union_group(group, gi, "not_exists")
+        else:
+            ne_groups.append(group)
+    for gi, group in enumerate(ne_groups):
         inner, gbound, cfil = _prep_group(group, gi, "not_exists")
         anti_on = [v for v in gbound if v in bound]
         if not anti_on:
@@ -845,6 +933,9 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             out = _compat_join(out, inner, anti_on, "not_exists", gi,
                                "anti")
     for gi, group in enumerate(exists or []):
+        if isinstance(group, dict) and "union" in group:
+            out = _exists_union(out, group, gi)
+            continue
         inner, gbound, cfil = _prep_group(group, gi, "exists")
         semi_on = [v for v in gbound if v in bound]
         if not semi_on:
@@ -856,7 +947,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                                     "exists", gi, "semi")
         else:
             out = _compat_join(out, inner, semi_on, "exists", gi, "semi")
+    mn_groups: list = []
     for gi, group in enumerate(minus or []):
+        if isinstance(group, dict) and "union" in group:
+            mn_groups += _expand_union_group(group, gi, "minus")
+        else:
+            mn_groups.append(group)
+    for gi, group in enumerate(mn_groups):
         inner, gbound, cfil = _prep_group(group, gi, "minus")
         if cfil:
             # SPARQL MINUS does NOT substitute outer bindings (§8.3.3):

@@ -36,7 +36,10 @@ so the compiled plan is identical to the hand-written call):
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,
   in-group AND the trailing ValuesClause after solution modifiers),
-  ``BIND (expr AS ?v)``
+  ``BIND (expr AS ?v)``; a [NOT] EXISTS / MINUS body that is a
+  ``{ A } UNION { B }`` block: NOT EXISTS and MINUS distribute over
+  UNION (per-branch anti joins — exact); EXISTS is an OR, planned as
+  marker left joins against each branch's distinct key set
 * a WHERE clause that is entirely ``{ BGP } UNION { BGP } ...``
   compiles to ``bgp_union``; ``CONSTRUCT`` over such a UNION
   instantiates the template per branch and unions the graphs
@@ -562,8 +565,8 @@ class _Parser:
         """A group body that may mix triple patterns (incl. GRAPH)
         with group-scoped FILTER expressions — the body shape of
         OPTIONAL / [NOT] EXISTS / MINUS groups. With ``allow_union``
-        (OPTIONAL only) a ``{ A } UNION { B }`` block is accepted and
-        returned as the third element (branch pattern lists)."""
+        a ``{ A } UNION { B }`` block is accepted and returned as the
+        third element (branch pattern lists)."""
         self._expect("OP", "{")
         pats: list[tuple] = []
         filters: list[str] = []
@@ -623,7 +626,10 @@ class _Parser:
         return pats, filters, union
 
     def _group_entry(self, label: str) -> list | dict:
-        pats, fs, _ = self._filtered_body(label)
+        pats, fs, union = self._filtered_body(label, allow_union=True)
+        if union is not None:
+            return {"union": union, "filters": fs} if fs \
+                else {"union": union}
         return {"patterns": pats, "filters": fs} if fs else pats
 
     # -- group graph pattern ----------------------------------------------

@@ -860,6 +860,70 @@ def test_optional_nested_plain_group_inlines(triples):
     assert _rows(got) == _rows(want)
 
 
+def test_not_exists_over_union(triples):
+    # NOT EXISTS{A UNION B} = NOT EXISTS{A} AND NOT EXISTS{B}:
+    # d1 cites + has reviewer, d2 cites; only d3 matches neither
+    got = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:author ?a .
+        FILTER NOT EXISTS { { ?d ex:cites ?x }
+                            UNION { ?d ex:reviewer ?x } } }""")
+    assert _rows(got) == [("d3",)]
+    # equals the explicit AND decomposition
+    want = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:author ?a .
+        FILTER NOT EXISTS { ?d ex:cites ?x }
+        FILTER NOT EXISTS { ?d ex:reviewer ?x } }""")
+    assert _rows(got) == _rows(want)
+
+
+def test_not_exists_union_with_group_filter(triples):
+    # union solutions (d,x): (d1,d2),(d2,d3); FILTER keeps only
+    # (d2,d3), so only d2 is excluded
+    got = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:author ?a .
+        FILTER NOT EXISTS { { ?d ex:cites ?x }
+                            UNION { ?d ex:reviewer ?x }
+                            FILTER (?x = 'd3') } }""")
+    assert _rows(got) == [("d1",), ("d3",)]
+
+
+def test_exists_over_union_is_or_and_bag_correct(triples):
+    # EXISTS{A UNION B} = OR: d1 matches BOTH branches but appears
+    # exactly once (marker left joins — no row multiplication)
+    got = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:author ?a .
+        FILTER EXISTS { { ?d ex:reviewer ?r }
+                        UNION { ?d ex:cites ?x } } }""")
+    assert _rows(got) == [("d1",), ("d2",)]
+
+
+def test_minus_over_union(triples):
+    # MINUS removals union across branches: d1 (cites, reviewer)
+    # and d2 (cites) removed; d3 survives with its lang binding
+    got = sparql_query(triples, PFX + """SELECT ?d ?l WHERE {
+        ?d ex:lang ?l .
+        MINUS { { ?d ex:cites ?x } UNION { ?d ex:reviewer ?x } } }""")
+    assert _rows(got) == [("d3", "en")]
+
+
+def test_group_union_filter_not_bound_every_branch_raises(triples):
+    with pytest.raises(ValueError, match="every UNION branch"):
+        sparql_query(triples, PFX + """SELECT ?d WHERE {
+            ?d ex:author ?a .
+            FILTER NOT EXISTS { { ?d ex:cites ?x }
+                                UNION { ?d ex:reviewer ?y }
+                                FILTER (?x != 'q') } }""").collect()
+
+
+def test_exists_union_correlated_filter_raises(triples):
+    with pytest.raises(ValueError, match="correlated"):
+        sparql_query(triples, PFX + """SELECT ?d WHERE {
+            ?d ex:author ?a .
+            FILTER EXISTS { { ?d ex:cites ?x }
+                            UNION { ?d ex:reviewer ?x }
+                            FILTER (?x != ?a) } }""").collect()
+
+
 def test_construct_with_inline_union(triples):
     got = sparql_query(triples, PFX + """CONSTRUCT { ?d ex:touch ?o }
         WHERE { ?d ex:lang 'en' .
