@@ -376,3 +376,114 @@ def test_correlated_not_exists_equals_naive(spark, triples, req, g):
             want.add(sol)
     got = {tuple(r) for r in got_df.collect()}
     assert got == want
+
+
+def _naive_union_rows(triples, branches):
+    """Union of branch solution-binding dicts — a var absent from a
+    branch is absent from its rows (SPARQL unbound)."""
+    rows = set()
+    for branch in branches:
+        for tr in triples:
+            b = {}
+            ok = True
+            for t, x in zip(branch, tr):
+                if t.startswith("?"):
+                    if t[1:] in b and b[t[1:]] != x:
+                        ok = False
+                        break
+                    b[t[1:]] = x
+                elif t != x:
+                    ok = False
+                    break
+            if ok:
+                rows.add(tuple(sorted(b.items())))
+    return rows
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), b1=pattern_st(3), b2=pattern_st(3))
+def test_bgp_optional_union_equals_naive(spark, triples, req, b1, b2):
+    """OPTIONAL { {A} UNION {B} } = LeftJoin(sols, Union(A, B)): a
+    solution extends with every compatible union row (agreement on the
+    shared vars); no compatible row leaves the union-only vars null.
+    The engine raises when a shared join var is not bound by every
+    branch (an unbound null key would never match) — skipped here."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    df = spark.createDataFrame(
+        sorted(triples) * 2,  # duplicated rows must not multiply
+        "subj string, pred string, obj_value string")
+    try:
+        got_df = bgp_match(df, [req],
+                           optional=[{"union": [[b1], [b2]]}])
+    except ValueError:
+        return  # disconnected / not-bound-by-every-branch: by design
+    uvars = []
+    for branch in (b1, b2):
+        for t in branch:
+            if t.startswith("?") and t[1:] not in vars_ \
+                    and t[1:] not in uvars:
+                uvars.append(t[1:])
+    rows = _naive_union_rows(triples, [[*b1], [*b2]])
+    want = set()
+    for sol in sols:
+        sb = dict(zip(vars_, sol))
+        exts = set()
+        for row in rows:
+            rb = dict(row)
+            if all(sb[k] == v for k, v in rb.items() if k in sb):
+                exts.add(tuple(sb[v] for v in vars_)
+                         + tuple(rb.get(v) for v in uvars))
+        if not exts:
+            exts = {sol + tuple(None for _ in uvars)}
+        want |= exts
+    got = {tuple(r[c] for c in got_df.columns) for r in got_df.collect()}
+    assert got_df.columns == vars_ + uvars
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), b1=pattern_st(3), b2=pattern_st(3))
+def test_group_union_negation_equals_naive(spark, triples, req, b1, b2):
+    """UNION bodies in NOT EXISTS / EXISTS / MINUS against the naive
+    model: NOT EXISTS{A∪B} drops a solution hit by EITHER branch;
+    EXISTS keeps solutions hit by either branch, exactly once (bag
+    correctness); MINUS removes on a hit from any branch that shares
+    a variable (a disjoint-domain branch removes nothing, §8.3.3)."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+
+    def hits(sol, branch):
+        gvars, gsols = naive_solutions(triples, [branch])
+        shared = [v for v in gvars if v in vars_]
+        sb = dict(zip(vars_, sol))
+        return shared, any(
+            all(dict(zip(gvars, gs))[v] == sb[v] for v in shared)
+            for gs in gsols)
+
+    for kind in ("not_exists", "exists", "minus"):
+        try:
+            got_df = bgp_match(df, [req],
+                               **{kind: [{"union": [[b1], [b2]]}]})
+        except ValueError:
+            continue  # branch shares no var (raises by design)
+        want = set()
+        for sol in sols:
+            s1, h1 = hits(sol, b1)
+            s2, h2 = hits(sol, b2)
+            if kind == "minus":
+                h1, h2 = h1 and bool(s1), h2 and bool(s2)
+            hit = h1 or h2
+            if (kind == "exists") == hit:
+                want.add(sol)
+        got = [tuple(r) for r in got_df.collect()]
+        assert len(got) == len(set(got)), kind  # no row multiplication
+        assert set(got) == want, kind
