@@ -460,3 +460,45 @@ def test_subquery_scalar_broadcast_no_cartesian(spark, tmp_path):
     # filter's keys (nd = mx); accept any broadcast strategy
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert df.count() > 0
+
+
+def test_group_union_plans_are_joins_not_cartesian(spark, tmp_path):
+    """Union bodies in group clauses must stay equi-join shaped:
+    NOT EXISTS{A UNION B} expands to per-branch LeftAnti joins with
+    each branch's constant pushed to its scan; EXISTS{A UNION B}
+    plans marker LEFT joins (one per branch, no row multiplication,
+    no CartesianProduct); OPTIONAL{A UNION B} is one LeftOuter
+    against the union's solutions."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "gu_triples")
+    rows = [(f"s{i}", "p/a", f"o{i}", "g") for i in range(100)]
+    rows += [(f"s{i}", "p/b", f"x{i}", "g") for i in range(0, 100, 2)]
+    rows += [(f"s{i}", "p/c", f"y{i}", "g") for i in range(0, 100, 3)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    union = {"union": [[("?x", "p/b", "?w")], [("?x", "p/c", "?w")]]}
+
+    ne = bgp_match(triples, [("?x", "p/a", "?v")], not_exists=[union])
+    plan = _plan(ne)
+    # survivors: odd, non-multiple-of-3 subjects
+    assert ne.count() == len(
+        [i for i in range(100) if i % 2 and i % 3])
+    assert plan.count("LeftAnti") == 2
+    assert "EqualTo(pred,p/b)" in plan and "EqualTo(pred,p/c)" in plan
+    assert "CartesianProduct" not in plan
+
+    ex = bgp_match(triples, [("?x", "p/a", "?v")], exists=[union])
+    plan = _plan(ex)
+    assert ex.count() == len(
+        [i for i in range(100) if i % 2 == 0 or i % 3 == 0])
+    assert plan.count("LeftOuter") == 2
+    assert "CartesianProduct" not in plan
+
+    op = bgp_match(triples, [("?x", "p/a", "?v")], optional=[union])
+    plan = _plan(op)
+    assert op.count() == 100 + len(
+        [i for i in range(100) if i % 2 == 0 and i % 3 == 0])
+    assert plan.count("LeftOuter") == 1
+    assert "CartesianProduct" not in plan
