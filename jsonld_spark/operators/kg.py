@@ -274,7 +274,16 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     Union(A, B)): the branches' solution union (missing variables
     null-padded) left-joins on the shared variables; a shared
     variable not bound by EVERY branch raises (an unbound optional-
-    side join key would silently never match).
+    side join key would silently never match). A dict entry with an
+    ``'optional'`` key — ``{'patterns': [...], 'optional': [...],
+    'filters': [...]}`` — is a NESTED OPTIONAL: the group's solution
+    set is a recursive ``bgp_match`` over its patterns and inner
+    optionals (LeftJoin inside the optional side, nesting to any
+    depth), group filters apply to those solutions, then the whole
+    group left-joins the outer solutions. A variable bound only by
+    an inner optional is nullable in the group's solutions; using it
+    as the outer left-join key raises (same null-key rule as union
+    bodies).
     Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
     when a later OPTIONAL shares a variable that an EARLIER
     non-matching OPTIONAL left unbound (null), that solution is
@@ -599,6 +608,34 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                         "OPTIONAL group filters (outer references "
                         "would need a conditional left join)")
                 step = step.where(F.expr(fexpr))
+        elif isinstance(pat, dict) and "optional" in pat:
+            # nested OPTIONAL: the group's solutions are a recursive
+            # bgp_match over its patterns + inner optionals (LeftJoin
+            # inside the optional side — any nesting depth), then the
+            # group left-joins the outer solutions as a unit. A var
+            # bound only by an inner optional may be null in the
+            # group's solutions, so as the outer join key it would
+            # silently never match — flagged nullable and checked
+            # below exactly like a not-every-branch union var.
+            step = bgp_match(triples, pat["patterns"],
+                             optional=pat["optional"], s_col=s_col,
+                             p_col=p_col, o_col=o_col, g_col=g_col)
+            step_vars = list(step.columns)
+            reqset = {t[1:] for p3 in pat["patterns"] for t in p3
+                      if isinstance(t, str) and t.startswith("?")}
+            union_nullable = set(step_vars) - reqset
+            svset = set(step_vars)
+            for fexpr in pat.get("filters", []):
+                outer = {x for x in _expr_identifiers(fexpr)
+                         if x in bound and x not in svset}
+                if outer:
+                    raise ValueError(
+                        f"optional group {i} filter {fexpr!r} "
+                        f"references outer variables {sorted(outer)} "
+                        "— only group variables are supported in "
+                        "OPTIONAL group filters (outer references "
+                        "would need a conditional left join)")
+                step = step.where(F.expr(fexpr))
         elif isinstance(pat, dict):
             # {'patterns': [...], 'filters': [...]}: an OPTIONAL group
             # with group-scoped FILTERs. Per SPARQL leftjoin(Ω1, Ω2,
@@ -641,11 +678,12 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         bad_union_keys = sorted(set(shared) & union_nullable)
         if bad_union_keys:
             raise ValueError(
-                f"optional union group {i}: shared variable(s) "
+                f"optional group {i}: shared variable(s) "
                 f"{bad_union_keys} are not bound by every UNION "
-                "branch — an unbound join key on the optional side "
-                "would silently never match (Spark null != null); "
-                "bind them in every branch or in a required pattern")
+                "branch / only bound by an inner OPTIONAL — an "
+                "unbound join key on the optional side would "
+                "silently never match (Spark null != null); bind "
+                "them in every branch or in a required pattern")
         # dedup the optional side unconditionally: duplicate input rows
         # (or an all-shared-vars pattern) must not multiply solutions
         # (metadata columns participate: RDF term distinctness)

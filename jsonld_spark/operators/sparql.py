@@ -559,18 +559,23 @@ class _Parser:
         self._next()
         return pats
 
-    def _filtered_body(self, label: str, allow_union: bool = False
+    def _filtered_body(self, label: str, allow_union: bool = False,
+                       allow_optional: bool = False
                        ) -> tuple[list[tuple], list[str],
-                                  list[list[tuple]] | None]:
+                                  list[list[tuple]] | None, list]:
         """A group body that may mix triple patterns (incl. GRAPH)
         with group-scoped FILTER expressions — the body shape of
         OPTIONAL / [NOT] EXISTS / MINUS groups. With ``allow_union``
         a ``{ A } UNION { B }`` block is accepted and returned as the
-        third element (branch pattern lists)."""
+        third element (branch pattern lists); with ``allow_optional``
+        (OPTIONAL bodies) nested ``OPTIONAL { ... }`` members parse
+        recursively and return as the fourth element (optional-entry
+        values in the ``bgp_match(optional=...)`` forms)."""
         self._expect("OP", "{")
         pats: list[tuple] = []
         filters: list[str] = []
         union: list[list[tuple]] | None = None
+        nested: list = []
         while not (self._peek().kind == "OP" and self._peek().value == "}"):
             if self._peek().kind == "EOF":
                 raise SparqlSyntaxError(f"unterminated {label} group")
@@ -602,6 +607,9 @@ class _Parser:
                         "into one UNION")
                 else:
                     union = branches
+            elif allow_optional and self._at_kw("optional"):
+                self._next()
+                nested.append(self._optional_entry())
             elif (self._peek().kind == "KW"
                   and self._peek().value in ("optional", "bind",
                                              "values", "minus",
@@ -616,17 +624,44 @@ class _Parser:
             else:
                 pats += self._triples_block(None)
         self._next()
-        if union is not None and pats:
+        if union is not None and (pats or nested):
             raise SparqlUnsupportedError(
-                f"UNION mixed with triple patterns inside one {label} "
+                f"UNION mixed with other members inside one {label} "
                 "group is not supported — lift the patterns into each "
                 "branch, or move them outside the group")
+        if nested and not pats:
+            raise SparqlUnsupportedError(
+                f"a {label} group whose body is ONLY a nested "
+                "OPTIONAL has no required part to left-join the "
+                "inner group against — add a triple pattern, or "
+                "flatten the nesting")
         if not pats and union is None:
             raise SparqlSyntaxError(f"empty {label} group")
-        return pats, filters, union
+        return pats, filters, union, nested
+
+    def _optional_entry(self) -> tuple | list | dict:
+        """Parse one OPTIONAL body (recursively: nested OPTIONALs and
+        UNION bodies allowed) into the ``bgp_match(optional=...)``
+        entry forms: a single pattern tuple, a pattern list (group),
+        or a dict with 'patterns' / 'filters' / 'union' / 'optional'
+        keys."""
+        pats, fs, ub, nested = self._filtered_body(
+            "OPTIONAL", allow_union=True, allow_optional=True)
+        if ub is not None:
+            return {"union": ub, "filters": fs} if fs \
+                else {"union": ub}
+        if nested:
+            entry: dict = {"patterns": pats, "optional": nested}
+            if fs:
+                entry["filters"] = fs
+            return entry
+        if fs:
+            return {"patterns": pats, "filters": fs}
+        return pats[0] if len(pats) == 1 else pats
 
     def _group_entry(self, label: str) -> list | dict:
-        pats, fs, union = self._filtered_body(label, allow_union=True)
+        pats, fs, union, _ = self._filtered_body(label,
+                                                 allow_union=True)
         if union is not None:
             return {"union": union, "filters": fs} if fs \
                 else {"union": union}
@@ -661,22 +696,13 @@ class _Parser:
             if t.kind == "EOF":
                 raise SparqlSyntaxError("unterminated group")
             if self._eat_kw("optional"):
-                pats, fs, ub = self._filtered_body("OPTIONAL",
-                                                   allow_union=True)
                 # single pattern → tuple (plain left join); several →
                 # list = OPTIONAL group evaluated as a unit; with
                 # group-scoped FILTERs → dict form; a UNION body →
-                # union-dict form (LeftJoin(rest, Union(A, B)))
-                if ub is not None:
-                    entry: dict = {"union": ub}
-                    if fs:
-                        entry["filters"] = fs
-                    g.optional.append(entry)
-                elif fs:
-                    g.optional.append({"patterns": pats, "filters": fs})
-                else:
-                    g.optional.append(pats[0] if len(pats) == 1
-                                      else pats)
+                # union-dict form (LeftJoin(rest, Union(A, B)));
+                # nested OPTIONALs → dict with an 'optional' key
+                # (recursive bgp_match on the optional side)
+                g.optional.append(self._optional_entry())
             elif self._eat_kw("filter"):
                 if self._at_kw("exists"):
                     self._next()

@@ -76,6 +76,83 @@ def test_bgp_optional_rejects_disjoint(triples):
                   optional=[("?x", EX + "lang", "en")])
 
 
+def test_bgp_nested_optional_group(spark):
+    # OPTIONAL { req OPTIONAL { inner } }: the group matches on its
+    # required part alone; the inner OPTIONAL can only ADD bindings.
+    # When the group's required part fails, inner-optional vars stay
+    # unbound even if the inner pattern alone would match.
+    rows = [
+        ("d1", EX + "author", "alice", "iri"),
+        ("d2", EX + "author", "alice", "iri"),
+        ("d3", EX + "author", "bob", "iri"),
+        ("d1", EX + "cites", "d2", "iri"),
+        ("d2", EX + "cites", "d3", "iri"),
+        ("d1", EX + "reviewer", "rev1", "literal"),
+        ("d3", EX + "reviewer", "rev3", "literal"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string")
+    got = bgp_match(
+        t, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?o", EX + "cites", "?d")],
+                   "optional": [("?o", EX + "reviewer", "?r")]}])
+    assert got.columns == ["d", "a", "o", "r"]
+    # d1: nothing cites it -> group fails -> o AND r null (d1 has a
+    # reviewer, but the nested group must not leak it: a flattened
+    # sequential OPTIONAL would differ here);
+    # d2: cited by d1 which has a reviewer; d3: cited by d2, none
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("d1", "alice", None, None),
+        ("d2", "alice", "d1", "rev1"),
+        ("d3", "bob", "d2", None)]
+
+
+def test_bgp_nested_optional_two_deep_and_filter(spark):
+    rows = [
+        ("d1", EX + "author", "alice", "iri"),
+        ("d2", EX + "author", "bob", "iri"),
+        ("d1", EX + "cites", "d2", "iri"),
+        ("d2", EX + "lang", "de", "literal"),
+        ("d2", EX + "reviewer", "rev2", "literal"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string")
+    got = bgp_match(
+        t, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?d", EX + "cites", "?o")],
+                   "optional": [{"patterns": [("?o", EX + "lang", "?l")],
+                                 "optional": [("?o", EX + "reviewer",
+                                               "?r")]}]}])
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("d1", "alice", "d2", "de", "rev2"),
+        ("d2", "bob", None, None, None)]
+    # a group filter over an inner-optional variable applies to the
+    # group's solutions (null comparison drops -> group row unmatched)
+    got2 = bgp_match(
+        t, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?d", EX + "cites", "?o")],
+                   "optional": [("?o", EX + "reviewer", "?r")],
+                   "filters": ["r = 'nope'"]}])
+    assert sorted(tuple(r) for r in got2.collect()) == [
+        ("d1", "alice", None, None), ("d2", "bob", None, None)]
+
+
+def test_bgp_nested_optional_inner_bound_join_key_raises(spark):
+    # the outer shared variable ?r is bound only by the group's INNER
+    # optional -> nullable on the optional side -> typed refusal
+    rows = [("d1", EX + "author", "alice", "iri"),
+            ("d1", EX + "reviewer", "rev1", "literal"),
+            ("d1", EX + "lang", "en", "literal")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string")
+    with pytest.raises(ValueError, match="inner OPTIONAL"):
+        bgp_match(
+            t, [("?d", EX + "author", "?a"),
+                ("?d", EX + "reviewer", "?r")],
+            optional=[{"patterns": [("?d", EX + "lang", "?l")],
+                       "optional": [("?d", EX + "reviewer", "?r")]}])
+
+
 def test_bgp_filter_and_unbound_comparison_drops(triples):
     got = bgp_match(triples, [("?d", EX + "author", "?a")],
                     optional=[("?d", EX + "cites", "?c")],

@@ -860,6 +860,75 @@ def test_optional_nested_plain_group_inlines(triples):
     assert _rows(got) == _rows(want)
 
 
+def test_parse_nested_optional_entry_form():
+    q = _parse(PFX + """SELECT * WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?o ex:cites ?d OPTIONAL { ?o ex:reviewer ?r }
+                   FILTER (?o != 'd9') } }""")
+    assert q.where.optional == [{
+        "patterns": [("?o", EX + "cites", "?d")],
+        "optional": [("?o", EX + "reviewer", "?r")],
+        "filters": ["(`o` != 'd9')"],
+    }]
+
+
+def test_exec_nested_optional(triples):
+    # group matches iff something cites ?d; the inner OPTIONAL adds
+    # the citing doc's reviewer when present. d1 is cited by nothing
+    # (its own reviewer must NOT leak in), d2 is cited by d1 (reviewer
+    # rev1), d3 is cited by d2 (no reviewer).
+    got = sparql_query(triples, PFX + """SELECT ?d ?o ?r WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?o ex:cites ?d OPTIONAL { ?o ex:reviewer ?r } } }""")
+    assert _rows(got) == [("d1", None, None), ("d2", "d1", "rev1"),
+                          ("d3", "d2", None)]
+    # matches the programmatic algebra form
+    want = bgp_match(
+        triples, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?o", EX + "cites", "?d")],
+                   "optional": [("?o", EX + "reviewer", "?r")]}]
+    ).select("d", "o", "r")
+    assert _rows(got) == _rows(want)
+
+
+def test_exec_nested_optional_union_body(triples):
+    # an inner OPTIONAL whose body is a UNION: recursion composes the
+    # union-dict entry form inside the nested group
+    got = sparql_query(triples, PFX + """SELECT ?d ?o ?x WHERE {
+        ?d ex:lang 'en' .
+        OPTIONAL { ?d ex:cites ?o
+                   OPTIONAL { { ?o ex:cites ?x }
+                              UNION { ?x ex:cites ?o } } } }""")
+    assert _rows(got) == [("d1", "d2", "d1"), ("d1", "d2", "d3"),
+                          ("d3", None, None)]
+
+
+def test_nested_optional_only_body_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="required part"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            OPTIONAL { OPTIONAL { ?d ex:reviewer ?r } } }""")
+
+
+def test_nested_optional_inner_join_key_raises(triples):
+    # ?r is bound outside AND only by the group's inner optional
+    with pytest.raises(ValueError, match="inner OPTIONAL"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a . ?d ex:reviewer ?r .
+            OPTIONAL { ?d ex:lang ?l
+                       OPTIONAL { ?d ex:reviewer ?r } } }""").collect()
+
+
+def test_nested_optional_in_not_exists_raises(triples):
+    # nested OPTIONAL is only supported in OPTIONAL bodies; negation
+    # groups keep the typed unsupported error
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            FILTER NOT EXISTS { ?d ex:cites ?o
+                                OPTIONAL { ?o ex:lang ?l } } }""")
+
+
 def test_not_exists_over_union(triples):
     # NOT EXISTS{A UNION B} = NOT EXISTS{A} AND NOT EXISTS{B}:
     # d1 cites + has reviewer, d2 cites; only d3 matches neither
