@@ -990,6 +990,42 @@ def q_sparql_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_nested_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested OPTIONAL from SPARQL text — ``OPTIONAL { G OPTIONAL
+    { I } }`` compiles to a recursive left-join tree evaluated as a
+    unit: every media doc, OPTIONAL its reviewer, and INSIDE that
+    group OPTIONAL the reviewer's org. Docs with no reviewer keep
+    BOTH ``?rev`` and ``?org`` null — the inner optional never leaks
+    across a failed group. Contrast ``bgp_optional_chain``: the
+    SEQUENTIAL form of the same two optionals bind-onces an unbound
+    ``?rev`` against every worksFor row (SPARQL unbound
+    compatibility); nesting changes the answer, and this row pins the
+    difference."""
+    from jsonld_spark.operators.sparql import sparql_query
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    works = spark.createDataFrame(
+        [(f"{_KG_EX}reviewer/{k}", _KG_EX + "worksFor",
+          f"{_KG_EX}org/{k % 2}") for k in range(3)],
+        "subj string, pred string, obj_value string")
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value") \
+        .unionByName(reviews).unionByName(works)
+    return sparql_query(triples, f"""
+        PREFIX schema: <http://schema.org/>
+        PREFIX ex: <{_KG_EX}>
+        SELECT ?d ?rev ?org WHERE {{
+            ?d schema:associatedMedia ?media .
+            OPTIONAL {{ ?d ex:reviewedBy ?rev
+                        OPTIONAL {{ ?rev ex:worksFor ?org }} }}
+        }}
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -1822,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_join": q_sparql_union_join,
         "sparql_typed": q_sparql_typed,
         "sparql_optional_union": q_sparql_optional_union,
+        "sparql_nested_optional": q_sparql_nested_optional,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1845,7 +1882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         # -- core LLM-pipeline surface --
         "minhash_incremental": q_minhash_incremental,
-        "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_reps": q_simhash_neardup_reps,
         "decontaminate": q_decontaminate,
@@ -1899,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         # rotated to the tail round 5 (hash-matched 2+ rounds,
         # queries unchanged):
+        "dedup_clusters": q_dedup_clusters,
         "minhash_word_pairs": q_minhash_word_pairs,
         "dedup_exact": q_dedup_exact,
         "subject_stats": q_subject_stats,
@@ -2429,6 +2466,24 @@ u AS (SELECT s.subj AS d, s.obj_value AS o FROM t s
                     AND l.obj_value = 'de')),
 f AS (SELECT * FROM u WHERE o <> 'src3')
 SELECT n.d AS d, f.o AS o FROM n LEFT JOIN f USING (d)
+"""
+
+_SPARQL_NESTED_OPT_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+m AS (SELECT DISTINCT subj AS d FROM t
+      WHERE pred = 'http://schema.org/associatedMedia'),
+r AS (SELECT DISTINCT '{_KG_EX}doc/' || doc_id AS d,
+             '{_KG_EX}reviewer/' || (doc_id % 5) AS rev
+      FROM documents WHERE doc_id % 3 = 0),
+w AS (SELECT '{_KG_EX}reviewer/' || k AS rev,
+             '{_KG_EX}org/' || (k % 2) AS org
+      FROM (VALUES (0), (1), (2)) v(k)),
+-- the group is evaluated as a unit: reviewer LEFT JOIN org FIRST,
+-- then the whole group left-joins the media docs (a doc with no
+-- reviewer keeps rev AND org null — no bind-once leak)
+g AS (SELECT r.d, r.rev, w.org FROM r LEFT JOIN w ON r.rev = w.rev)
+SELECT m.d AS d, g.rev AS rev, g.org AS org
+FROM m LEFT JOIN g USING (d)
 """
 
 _CONSTRUCT_BNODE_ORACLE = """
@@ -3505,6 +3560,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_TYPED_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_optional_union":
             _SPARQL_OPT_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_nested_optional":
+            _SPARQL_NESTED_OPT_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

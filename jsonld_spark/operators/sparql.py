@@ -31,7 +31,13 @@ so the compiled plan is identical to the hand-written call):
   leftjoin's expr argument in its common form); an OPTIONAL body
   that is a ``{ A } UNION { B }`` block compiles to
   LeftJoin(rest, Union(A, B)) — a shared join variable must be
-  bound by every branch (else a typed error)
+  bound by every branch (else a typed error); nested
+  ``OPTIONAL { ... }`` members inside an OPTIONAL body (any depth,
+  UNION bodies allowed inside) compile to a recursive left-join
+  tree evaluated as a unit — a variable bound only by an inner
+  OPTIONAL is nullable in the group's solutions, so using it as
+  the outer join key raises the same typed error, and a body that
+  is ONLY a nested OPTIONAL (no required part) raises
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,

@@ -448,6 +448,47 @@ def test_bgp_optional_union_equals_naive(spark, triples, req, b1, b2):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), greq=pattern_st(3), ginner=pattern_st(4))
+def test_bgp_nested_optional_equals_naive(spark, triples, req, greq,
+                                          ginner):
+    """OPTIONAL { G OPTIONAL { I } } vs the naive model: the group's
+    solutions are G's matches extended by I per leftjoin (naive_optional
+    — inner vars null when I fails), and each required solution extends
+    with compatible group rows on the vars the SOLUTION binds, or all-
+    null group vars when none match. The engine raises when an outer
+    join key is bound only by the inner optional — skipped here."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    gvars, gsols = naive_solutions(triples, [greq])
+    df = spark.createDataFrame(
+        sorted(triples) * 2,  # duplicated rows must not multiply
+        "subj string, pred string, obj_value string")
+    try:
+        got_df = bgp_match(
+            df, [req],
+            optional=[{"patterns": [greq], "optional": [ginner]}])
+    except ValueError:
+        return  # disconnected / inner-bound-join-key: typed by design
+    grows, gallvars = naive_optional(gsols, gvars, triples, ginner)
+    new = [v for v in gallvars if v not in vars_]
+    want = set()
+    for sol in sols:
+        sb = dict(zip(vars_, sol))
+        exts = set()
+        for gr in grows:
+            gb = dict(zip(gallvars, gr))
+            if all(gb[v] == sb[v] for v in gallvars if v in sb):
+                exts.add(sol + tuple(gb[v] for v in new))
+        want |= exts if exts else {sol + (None,) * len(new)}
+    assert got_df.columns == vars_ + new
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
        req=pattern_st(2), b1=pattern_st(3), b2=pattern_st(3))
 def test_group_union_negation_equals_naive(spark, triples, req, b1, b2):
     """UNION bodies in NOT EXISTS / EXISTS / MINUS against the naive
