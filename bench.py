@@ -112,6 +112,7 @@ EXTENDED = [
     "construct_bnode",
     "sparql_union_join",
     "sparql_optional_union",
+    "sparql_nested_optional",
 ]
 
 
