@@ -283,7 +283,12 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     group left-joins the outer solutions. A variable bound only by
     an inner optional is nullable in the group's solutions; using it
     as the outer left-join key raises (same null-key rule as union
-    bodies).
+    bodies). Any dict entry may also carry a ``'binds'`` key — an
+    ordered ``[(var, spark_sql_expr)]`` list applied to the group's
+    solutions BEFORE the group filters (SPARQL Extend inside the
+    optional group); a bind variable is nullable on the optional side
+    (its expression may evaluate to null), so using it as the outer
+    join key raises the same typed error.
     Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
     when a later OPTIONAL shares a variable that an EARLIER
     non-matching OPTIONAL left unbound (null), that solution is
@@ -579,6 +584,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
 
     for i, pat in enumerate(optional or []):
         union_nullable: set[str] = set()
+        group_filters: list[str] = []
+        group_binds: list[tuple[str, str]] = []
         if isinstance(pat, dict) and "union" in pat:
             # OPTIONAL { { A } UNION { B } }: SPARQL algebra
             # LeftJoin(rest, Union(A, B)). The union's solution set
@@ -596,18 +603,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                           for branch in pat["union"]]
             union_nullable = set.union(*per_branch) \
                 - set.intersection(*per_branch)
-            svset = set(step_vars)
-            for fexpr in pat.get("filters", []):
-                outer = {x for x in _expr_identifiers(fexpr)
-                         if x in bound and x not in svset}
-                if outer:
-                    raise ValueError(
-                        f"optional group {i} filter {fexpr!r} "
-                        f"references outer variables {sorted(outer)} "
-                        "— only group variables are supported in "
-                        "OPTIONAL group filters (outer references "
-                        "would need a conditional left join)")
-                step = step.where(F.expr(fexpr))
+            group_filters = pat.get("filters", [])
+            group_binds = pat.get("binds", [])
         elif isinstance(pat, dict) and "optional" in pat:
             # nested OPTIONAL: the group's solutions are a recursive
             # bgp_match over its patterns + inner optionals (LeftJoin
@@ -624,18 +621,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             reqset = {t[1:] for p3 in pat["patterns"] for t in p3
                       if isinstance(t, str) and t.startswith("?")}
             union_nullable = set(step_vars) - reqset
-            svset = set(step_vars)
-            for fexpr in pat.get("filters", []):
-                outer = {x for x in _expr_identifiers(fexpr)
-                         if x in bound and x not in svset}
-                if outer:
-                    raise ValueError(
-                        f"optional group {i} filter {fexpr!r} "
-                        f"references outer variables {sorted(outer)} "
-                        "— only group variables are supported in "
-                        "OPTIONAL group filters (outer references "
-                        "would need a conditional left join)")
-                step = step.where(F.expr(fexpr))
+            group_filters = pat.get("filters", [])
+            group_binds = pat.get("binds", [])
         elif isinstance(pat, dict):
             # {'patterns': [...], 'filters': [...]}: an OPTIONAL group
             # with group-scoped FILTERs. Per SPARQL leftjoin(Ω1, Ω2,
@@ -646,18 +633,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             # conditional left join and are rejected.
             step, step_vars = _group_solutions(
                 pat["patterns"], i, "optional")
-            svset = set(step_vars)
-            for fexpr in pat.get("filters", []):
-                outer = {x for x in _expr_identifiers(fexpr)
-                         if x in bound and x not in svset}
-                if outer:
-                    raise ValueError(
-                        f"optional group {i} filter {fexpr!r} "
-                        f"references outer variables {sorted(outer)} "
-                        "— only group variables are supported in "
-                        "OPTIONAL group filters (outer references "
-                        "would need a conditional left join)")
-                step = step.where(F.expr(fexpr))
+            group_filters = pat.get("filters", [])
+            group_binds = pat.get("binds", [])
         elif isinstance(pat, list):
             # a multi-pattern OPTIONAL group: SPARQL evaluates the
             # group as a unit (its patterns inner-join among
@@ -668,6 +645,41 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             step, step_vars = _pattern_step(
                 triples, pat, i, pos_cols,
                 meta_vars=frozenset(mv_pending), meta_cols=meta_cols)
+        # group-scoped BIND (SPARQL §18.2.2.6 Extend over the group's
+        # solutions) — applied BEFORE group filters, which may
+        # reference the bound var. A BIND expression can evaluate to
+        # null, so the var is nullable on the optional side: as the
+        # outer join key it joins through union_nullable's typed check.
+        svset = set(step_vars)
+        for bvar, bexpr in group_binds:
+            if bvar in svset:
+                raise ValueError(
+                    f"optional group {i} BIND would rebind {bvar!r} — "
+                    "SPARQL forbids rebinding an in-scope variable")
+            outer = {x for x in _expr_identifiers(bexpr)
+                     if x in bound and x not in svset}
+            if outer:
+                raise ValueError(
+                    f"optional group {i} BIND {bexpr!r} references "
+                    f"outer variables {sorted(outer)} — only group "
+                    "variables are supported in OPTIONAL group BINDs "
+                    "(outer references would need a conditional left "
+                    "join)")
+            step = step.withColumn(bvar, F.expr(bexpr))
+            step_vars.append(bvar)
+            svset.add(bvar)
+            union_nullable.add(bvar)
+        for fexpr in group_filters:
+            outer = {x for x in _expr_identifiers(fexpr)
+                     if x in bound and x not in svset}
+            if outer:
+                raise ValueError(
+                    f"optional group {i} filter {fexpr!r} "
+                    f"references outer variables {sorted(outer)} "
+                    "— only group variables are supported in "
+                    "OPTIONAL group filters (outer references "
+                    "would need a conditional left join)")
+            step = step.where(F.expr(fexpr))
         step_meta = [c for c in step.columns if c not in step_vars]
         shared = [v for v in step_vars if v in bound]
         new = [v for v in step_vars if v not in bound]
@@ -680,10 +692,10 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(
                 f"optional group {i}: shared variable(s) "
                 f"{bad_union_keys} are not bound by every UNION "
-                "branch / only bound by an inner OPTIONAL — an "
-                "unbound join key on the optional side would "
-                "silently never match (Spark null != null); bind "
-                "them in every branch or in a required pattern")
+                "branch / only bound by an inner OPTIONAL or a group "
+                "BIND — an unbound join key on the optional side "
+                "would silently never match (Spark null != null); "
+                "bind them in every branch or in a required pattern")
         # dedup the optional side unconditionally: duplicate input rows
         # (or an all-shared-vars pattern) must not multiply solutions
         # (metadata columns participate: RDF term distinctness)

@@ -37,7 +37,11 @@ so the compiled plan is identical to the hand-written call):
   tree evaluated as a unit — a variable bound only by an inner
   OPTIONAL is nullable in the group's solutions, so using it as
   the outer join key raises the same typed error, and a body that
-  is ONLY a nested OPTIONAL (no required part) raises
+  is ONLY a nested OPTIONAL (no required part) raises;
+  ``BIND (expr AS ?v)`` members inside an OPTIONAL body (SPARQL
+  Extend over the group's solutions, applied before the group's
+  FILTERs, UNION bodies allowed) — a bind variable may evaluate
+  to null, so using it as the outer join key raises too
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,
@@ -568,7 +572,8 @@ class _Parser:
     def _filtered_body(self, label: str, allow_union: bool = False,
                        allow_optional: bool = False
                        ) -> tuple[list[tuple], list[str],
-                                  list[list[tuple]] | None, list]:
+                                  list[list[tuple]] | None, list,
+                                  list[tuple[str, str]]]:
         """A group body that may mix triple patterns (incl. GRAPH)
         with group-scoped FILTER expressions — the body shape of
         OPTIONAL / [NOT] EXISTS / MINUS groups. With ``allow_union``
@@ -576,12 +581,15 @@ class _Parser:
         third element (branch pattern lists); with ``allow_optional``
         (OPTIONAL bodies) nested ``OPTIONAL { ... }`` members parse
         recursively and return as the fourth element (optional-entry
-        values in the ``bgp_match(optional=...)`` forms)."""
+        values in the ``bgp_match(optional=...)`` forms), and
+        ``BIND (expr AS ?v)`` members return as the fifth element
+        (the group's ``binds`` list)."""
         self._expect("OP", "{")
         pats: list[tuple] = []
         filters: list[str] = []
         union: list[list[tuple]] | None = None
         nested: list = []
+        binds: list[tuple[str, str]] = []
         while not (self._peek().kind == "OP" and self._peek().value == "}"):
             if self._peek().kind == "EOF":
                 raise SparqlSyntaxError(f"unterminated {label} group")
@@ -616,6 +624,13 @@ class _Parser:
             elif allow_optional and self._at_kw("optional"):
                 self._next()
                 nested.append(self._optional_entry())
+            elif allow_optional and self._eat_kw("bind"):
+                self._expect("OP", "(")
+                bexpr = self._expression()
+                self._expect("KW", "as")
+                bvar = self._expect("VAR").value[1:]
+                self._expect("OP", ")")
+                binds.append((bvar, bexpr))
             elif (self._peek().kind == "KW"
                   and self._peek().value in ("optional", "bind",
                                              "values", "minus",
@@ -635,39 +650,41 @@ class _Parser:
                 f"UNION mixed with other members inside one {label} "
                 "group is not supported — lift the patterns into each "
                 "branch, or move them outside the group")
-        if nested and not pats:
+        if (nested or binds) and not pats and union is None:
             raise SparqlUnsupportedError(
                 f"a {label} group whose body is ONLY a nested "
-                "OPTIONAL has no required part to left-join the "
-                "inner group against — add a triple pattern, or "
-                "flatten the nesting")
+                "OPTIONAL / BIND has no required part to left-join "
+                "the group against — add a triple pattern, or "
+                "restructure at the outer level")
         if not pats and union is None:
             raise SparqlSyntaxError(f"empty {label} group")
-        return pats, filters, union, nested
+        return pats, filters, union, nested, binds
 
     def _optional_entry(self) -> tuple | list | dict:
         """Parse one OPTIONAL body (recursively: nested OPTIONALs and
         UNION bodies allowed) into the ``bgp_match(optional=...)``
         entry forms: a single pattern tuple, a pattern list (group),
-        or a dict with 'patterns' / 'filters' / 'union' / 'optional'
-        keys."""
-        pats, fs, ub, nested = self._filtered_body(
+        or a dict with 'patterns' / 'filters' / 'union' / 'optional' /
+        'binds' keys."""
+        pats, fs, ub, nested, binds = self._filtered_body(
             "OPTIONAL", allow_union=True, allow_optional=True)
         if ub is not None:
-            return {"union": ub, "filters": fs} if fs \
-                else {"union": ub}
-        if nested:
-            entry: dict = {"patterns": pats, "optional": nested}
-            if fs:
-                entry["filters"] = fs
-            return entry
+            entry: dict = {"union": ub}
+        elif nested:
+            entry = {"patterns": pats, "optional": nested}
+        elif fs or binds:
+            entry = {"patterns": pats}
+        else:
+            return pats[0] if len(pats) == 1 else pats
+        if binds:
+            entry["binds"] = binds
         if fs:
-            return {"patterns": pats, "filters": fs}
-        return pats[0] if len(pats) == 1 else pats
+            entry["filters"] = fs
+        return entry
 
     def _group_entry(self, label: str) -> list | dict:
-        pats, fs, union, _ = self._filtered_body(label,
-                                                 allow_union=True)
+        pats, fs, union, _, _ = self._filtered_body(label,
+                                                    allow_union=True)
         if union is not None:
             return {"union": union, "filters": fs} if fs \
                 else {"union": union}
@@ -1290,6 +1307,25 @@ def _pattern_var_names(pats: list) -> set[str]:
     return vs
 
 
+def _opt_entry_vars(opt) -> set[str]:
+    """Every variable an OPTIONAL entry can bind — through its
+    patterns, UNION branches, nested OPTIONALs (recursively), and
+    group BINDs. All are nullable in the outer solutions."""
+    if isinstance(opt, dict):
+        vs: set[str] = set()
+        if "union" in opt:
+            vs |= _pattern_var_names(
+                [p for branch in opt["union"] for p in branch])
+        vs |= _pattern_var_names(opt.get("patterns", []))
+        for inner in opt.get("optional", []):
+            vs |= _opt_entry_vars(inner)
+        vs |= {v for v, _ in opt.get("binds", [])}
+        return vs
+    if opt and isinstance(opt[0], (list, tuple)):
+        return _pattern_var_names(opt)
+    return _pattern_var_names([opt])
+
+
 def _group_nullable(g: _Group) -> set[str]:
     """Variables that may be unbound (null) in the group's solutions:
     introduced by OPTIONAL, an UNDEF VALUES cell, or BIND. Used to
@@ -1306,15 +1342,7 @@ def _group_nullable(g: _Group) -> set[str]:
         per_branch = [_pattern_var_names(b) for b in branches]
         nul |= set.union(*per_branch) - set.intersection(*per_branch)
     for opt in g.optional:
-        if isinstance(opt, dict) and "union" in opt:
-            pats = [p for branch in opt["union"] for p in branch]
-        elif isinstance(opt, dict):
-            pats = opt["patterns"]
-        elif opt and isinstance(opt[0], (list, tuple)):
-            pats = opt
-        else:
-            pats = [opt]
-        nul |= _pattern_var_names(pats) - req
+        nul |= _opt_entry_vars(opt) - req
     for var, _ in g.binds:
         nul.add(var)
     for row in g.values:

@@ -137,6 +137,35 @@ def test_bgp_nested_optional_two_deep_and_filter(spark):
         ("d1", "alice", None, None), ("d2", "bob", None, None)]
 
 
+def test_bgp_optional_group_binds(spark):
+    # 'binds' in an optional dict entry: Extend over the group's
+    # solutions before group filters; combinable with nested optionals
+    rows = [
+        ("d1", EX + "author", "alice", "iri"),
+        ("d2", EX + "author", "bob", "iri"),
+        ("d1", EX + "cites", "d2", "iri"),
+        ("d2", EX + "reviewer", "rev2", "literal"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string")
+    got = bgp_match(
+        t, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?d", EX + "cites", "?o")],
+                   "optional": [("?o", EX + "reviewer", "?r")],
+                   "binds": [("has_rev", "r IS NOT NULL")]}])
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("d1", "alice", "d2", "rev2", True),
+        ("d2", "bob", None, None, None)]
+    # later binds may reference earlier ones; filters see both
+    got2 = bgp_match(
+        t, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?d", EX + "cites", "?o")],
+                   "binds": [("u", "upper(o)"), ("n", "length(u)")],
+                   "filters": ["n = 2"]}])
+    assert sorted(tuple(r) for r in got2.collect()) == [
+        ("d1", "alice", "d2", "D2", 2), ("d2", "bob", None, None, None)]
+
+
 def test_bgp_nested_optional_inner_bound_join_key_raises(spark):
     # the outer shared variable ?r is bound only by the group's INNER
     # optional -> nullable on the optional side -> typed refusal

@@ -919,6 +919,55 @@ def test_nested_optional_inner_join_key_raises(triples):
                        OPTIONAL { ?d ex:reviewer ?r } } }""").collect()
 
 
+def test_exec_optional_group_bind(triples):
+    # BIND inside an OPTIONAL body: Extend over the group's solutions
+    # (applied before group filters, which may reference the var);
+    # non-matching docs keep the bind var null too
+    got = sparql_query(triples, PFX + """SELECT ?d ?o ?tag WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?o BIND(UCASE(?o) AS ?tag) } }""")
+    assert _rows(got) == [("d1", "d2", "D2"), ("d2", "d3", "D3"),
+                          ("d3", None, None)]
+    got2 = sparql_query(triples, PFX + """SELECT ?d ?o ?tag WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?o BIND(UCASE(?o) AS ?tag)
+                   FILTER (?tag = 'D2') } }""")
+    assert _rows(got2) == [("d1", "d2", "D2"), ("d2", None, None),
+                           ("d3", None, None)]
+
+
+def test_exec_optional_union_bind(triples):
+    # BIND over a UNION body: Extend(Union(A, B), var, expr)
+    got = sparql_query(triples, PFX + """SELECT ?d ?x ?k WHERE {
+        ?d ex:lang 'en' .
+        OPTIONAL { { ?d ex:cites ?x } UNION { ?d ex:reviewer ?x }
+                   BIND(CONCAT(?x, '!') AS ?k) } }""")
+    assert _rows(got) == [("d1", "d2", "d2!"), ("d1", "rev1", "rev1!"),
+                          ("d3", None, None)]
+
+
+def test_optional_bind_only_body_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="required part"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a . OPTIONAL { BIND(1 AS ?z) } }""")
+
+
+def test_optional_bind_rebind_raises(triples):
+    with pytest.raises(ValueError, match="rebind"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            OPTIONAL { ?d ex:cites ?o BIND(UCASE(?o) AS ?o) } }""")
+
+
+def test_optional_bind_join_key_raises(triples):
+    # a bind var may evaluate to null, so it can't be the outer key
+    with pytest.raises(ValueError, match="BIND"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a . ?d ex:reviewer ?r .
+            OPTIONAL { ?d ex:cites ?o
+                       BIND(UCASE(?o) AS ?r) } }""").collect()
+
+
 def test_nested_optional_in_not_exists_raises(triples):
     # nested OPTIONAL is only supported in OPTIONAL bodies; negation
     # groups keep the typed unsupported error
