@@ -165,6 +165,52 @@ _SQL_WORDS = frozenset("""
 """.split())
 
 
+def _pattern_tuple_vars(pats) -> set[str]:
+    """Variable names (without '?') across a list of pattern tuples."""
+    return {t[1:] for p in pats for t in p
+            if isinstance(t, str) and t.startswith("?")}
+
+
+def _group_entry_vars(entry) -> set[str]:
+    """Every variable a [NOT] EXISTS / EXISTS / MINUS group entry
+    references — pattern variables plus group-filter identifiers.
+    Entry forms mirror the ``not_exists=`` parameter: a pattern list,
+    a ``{'patterns', 'filters'}`` dict, or a ``{'union': ...}`` dict."""
+    if isinstance(entry, dict):
+        if "union" in entry:
+            pats = [p for branch in entry["union"] for p in branch]
+        else:
+            pats = entry.get("patterns", [])
+        vs = _pattern_tuple_vars(pats)
+        for fexpr in entry.get("filters", []):
+            vs |= _expr_identifiers(fexpr)
+        return vs
+    if entry and isinstance(entry[0], (list, tuple)):
+        return _pattern_tuple_vars(entry)
+    return _pattern_tuple_vars([entry])
+
+
+def _optional_entry_vars(entry) -> set[str]:
+    """Every variable an ``optional=`` entry can BIND — through its
+    patterns, UNION branches, nested OPTIONALs (recursively), group
+    BINDs, and VALUES rows. (Negation groups bind nothing.)"""
+    if isinstance(entry, dict):
+        vs: set[str] = set()
+        if "union" in entry:
+            vs |= _pattern_tuple_vars(
+                [p for branch in entry["union"] for p in branch])
+        vs |= _pattern_tuple_vars(entry.get("patterns", []))
+        for inner in entry.get("optional", []):
+            vs |= _optional_entry_vars(inner)
+        vs |= {v for v, _ in entry.get("binds", [])}
+        for row in entry.get("values", []):
+            vs |= set(row)
+        return vs
+    if entry and isinstance(entry[0], (list, tuple)):
+        return _pattern_tuple_vars(entry)
+    return _pattern_tuple_vars([entry])
+
+
 def _expr_identifiers(expr: str) -> set[str]:
     """Candidate column identifiers in a SQL expression string:
     backticked names plus bare names not followed by ``(`` (function
@@ -288,7 +334,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     solutions BEFORE the group filters (SPARQL Extend inside the
     optional group); a bind variable is nullable on the optional side
     (its expression may evaluate to null), so using it as the outer
-    join key raises the same typed error.
+    join key raises the same typed error. A dict entry may further
+    carry ``'not_exists'`` / ``'exists'`` / ``'minus'`` (group entries
+    in this parameter's own forms) and ``'values'`` keys — the full
+    group body compiles through a recursive ``bgp_match`` on the
+    optional side; a negation member referencing an OUTER-only
+    variable raises (correlation with the outer solutions would need
+    a conditional left join).
     Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
     when a later OPTIONAL shares a variable that an EARLIER
     non-matching OPTIONAL left unbound (null), that solution is
@@ -605,22 +657,61 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 - set.intersection(*per_branch)
             group_filters = pat.get("filters", [])
             group_binds = pat.get("binds", [])
-        elif isinstance(pat, dict) and "optional" in pat:
-            # nested OPTIONAL: the group's solutions are a recursive
-            # bgp_match over its patterns + inner optionals (LeftJoin
-            # inside the optional side — any nesting depth), then the
-            # group left-joins the outer solutions as a unit. A var
-            # bound only by an inner optional may be null in the
-            # group's solutions, so as the outer join key it would
-            # silently never match — flagged nullable and checked
-            # below exactly like a not-every-branch union var.
+        elif isinstance(pat, dict) and any(
+                k in pat for k in ("optional", "not_exists", "exists",
+                                   "minus", "values")):
+            # a full group body on the optional side: nested OPTIONALs,
+            # [NOT] EXISTS / MINUS negation, and in-group VALUES all
+            # compile through a recursive bgp_match (LeftJoin / anti /
+            # semi / compat joins inside the optional side — any
+            # nesting depth), then the group left-joins the outer
+            # solutions as a unit. A var bound only by an inner
+            # optional / UNDEF-able VALUES is nullable in the group's
+            # solutions, so as the outer join key it would silently
+            # never match — flagged nullable and checked below exactly
+            # like a not-every-branch union var. Negation-group /
+            # VALUES members referencing an OUTER-only variable would
+            # need correlation with the outer solutions (a conditional
+            # left join) — typed refusal, checked before recursing so
+            # the error names the variables instead of surfacing as an
+            # unresolved-column AnalysisException.
+            group_vs = _optional_entry_vars(pat)
+            for kind in ("not_exists", "exists", "minus"):
+                for gentry in pat.get(kind, []):
+                    ev = _group_entry_vars(gentry)
+                    outer_vs = ev & set(bound) - group_vs
+                    if outer_vs:
+                        raise ValueError(
+                            f"optional group {i} {kind.upper()} "
+                            f"references outer variables "
+                            f"{sorted(outer_vs)} — only group "
+                            "variables are supported inside OPTIONAL "
+                            "group bodies (outer references would "
+                            "need a conditional left join)")
             step = bgp_match(triples, pat["patterns"],
-                             optional=pat["optional"], s_col=s_col,
-                             p_col=p_col, o_col=o_col, g_col=g_col)
+                             optional=pat.get("optional"),
+                             not_exists=pat.get("not_exists"),
+                             exists=pat.get("exists"),
+                             minus=pat.get("minus"),
+                             values=pat.get("values"),
+                             s_col=s_col, p_col=p_col, o_col=o_col,
+                             g_col=g_col)
             step_vars = list(step.columns)
             reqset = {t[1:] for p3 in pat["patterns"] for t in p3
                       if isinstance(t, str) and t.startswith("?")}
             union_nullable = set(step_vars) - reqset
+            # a VALUES var with no UNDEF cell (present and non-null in
+            # EVERY row) is provably non-null in the group's solutions
+            # — safe as the outer join key, unless an inner optional /
+            # a group bind can also produce it
+            vals = pat.get("values") or []
+            if vals:
+                safe = {v for v in set().union(*[set(r) for r in vals])
+                        if all(row.get(v) is not None for row in vals)}
+                other = {v for inner in pat.get("optional", [])
+                         for v in _optional_entry_vars(inner)}
+                other |= {v for v, _ in pat.get("binds", [])}
+                union_nullable -= (safe - other)
             group_filters = pat.get("filters", [])
             group_binds = pat.get("binds", [])
         elif isinstance(pat, dict):

@@ -41,7 +41,13 @@ so the compiled plan is identical to the hand-written call):
   ``BIND (expr AS ?v)`` members inside an OPTIONAL body (SPARQL
   Extend over the group's solutions, applied before the group's
   FILTERs, UNION bodies allowed) — a bind variable may evaluate
-  to null, so using it as the outer join key raises too
+  to null, so using it as the outer join key raises too;
+  ``FILTER [NOT] EXISTS`` / ``MINUS`` / ``VALUES`` members inside
+  an OPTIONAL body (the full group compiles through a recursive
+  ``bgp_match`` on the optional side — a rejected group row leaves
+  the optional variables null instead of dropping the outer
+  solution; a negation member referencing an OUTER-only variable
+  raises, as correlation would need a conditional left join)
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,
@@ -220,6 +226,21 @@ class _Group:
     # solution join — algebra Join(Union(A, B), rest-of-group)
     inline_unions: list[list[list[tuple]]] = field(default_factory=list)
     subqueries: list["_Query"] = field(default_factory=list)
+
+
+@dataclass
+class _Body:
+    """Parsed members of an OPTIONAL / [NOT] EXISTS / MINUS group
+    body (what ``_filtered_body`` returns)."""
+    pats: list[tuple] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)
+    union: list[list[tuple]] | None = None
+    nested: list = field(default_factory=list)
+    binds: list[tuple[str, str]] = field(default_factory=list)
+    not_exists: list = field(default_factory=list)
+    exists: list = field(default_factory=list)
+    minus: list = field(default_factory=list)
+    values: list[dict] = field(default_factory=list)
 
 
 @dataclass
@@ -570,34 +591,40 @@ class _Parser:
         return pats
 
     def _filtered_body(self, label: str, allow_union: bool = False,
-                       allow_optional: bool = False
-                       ) -> tuple[list[tuple], list[str],
-                                  list[list[tuple]] | None, list,
-                                  list[tuple[str, str]]]:
+                       allow_optional: bool = False) -> "_Body":
         """A group body that may mix triple patterns (incl. GRAPH)
         with group-scoped FILTER expressions — the body shape of
         OPTIONAL / [NOT] EXISTS / MINUS groups. With ``allow_union``
-        a ``{ A } UNION { B }`` block is accepted and returned as the
-        third element (branch pattern lists); with ``allow_optional``
-        (OPTIONAL bodies) nested ``OPTIONAL { ... }`` members parse
-        recursively and return as the fourth element (optional-entry
-        values in the ``bgp_match(optional=...)`` forms), and
-        ``BIND (expr AS ?v)`` members return as the fifth element
-        (the group's ``binds`` list)."""
+        a ``{ A } UNION { B }`` block is accepted (``union`` field:
+        branch pattern lists); with ``allow_optional`` (OPTIONAL
+        bodies) nested ``OPTIONAL { ... }`` members parse recursively
+        (``nested`` field, in the ``bgp_match(optional=...)`` entry
+        forms), plus ``BIND (expr AS ?v)``, ``FILTER [NOT] EXISTS``,
+        ``MINUS`` and ``VALUES`` members (``binds`` / ``not_exists`` /
+        ``exists`` / ``minus`` / ``values`` fields)."""
         self._expect("OP", "{")
-        pats: list[tuple] = []
-        filters: list[str] = []
+        b = _Body()
+        pats, filters = b.pats, b.filters
         union: list[list[tuple]] | None = None
-        nested: list = []
-        binds: list[tuple[str, str]] = []
+        nested, binds = b.nested, b.binds
         while not (self._peek().kind == "OP" and self._peek().value == "}"):
             if self._peek().kind == "EOF":
                 raise SparqlSyntaxError(f"unterminated {label} group")
             if self._eat_kw("filter"):
                 if self._at_kw("exists") or self._at_kw("not"):
-                    raise SparqlUnsupportedError(
-                        f"FILTER [NOT] EXISTS inside {label} is not "
-                        "supported — lift it to the outer group")
+                    if not allow_optional:
+                        raise SparqlUnsupportedError(
+                            f"FILTER [NOT] EXISTS inside {label} is "
+                            "not supported — lift it to the outer "
+                            "group")
+                    if self._eat_kw("not"):
+                        self._expect("KW", "exists")
+                        b.not_exists.append(
+                            self._group_entry("NOT EXISTS"))
+                    else:
+                        self._next()
+                        b.exists.append(self._group_entry("EXISTS"))
+                    continue
                 filters.append(self._expression())
             elif self._at_kw("graph"):
                 self._next()
@@ -631,6 +658,10 @@ class _Parser:
                 bvar = self._expect("VAR").value[1:]
                 self._expect("OP", ")")
                 binds.append((bvar, bexpr))
+            elif allow_optional and self._eat_kw("minus"):
+                b.minus.append(self._group_entry("MINUS"))
+            elif allow_optional and self._eat_kw("values"):
+                b.values += self._values_clause()
             elif (self._peek().kind == "KW"
                   and self._peek().value in ("optional", "bind",
                                              "values", "minus",
@@ -645,50 +676,54 @@ class _Parser:
             else:
                 pats += self._triples_block(None)
         self._next()
-        if union is not None and (pats or nested):
+        extras = (nested or binds or b.not_exists or b.exists
+                  or b.minus or b.values)
+        # a UNION body takes FILTERs and BINDs over its solutions;
+        # any other member beside it is unsupported
+        if union is not None and (pats or nested or b.not_exists
+                                  or b.exists or b.minus or b.values):
             raise SparqlUnsupportedError(
                 f"UNION mixed with other members inside one {label} "
                 "group is not supported — lift the patterns into each "
                 "branch, or move them outside the group")
-        if (nested or binds) and not pats and union is None:
+        if extras and not pats and union is None:
             raise SparqlUnsupportedError(
-                f"a {label} group whose body is ONLY a nested "
-                "OPTIONAL / BIND has no required part to left-join "
-                "the group against — add a triple pattern, or "
-                "restructure at the outer level")
+                f"a {label} group whose body has no triple pattern "
+                "has no required part to left-join the group against "
+                "— add a triple pattern, or restructure at the outer "
+                "level")
         if not pats and union is None:
             raise SparqlSyntaxError(f"empty {label} group")
-        return pats, filters, union, nested, binds
+        b.union = union
+        return b
 
     def _optional_entry(self) -> tuple | list | dict:
-        """Parse one OPTIONAL body (recursively: nested OPTIONALs and
-        UNION bodies allowed) into the ``bgp_match(optional=...)``
-        entry forms: a single pattern tuple, a pattern list (group),
-        or a dict with 'patterns' / 'filters' / 'union' / 'optional' /
-        'binds' keys."""
-        pats, fs, ub, nested, binds = self._filtered_body(
+        """Parse one OPTIONAL body (recursively: nested OPTIONALs,
+        UNION bodies, BIND, [NOT] EXISTS, MINUS and VALUES members
+        allowed) into the ``bgp_match(optional=...)`` entry forms: a
+        single pattern tuple, a pattern list (group), or a dict with
+        'patterns' / 'filters' / 'union' / 'optional' / 'binds' /
+        'not_exists' / 'exists' / 'minus' / 'values' keys."""
+        b = self._filtered_body(
             "OPTIONAL", allow_union=True, allow_optional=True)
-        if ub is not None:
-            entry: dict = {"union": ub}
-        elif nested:
-            entry = {"patterns": pats, "optional": nested}
-        elif fs or binds:
-            entry = {"patterns": pats}
-        else:
-            return pats[0] if len(pats) == 1 else pats
-        if binds:
-            entry["binds"] = binds
-        if fs:
-            entry["filters"] = fs
-        return entry
+        extras = {k: v for k, v in (
+            ("optional", b.nested), ("binds", b.binds),
+            ("not_exists", b.not_exists), ("exists", b.exists),
+            ("minus", b.minus), ("values", b.values),
+            ("filters", b.filters)) if v}
+        if b.union is not None:
+            return {"union": b.union, **extras}
+        if not extras:
+            return b.pats[0] if len(b.pats) == 1 else b.pats
+        return {"patterns": b.pats, **extras}
 
     def _group_entry(self, label: str) -> list | dict:
-        pats, fs, union, _, _ = self._filtered_body(label,
-                                                    allow_union=True)
-        if union is not None:
-            return {"union": union, "filters": fs} if fs \
-                else {"union": union}
-        return {"patterns": pats, "filters": fs} if fs else pats
+        b = self._filtered_body(label, allow_union=True)
+        if b.union is not None:
+            return {"union": b.union, "filters": b.filters} \
+                if b.filters else {"union": b.union}
+        return {"patterns": b.pats, "filters": b.filters} \
+            if b.filters else b.pats
 
     # -- group graph pattern ----------------------------------------------
     def _group(self) -> _Group:
@@ -1320,6 +1355,8 @@ def _opt_entry_vars(opt) -> set[str]:
         for inner in opt.get("optional", []):
             vs |= _opt_entry_vars(inner)
         vs |= {v for v, _ in opt.get("binds", [])}
+        for row in opt.get("values", []):
+            vs |= set(row)
         return vs
     if opt and isinstance(opt[0], (list, tuple)):
         return _pattern_var_names(opt)

@@ -166,6 +166,40 @@ def test_bgp_optional_group_binds(spark):
         ("d1", "alice", "d2", "D2", 2), ("d2", "bob", None, None, None)]
 
 
+def test_bgp_optional_group_negation_and_values(spark):
+    # 'not_exists' / 'minus' / 'values' keys on an optional dict
+    # entry compile through a recursive bgp_match on the optional side
+    rows = [
+        ("d1", EX + "author", "alice", "iri"),
+        ("d2", EX + "author", "bob", "iri"),
+        ("d3", EX + "author", "carol", "iri"),
+        ("d1", EX + "cites", "d2", "iri"),
+        ("d2", EX + "cites", "d3", "iri"),
+        ("d2", EX + "flagged", "true", "literal"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string")
+    got = bgp_match(
+        t, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?d", EX + "cites", "?o")],
+                   "not_exists": [[("?o", EX + "flagged", "?f")]]}])
+    assert sorted((r.d, r.o) for r in got.collect()) == [
+        ("d1", None), ("d2", "d3"), ("d3", None)]
+    got2 = bgp_match(
+        t, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("?d", EX + "cites", "?o")],
+                   "values": [{"o": "d3"}]}])
+    assert sorted((r.d, r.o) for r in got2.collect()) == [
+        ("d1", None), ("d2", "d3"), ("d3", None)]
+    # a negation member referencing an outer-only variable raises
+    with pytest.raises(ValueError, match="outer variables"):
+        bgp_match(
+            t, [("?d", EX + "author", "?a"),
+                ("?d", EX + "cites", "?c")],
+            optional=[{"patterns": [("?d", EX + "cites", "?o")],
+                       "not_exists": [[("?o", EX + "cites", "?c")]]}])
+
+
 def test_bgp_nested_optional_inner_bound_join_key_raises(spark):
     # the outer shared variable ?r is bound only by the group's INNER
     # optional -> nullable on the optional side -> typed refusal

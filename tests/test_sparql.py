@@ -968,6 +968,71 @@ def test_optional_bind_join_key_raises(triples):
                        BIND(UCASE(?o) AS ?r) } }""").collect()
 
 
+def test_exec_optional_group_not_exists(triples):
+    # FILTER NOT EXISTS inside an OPTIONAL body: the negation applies
+    # to the GROUP's solutions — a rejected group row leaves the
+    # optional vars null, it does NOT drop the outer solution
+    got = sparql_query(triples, PFX + """SELECT ?d ?o WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?o
+                   FILTER NOT EXISTS { ?o ex:lang 'de' } } }""")
+    # d1 cites d2 (lang de -> group row rejected -> ?o null);
+    # d2 cites d3 (lang en -> kept); d3 cites nothing
+    assert _rows(got) == [("d1", None), ("d2", "d3"), ("d3", None)]
+    got2 = sparql_query(triples, PFX + """SELECT ?d ?o WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?o
+                   FILTER EXISTS { ?o ex:lang 'en' } } }""")
+    assert _rows(got2) == [("d1", None), ("d2", "d3"), ("d3", None)]
+    got3 = sparql_query(triples, PFX + """SELECT ?d ?o WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?o MINUS { ?o ex:lang 'de' } } }""")
+    # d2 (lang de) removed from the group -> d1's row keeps ?o null
+    assert _rows(got3) == [("d1", None), ("d2", "d3"), ("d3", None)]
+
+
+def test_exec_optional_group_values(triples):
+    # in-group VALUES constrains the group's solutions; a rejected
+    # optional row leaves the var null rather than dropping the doc
+    got = sparql_query(triples, PFX + """SELECT ?d ?o WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?o VALUES ?o { 'd3' } } }""")
+    assert _rows(got) == [("d1", None), ("d2", "d3"), ("d3", None)]
+
+
+def test_exec_optional_values_constrained_join_key(triples):
+    # a VALUES var with no UNDEF cell is provably non-null in the
+    # group's solutions, so it may serve as the outer join key even
+    # though it is not bound by a group triple pattern
+    got = sparql_query(triples, PFX + """SELECT ?d ?l ?r WHERE {
+        ?d ex:lang ?l .
+        OPTIONAL { ?d ex:reviewer ?r VALUES ?l { 'en' } } }""")
+    assert _rows(got) == [("d1", "en", "rev1"), ("d2", "de", None),
+                          ("d3", "en", None)]
+    # an UNDEF cell keeps the typed refusal
+    with pytest.raises(ValueError, match="null"):
+        sparql_query(triples, PFX + """SELECT ?d ?l ?r WHERE {
+            ?d ex:lang ?l .
+            OPTIONAL { ?d ex:reviewer ?r
+                       VALUES ?l { 'en' UNDEF } } }""").collect()
+
+
+def test_optional_group_negation_outer_var_raises(triples):
+    with pytest.raises(ValueError, match="outer variables"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a . ?d ex:reviewer ?rv .
+            OPTIONAL { ?d ex:cites ?o
+                       FILTER NOT EXISTS { ?o ex:cites ?rv } }
+            }""").collect()
+
+
+def test_optional_negation_only_body_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="required part"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            OPTIONAL { FILTER NOT EXISTS { ?d ex:lang ?l } } }""")
+
+
 def test_nested_optional_in_not_exists_raises(triples):
     # nested OPTIONAL is only supported in OPTIONAL bodies; negation
     # groups keep the typed unsupported error
