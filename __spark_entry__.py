@@ -1026,6 +1026,30 @@ def q_sparql_nested_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_optional_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full group body inside OPTIONAL — BIND + FILTER NOT EXISTS as
+    group members: every language-tagged doc, OPTIONAL its dct:source
+    with an uppercased alias (BIND = Extend over the group's
+    solutions), where the whole group is suppressed for German docs
+    (NOT EXISTS applies to the GROUP: a rejected row leaves ?src AND
+    the bind var null — it never drops the doc). Compiles to a
+    recursive bgp_match on the optional side: anti join + projection
+    under the left join, no correlated subplan."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?src ?tag WHERE {
+            ?d schema:inLanguage ?l .
+            OPTIONAL { ?d dct:source ?src
+                       BIND(UCASE(?src) AS ?tag)
+                       FILTER NOT EXISTS { ?d schema:inLanguage 'de' } }
+        }
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -1859,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_typed": q_sparql_typed,
         "sparql_optional_union": q_sparql_optional_union,
         "sparql_nested_optional": q_sparql_nested_optional,
+        "sparql_optional_body": q_sparql_optional_body,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1881,7 +1906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "entity_link": q_entity_link,
         # -- core LLM-pipeline surface --
-        "minhash_incremental": q_minhash_incremental,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_reps": q_simhash_neardup_reps,
         "decontaminate": q_decontaminate,
@@ -1935,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         # rotated to the tail round 5 (hash-matched 2+ rounds,
         # queries unchanged):
+        "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
         "minhash_word_pairs": q_minhash_word_pairs,
         "dedup_exact": q_dedup_exact,
@@ -2466,6 +2491,22 @@ u AS (SELECT s.subj AS d, s.obj_value AS o FROM t s
                     AND l.obj_value = 'de')),
 f AS (SELECT * FROM u WHERE o <> 'src3')
 SELECT n.d AS d, f.o AS o FROM n LEFT JOIN f USING (d)
+"""
+
+_SPARQL_OPT_BODY_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+n AS (SELECT DISTINCT subj AS d FROM t
+      WHERE pred = 'http://schema.org/inLanguage'),
+g AS (SELECT s.subj AS d, s.obj_value AS src,
+             upper(s.obj_value) AS tag
+      FROM t s
+      WHERE s.pred = 'http://purl.org/dc/terms/source'
+        AND NOT EXISTS (SELECT 1 FROM t x
+                        WHERE x.subj = s.subj
+                          AND x.pred = 'http://schema.org/inLanguage'
+                          AND x.obj_value = 'de'))
+SELECT n.d AS d, g.src AS src, g.tag AS tag
+FROM n LEFT JOIN g USING (d)
 """
 
 _SPARQL_NESTED_OPT_ORACLE = f"""
@@ -3562,6 +3603,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_OPT_UNION_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_nested_optional":
             _SPARQL_NESTED_OPT_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_optional_body":
+            _SPARQL_OPT_BODY_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

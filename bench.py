@@ -113,6 +113,7 @@ EXTENDED = [
     "sparql_union_join",
     "sparql_optional_union",
     "sparql_nested_optional",
+    "sparql_optional_body",
 ]
 
 
