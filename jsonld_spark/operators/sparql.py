@@ -13,7 +13,9 @@ so the compiled plan is identical to the hand-written call):
 
 * ``PREFIX`` / ``BASE`` prologue, ``a`` == ``rdf:type``
 * ``SELECT [DISTINCT] ?v ... | * | (expr AS ?alias)`` with
-  ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
+  ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` (vars, ``ASC/DESC(expr)``,
+  bracketted or builtin-call expression conditions) / ``LIMIT`` /
+  ``OFFSET``
   and the SPARQL aggregates ``COUNT / SUM / AVG / MIN / MAX /
   SAMPLE / GROUP_CONCAT`` (GROUP_CONCAT is made deterministic by
   sorting the group's values — SPARQL leaves the order undefined);
@@ -70,7 +72,8 @@ so the compiled plan is identical to the hand-written call):
   non-distinguished variables + desugared patterns (``SELECT *``
   does not project them); template blank nodes raise
 * term-test builtins LANG / DATATYPE / isIRI / isLiteral / isBlank /
-  LANGMATCHES over the quad frame's kind/lang/datatype columns
+  LANGMATCHES / sameTerm over the quad frame's kind/lang/datatype
+  columns
   (``bgp_match(meta_vars=...)``), plus STRBEFORE / STRAFTER /
   ENCODE_FOR_URI / MD5 / SHA1 / SHA256/384/512 and IRI()/URI()
   (identity on the stored lexical IRI — enables skolem templates)
@@ -1103,6 +1106,25 @@ class _Parser:
             kind = {"isiri": "iri", "isuri": "iri",
                     "isliteral": "literal", "isblank": "bnode"}[name]
             return f"(`{v}__kind` = '{kind}')", "expr"
+        if name == "sameterm":
+            # sameTerm(A, B): identical RDF terms — lexical value plus
+            # kind/lang/datatype metadata all equal (null-safe on the
+            # metadata: two plain literals share lang=NULL). An
+            # unbound argument is a SPARQL type error: `=` yields
+            # NULL and the FILTER drops the solution.
+            if len(args) != 2:
+                raise SparqlSyntaxError("SAMETERM takes 2 arguments")
+            ms = [re.fullmatch(r"`(\w+)`", a) for a in args]
+            if not all(ms):
+                raise SparqlUnsupportedError(
+                    "SAMETERM() takes plain variable arguments in "
+                    "this subset")
+            a, b = (m.group(1) for m in ms)
+            self.meta_vars.add(a)
+            self.meta_vars.add(b)
+            return (f"(`{a}` = `{b}` AND `{a}__kind` <=> `{b}__kind` "
+                    f"AND `{a}__lang` <=> `{b}__lang` AND "
+                    f"`{a}__datatype` <=> `{b}__datatype`)", "expr")
         if name == "langmatches":
             if len(args) != 2:
                 raise SparqlSyntaxError("LANGMATCHES takes 2 arguments")
@@ -1274,6 +1296,17 @@ class _Parser:
                 elif t.kind == "VAR":
                     self._next()
                     q.order_by.append((f"`{t.value[1:]}`", False))
+                elif t.kind == "OP" and t.value == "(":
+                    # bare BrackettedExpression order condition
+                    self._next()
+                    expr = self._expression()
+                    self._expect("OP", ")")
+                    q.order_by.append((expr, False))
+                elif t.kind == "NAME" and self._peek(1).kind == "OP" \
+                        and self._peek(1).value == "(":
+                    # bare BuiltInCall order condition,
+                    # e.g. ORDER BY STRLEN(?a)
+                    q.order_by.append((self._expression(), False))
                 else:
                     break
             if not q.order_by:

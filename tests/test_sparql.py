@@ -1043,6 +1043,39 @@ def test_nested_optional_in_not_exists_raises(triples):
                                 OPTIONAL { ?o ex:lang ?l } } }""")
 
 
+def test_order_by_expression(triples):
+    got = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        ?d ex:author ?a } ORDER BY STRLEN(?a) DESC(?d)""")
+    # bob (3) before alice (5); within alice, d2 before d1 (DESC ?d)
+    assert [tuple(r) for r in got.collect()] == [
+        ("d3", "bob"), ("d2", "alice"), ("d1", "alice")]
+    got2 = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
+        ?d ex:author ?a } ORDER BY (STRLEN(?a)) ?d""")
+    assert [tuple(r) for r in got2.collect()] == [
+        ("d3", "bob"), ("d1", "alice"), ("d2", "alice")]
+
+
+def test_sameterm_distinguishes_lang_tagged(spark):
+    # sameTerm(A, B) is RDF-term identity: 'apple' (plain) and
+    # 'apple'@en share a lexical value but are different terms, so
+    # only the two identity pairs survive
+    rows = [
+        ("d1", EX + "label", "apple", "literal", None, None),
+        ("d1", EX + "label", "apple", "literal", "en", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, "
+              "obj_kind string, obj_lang string, obj_datatype string")
+    got = sparql_query(t, PFX + """SELECT (COUNT(*) AS ?n) WHERE {
+        ?d ex:label ?a . ?d ex:label ?b
+        FILTER(sameTerm(?a, ?b)) }""")
+    assert got.collect()[0].n == 2
+    # non-variable argument raises the typed unsupported error
+    with pytest.raises(SparqlUnsupportedError, match="SAMETERM"):
+        sparql_query(t, PFX + """SELECT * WHERE {
+            ?d ex:label ?a FILTER(sameTerm(?a, 'apple')) }""")
+
+
 def test_not_exists_over_union(triples):
     # NOT EXISTS{A UNION B} = NOT EXISTS{A} AND NOT EXISTS{B}:
     # d1 cites + has reviewer, d2 cites; only d3 matches neither
