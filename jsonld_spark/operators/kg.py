@@ -205,6 +205,9 @@ def _optional_entry_vars(entry) -> set[str]:
         vs |= {v for v, _ in entry.get("binds", [])}
         for row in entry.get("values", []):
             vs |= set(row)
+        for sj in entry.get("solution_joins", []):
+            sjdf = sj["df"] if isinstance(sj, dict) else sj
+            vs |= set(sjdf.columns)
         return vs
     if entry and isinstance(entry[0], (list, tuple)):
         return _pattern_tuple_vars(entry)
@@ -336,11 +339,12 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     (its expression may evaluate to null), so using it as the outer
     join key raises the same typed error. A dict entry may further
     carry ``'not_exists'`` / ``'exists'`` / ``'minus'`` (group entries
-    in this parameter's own forms) and ``'values'`` keys — the full
-    group body compiles through a recursive ``bgp_match`` on the
-    optional side; a negation member referencing an OUTER-only
-    variable raises (correlation with the outer solutions would need
-    a conditional left join).
+    in this parameter's own forms), ``'values'``, and
+    ``'solution_joins'`` (pre-compiled subquery entries in the
+    top-level parameter's form) keys — the full group body compiles
+    through a recursive ``bgp_match`` on the optional side; a negation
+    member referencing an OUTER-only variable raises (correlation with
+    the outer solutions would need a conditional left join).
     Sequential OPTIONALs follow SPARQL's unbound-is-compatible rule:
     when a later OPTIONAL shares a variable that an EARLIER
     non-matching OPTIONAL left unbound (null), that solution is
@@ -659,7 +663,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             group_binds = pat.get("binds", [])
         elif isinstance(pat, dict) and any(
                 k in pat for k in ("optional", "not_exists", "exists",
-                                   "minus", "values")):
+                                   "minus", "values",
+                                   "solution_joins")):
             # a full group body on the optional side: nested OPTIONALs,
             # [NOT] EXISTS / MINUS negation, and in-group VALUES all
             # compile through a recursive bgp_match (LeftJoin / anti /
@@ -694,24 +699,33 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                              exists=pat.get("exists"),
                              minus=pat.get("minus"),
                              values=pat.get("values"),
+                             solution_joins=pat.get("solution_joins"),
                              s_col=s_col, p_col=p_col, o_col=o_col,
                              g_col=g_col)
             step_vars = list(step.columns)
             reqset = {t[1:] for p3 in pat["patterns"] for t in p3
                       if isinstance(t, str) and t.startswith("?")}
             union_nullable = set(step_vars) - reqset
+            # vars other nullable sources (inner optionals, group
+            # binds) can produce stay conservatively nullable below
+            other = {v for inner in pat.get("optional", [])
+                     for v in _optional_entry_vars(inner)}
+            other |= {v for v, _ in pat.get("binds", [])}
             # a VALUES var with no UNDEF cell (present and non-null in
             # EVERY row) is provably non-null in the group's solutions
-            # — safe as the outer join key, unless an inner optional /
-            # a group bind can also produce it
+            # — safe as the outer join key
             vals = pat.get("values") or []
             if vals:
                 safe = {v for v in set().union(*[set(r) for r in vals])
                         if all(row.get(v) is not None for row in vals)}
-                other = {v for inner in pat.get("optional", [])
-                         for v in _optional_entry_vars(inner)}
-                other |= {v for v, _ in pat.get("binds", [])}
                 union_nullable -= (safe - other)
+            # likewise a subquery-bound var outside the subquery's own
+            # nullable set is non-null in the group's solutions
+            for sj in pat.get("solution_joins") or []:
+                sjdf = sj["df"] if isinstance(sj, dict) else sj
+                sjnul = set(sj.get("nullable") or ()) \
+                    if isinstance(sj, dict) else set()
+                union_nullable -= (set(sjdf.columns) - sjnul - other)
             group_filters = pat.get("filters", [])
             group_binds = pat.get("binds", [])
         elif isinstance(pat, dict):

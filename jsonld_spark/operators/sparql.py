@@ -49,7 +49,12 @@ so the compiled plan is identical to the hand-written call):
   ``bgp_match`` on the optional side — a rejected group row leaves
   the optional variables null instead of dropping the outer
   solution; a negation member referencing an OUTER-only variable
-  raises, as correlation would need a conditional left join)
+  raises, as correlation would need a conditional left join);
+  subqueries as OPTIONAL-body members, including a subquery as the
+  ONLY member (the attach-an-aggregate idiom: the subquery's
+  solution set seeds the group) — a subquery-bound variable outside
+  the subquery's own nullable set is provably non-null and accepted
+  as the outer join key
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
   ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,
@@ -244,6 +249,7 @@ class _Body:
     exists: list = field(default_factory=list)
     minus: list = field(default_factory=list)
     values: list[dict] = field(default_factory=list)
+    subqueries: list = field(default_factory=list)
 
 
 @dataclass
@@ -635,6 +641,17 @@ class _Parser:
                 pats += self._graphify(self._plain_bgp(), gterm)
             elif self._peek().kind == "OP" and self._peek().value == ".":
                 self._next()
+            elif (allow_optional and self._peek().kind == "OP"
+                    and self._peek().value == "{"
+                    and self._peek(1).kind == "KW"
+                    and self._peek(1).value == "select"):
+                # SPARQL 1.1 subquery as an OPTIONAL-body member:
+                # compiled bottom-up later, joined to the group's
+                # solutions on the shared variables
+                self._next()
+                self._next()
+                b.subqueries.append(self._parse_select())
+                self._expect("OP", "}")
             elif (allow_union and self._peek().kind == "OP"
                     and self._peek().value == "{"):
                 branches = [self._plain_bgp()]
@@ -684,18 +701,22 @@ class _Parser:
         # a UNION body takes FILTERs and BINDs over its solutions;
         # any other member beside it is unsupported
         if union is not None and (pats or nested or b.not_exists
-                                  or b.exists or b.minus or b.values):
+                                  or b.exists or b.minus or b.values
+                                  or b.subqueries):
             raise SparqlUnsupportedError(
                 f"UNION mixed with other members inside one {label} "
                 "group is not supported — lift the patterns into each "
                 "branch, or move them outside the group")
-        if extras and not pats and union is None:
+        # triple patterns or a subquery seed the group's solutions;
+        # everything else only transforms them
+        seeded = bool(pats) or bool(b.subqueries)
+        if extras and not seeded and union is None:
             raise SparqlUnsupportedError(
                 f"a {label} group whose body has no triple pattern "
-                "has no required part to left-join the group against "
-                "— add a triple pattern, or restructure at the outer "
-                "level")
-        if not pats and union is None:
+                "or subquery has no required part to left-join the "
+                "group against — add one, or restructure at the "
+                "outer level")
+        if not seeded and union is None:
             raise SparqlSyntaxError(f"empty {label} group")
         b.union = union
         return b
@@ -713,6 +734,7 @@ class _Parser:
             ("optional", b.nested), ("binds", b.binds),
             ("not_exists", b.not_exists), ("exists", b.exists),
             ("minus", b.minus), ("values", b.values),
+            ("subqueries", b.subqueries),
             ("filters", b.filters)) if v}
         if b.union is not None:
             return {"union": b.union, **extras}
@@ -1375,6 +1397,14 @@ def _pattern_var_names(pats: list) -> set[str]:
     return vs
 
 
+def _subquery_proj_vars(sq: "_Query") -> set[str]:
+    """The variable names a subquery's solution set projects."""
+    if sq.select_star:
+        g = sq.where
+        return _pattern_var_names(g.patterns) | _group_nullable(g)
+    return {item[-1] for item in (sq.select or [])}
+
+
 def _opt_entry_vars(opt) -> set[str]:
     """Every variable an OPTIONAL entry can bind — through its
     patterns, UNION branches, nested OPTIONALs (recursively), and
@@ -1390,6 +1420,11 @@ def _opt_entry_vars(opt) -> set[str]:
         vs |= {v for v, _ in opt.get("binds", [])}
         for row in opt.get("values", []):
             vs |= set(row)
+        for sq in opt.get("subqueries", []):
+            vs |= _subquery_proj_vars(sq)
+        for sj in opt.get("solution_joins", []):
+            sjdf = sj["df"] if isinstance(sj, dict) else sj
+            vs |= set(sjdf.columns)
         return vs
     if opt and isinstance(opt[0], (list, tuple)):
         return _pattern_var_names(opt)
@@ -1463,6 +1498,39 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
     return entries, nul
 
 
+def _compile_optional_entries(triples: DataFrame, optional: list,
+                              cols: dict, distinct_solutions: bool,
+                              meta_vars: frozenset = frozenset()
+                              ) -> list | None:
+    """Compile subquery ASTs inside OPTIONAL entry dicts (bottom-up,
+    SPARQL 1.1 §18.2.2) into bgp_match solution-join entries,
+    recursing through nested optionals. Entries without subqueries
+    pass through unchanged."""
+    if not optional:
+        return None
+    out = []
+    for entry in optional:
+        if isinstance(entry, dict) and (entry.get("subqueries")
+                                        or entry.get("optional")):
+            entry = dict(entry)
+            if entry.get("optional"):
+                entry["optional"] = _compile_optional_entries(
+                    triples, entry["optional"], cols,
+                    distinct_solutions, meta_vars)
+            sqs = entry.pop("subqueries", None)
+            if sqs:
+                sj = []
+                for sq in sqs:
+                    sdf, snul, scalar = _compile_select(
+                        triples, sq, cols, distinct_solutions,
+                        meta_vars=meta_vars)
+                    sj.append({"df": sdf, "nullable": snul,
+                               "allow_disjoint": scalar})
+                entry["solution_joins"] = sj
+        out.append(entry)
+    return out
+
+
 def _post_values_join(df: DataFrame, rows: list[dict],
                       nullable: set[str]) -> DataFrame:
     """Trailing VALUES clause (SPARQL 18.2.4.3): joined BEFORE
@@ -1526,7 +1594,10 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
         df = bgp_union(triples, g.union_branches, **cols)
     else:
         gvars = _pattern_var_names(g.patterns) | _group_nullable(g)
-        df = bgp_match(triples, g.patterns, optional=g.optional or None,
+        df = bgp_match(triples, g.patterns,
+                       optional=_compile_optional_entries(
+                           triples, g.optional, cols,
+                           distinct_solutions, meta_vars),
                        not_exists=g.not_exists or None,
                        exists=g.exists or None, minus=g.minus or None,
                        filters=g.filters or None, values=g.values or None,
@@ -1698,7 +1769,9 @@ def sparql_query(triples: DataFrame, query: str,
                                          distinct_solutions, meta_vars)
             dvars = _pattern_var_names(gg.patterns) | _group_nullable(gg)
             sol = bgp_match(triples, gg.patterns,
-                            optional=gg.optional or None,
+                            optional=_compile_optional_entries(
+                                triples, gg.optional, cols,
+                                distinct_solutions, meta_vars),
                             not_exists=gg.not_exists or None,
                             exists=gg.exists or None,
                             minus=gg.minus or None,
@@ -1787,7 +1860,9 @@ def sparql_query(triples: DataFrame, query: str,
                                      distinct_solutions, meta_vars)
         cvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         return construct(triples, g.patterns, q.template,
-                         optional=g.optional or None,
+                         optional=_compile_optional_entries(
+                             triples, g.optional, cols,
+                             distinct_solutions, meta_vars),
                          not_exists=g.not_exists or None,
                          exists=g.exists or None, minus=g.minus or None,
                          filters=g.filters or None,

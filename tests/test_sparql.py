@@ -1017,6 +1017,32 @@ def test_exec_optional_values_constrained_join_key(triples):
                        VALUES ?l { 'en' UNDEF } } }""").collect()
 
 
+def test_exec_optional_subquery(triples):
+    # a subquery as the ONLY OPTIONAL-body member seeds the group's
+    # solutions (attach-an-aggregate idiom): docs outside the
+    # subquery's groups keep a null ?n
+    got = sparql_query(triples, PFX + """SELECT ?d ?n WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { { SELECT ?d (COUNT(?o) AS ?n)
+                     WHERE { ?d ex:cites ?o } GROUP BY ?d } } }""")
+    assert _rows(got) == [("d1", 1), ("d2", 1), ("d3", None)]
+    # subquery + pattern: the argmax idiom inside OPTIONAL
+    got2 = sparql_query(triples, PFX + """SELECT ?d ?top WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?top
+                   { SELECT ?d (MAX(?o) AS ?top)
+                     WHERE { ?d ex:cites ?o } GROUP BY ?d } } }""")
+    assert _rows(got2) == [("d1", "d2"), ("d2", "d3"), ("d3", None)]
+
+
+def test_optional_subquery_union_mix_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="UNION mixed"):
+        sparql_query(triples, PFX + """SELECT * WHERE {
+            ?d ex:author ?a .
+            OPTIONAL { { ?d ex:cites ?x } UNION { ?x ex:cites ?d }
+                       { SELECT ?d WHERE { ?d ex:cites ?o } } } }""")
+
+
 def test_optional_group_negation_outer_var_raises(triples):
     with pytest.raises(ValueError, match="outer variables"):
         sparql_query(triples, PFX + """SELECT * WHERE {
