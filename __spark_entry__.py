@@ -1050,6 +1050,32 @@ def q_sparql_optional_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_optional_subquery(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Subquery as the ONLY member of an OPTIONAL body — the
+    attach-an-aggregate idiom: every sourced doc, OPTIONAL the count
+    of English docs sharing its source (a grouped subquery whose
+    solution set seeds the group; sources with no English doc keep a
+    null count instead of dropping the doc). The subquery-bound join
+    key ?src is provably non-null (it is required inside the
+    subquery), so the outer left join is a plain equi join; the
+    aggregate compiles bottom-up per SPARQL §18.2.2."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?src ?n WHERE {
+            ?d dct:source ?src .
+            OPTIONAL { { SELECT ?src (COUNT(?x) AS ?n) WHERE {
+                           ?x dct:source ?src .
+                           ?x schema:inLanguage 'en' }
+                         GROUP BY ?src } }
+        }
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -1884,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_union": q_sparql_optional_union,
         "sparql_nested_optional": q_sparql_nested_optional,
         "sparql_optional_body": q_sparql_optional_body,
+        "sparql_optional_subquery": q_sparql_optional_subquery,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1906,7 +1933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "entity_link": q_entity_link,
         # -- core LLM-pipeline surface --
-        "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_reps": q_simhash_neardup_reps,
         "decontaminate": q_decontaminate,
         "embedding_neardup_hi": q_embedding_neardup_hi,
@@ -1961,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries unchanged):
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "simhash_neardup": q_simhash_neardup,
         "minhash_word_pairs": q_minhash_word_pairs,
         "dedup_exact": q_dedup_exact,
         "subject_stats": q_subject_stats,
@@ -2491,6 +2518,20 @@ u AS (SELECT s.subj AS d, s.obj_value AS o FROM t s
                     AND l.obj_value = 'de')),
 f AS (SELECT * FROM u WHERE o <> 'src3')
 SELECT n.d AS d, f.o AS o FROM n LEFT JOIN f USING (d)
+"""
+
+_SPARQL_OPT_SUBQ_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+s AS (SELECT subj AS d, obj_value AS src FROM t
+      WHERE pred = 'http://purl.org/dc/terms/source'),
+c AS (SELECT s2.obj_value AS src,
+             CAST(COUNT(DISTINCT s2.subj) AS BIGINT) AS n
+      FROM t s2 JOIN t l ON l.subj = s2.subj
+      WHERE s2.pred = 'http://purl.org/dc/terms/source'
+        AND l.pred = 'http://schema.org/inLanguage'
+        AND l.obj_value = 'en'
+      GROUP BY s2.obj_value)
+SELECT s.d AS d, s.src AS src, c.n AS n FROM s LEFT JOIN c USING (src)
 """
 
 _SPARQL_OPT_BODY_ORACLE = """
@@ -3605,6 +3646,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_NESTED_OPT_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_optional_body":
             _SPARQL_OPT_BODY_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_optional_subquery":
+            _SPARQL_OPT_SUBQ_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

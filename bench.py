@@ -114,6 +114,7 @@ EXTENDED = [
     "sparql_optional_union",
     "sparql_nested_optional",
     "sparql_optional_body",
+    "sparql_optional_subquery",
 ]
 
 
