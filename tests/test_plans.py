@@ -335,6 +335,57 @@ def test_bgp_optional_common_case_is_single_left_join(spark, tmp_path):
     assert "Union" not in plan
 
 
+def test_bgp_nested_optional_plans_two_left_joins(spark, tmp_path):
+    """OPTIONAL { G OPTIONAL { I } } plans exactly two LeftOuter
+    joins (inner inside the group, outer against the solutions), with
+    every pattern constant pushed to its parquet scan and no
+    cartesian/Union anywhere."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "nested_opt_triples")
+    rows = [(f"s{i}", "p/a", f"o{i}", "g") for i in range(100)]
+    rows += [(f"o{i}", "p/b", f"w{i}", "g") for i in range(0, 100, 2)]
+    rows += [(f"w{i}", "p/c", f"z{i}", "g") for i in range(0, 100, 4)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = bgp_match(triples, [("?x", "p/a", "?v")],
+                  optional=[{"patterns": [("?v", "p/b", "?w")],
+                             "optional": [("?w", "p/c", "?z")]}])
+    plan = _plan(q)
+    assert q.count() == 100
+    assert plan.count("LeftOuter") == 2
+    for pred in ("p/a", "p/b", "p/c"):
+        assert f"EqualTo(pred,{pred})" in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" not in plan
+
+
+def test_bgp_optional_negation_body_plans_anti_under_left(spark,
+                                                          tmp_path):
+    """A NOT EXISTS member inside an OPTIONAL body plans as a LeftAnti
+    join INSIDE the optional side (under one LeftOuter), never as a
+    correlated subplan or cartesian."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "optneg_triples")
+    rows = [(f"s{i}", "p/a", f"o{i}", "g") for i in range(100)]
+    rows += [(f"s{i}", "p/b", f"w{i}", "g") for i in range(0, 100, 2)]
+    rows += [(f"w{i}", "p/flag", "t", "g") for i in range(0, 100, 4)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = bgp_match(triples, [("?x", "p/a", "?v")],
+                  optional=[{"patterns": [("?x", "p/b", "?w")],
+                             "not_exists": [[("?w", "p/flag", "?f")]]}])
+    plan = _plan(q)
+    assert q.count() == 100
+    assert "LeftAnti" in plan
+    assert plan.count("LeftOuter") == 1
+    assert "EqualTo(pred,p/flag)" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bgp_nullable_branch_guard_raises(spark):
     """More than 4 nullable shared variables in one clause would plan
     2^k join branches — the typed guard refuses instead."""
