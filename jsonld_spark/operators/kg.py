@@ -298,7 +298,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
               o_col: str = "obj_value", g_col: str = "graph",
               distinct_solutions: bool = True,
               solution_joins: list | None = None,
-              meta_vars: set | None = None) -> DataFrame:
+              meta_vars: set | None = None,
+              filter_exists: list[dict] | None = None) -> DataFrame:
     """Match a SPARQL-style basic graph pattern: ``patterns`` is a list
     of (subject, predicate, object) terms where a term starting with
     ``?`` is a variable and anything else a constant. A 4-tuple
@@ -436,6 +437,14 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     block is a literal inline table — always tiny — so it is planned
     as a broadcast join (or a cross join when it shares no variable,
     which SPARQL permits for VALUES).
+    ``filter_exists`` entries are FILTERs whose expression EMBEDS
+    [NOT] EXISTS tests (``FILTER(?x = 1 || EXISTS { ... })``): each is
+    ``{'expr': sql, 'markers': [(name, group_entry, negated), ...]}``
+    where ``expr`` references each ``name`` as a boolean column. A
+    marker joins the group's DISTINCT shared-key set with a flag (no
+    row multiplication) — EXISTS as a VALUE in a boolean expression
+    cannot become a semi/anti join. Nullable shared variables and
+    correlated group filters raise (use a standalone FILTER EXISTS).
     ``binds`` are SPARQL BIND clauses: an ordered list of
     (new_var, spark_sql_expr) computed over the bindings after
     VALUES, before NOT EXISTS and FILTERs — e.g.
@@ -1132,6 +1141,57 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             "LANG()/DATATYPE()/isIRI() need the variable bound in a "
             "required or OPTIONAL triple pattern")
     out = out.select(*bound, *meta_bound)
+    # expression-level EXISTS: each entry is {'expr': sql_string,
+    # 'markers': [(name, group_entry, negated), ...]} — the expr
+    # references `name` as a boolean column. Each marker materializes
+    # as a left join against the group's DISTINCT shared-key set
+    # carrying a flag (unique keys: no row multiplication; same plan
+    # shape as EXISTS-over-UNION). EXISTS here is a value inside an
+    # arbitrary boolean expression, so it cannot become a semi/anti
+    # join — the marker column is the faithful compilation.
+    for fi, fe in enumerate(filter_exists or []):
+        mcols: list[str] = []
+        for name, gentry, neg in fe["markers"]:
+            if name in bound:
+                raise ValueError(
+                    f"EXISTS marker column {name!r} collides with a "
+                    "query variable — rename the variable")
+            entries = _expand_union_group(gentry, fi, "exists") \
+                if isinstance(gentry, dict) and "union" in gentry \
+                else [gentry]
+            bms: list[str] = []
+            for bi, entry in enumerate(entries):
+                inner, gbound, cfil = _prep_group(entry, fi, "exists")
+                if cfil:
+                    raise ValueError(
+                        f"EXISTS inside a FILTER expression with "
+                        f"correlated group filters {cfil} is not "
+                        "supported — use a standalone FILTER EXISTS")
+                join_on = [v for v in gbound if v in bound]
+                if not join_on:
+                    raise ValueError(
+                        f"EXISTS inside FILTER expression {fe['expr']!r}"
+                        " shares no variable with the required patterns"
+                        " — it is not a per-solution test")
+                nsh = [v for v in join_on if v in nullable]
+                if nsh:
+                    raise ValueError(
+                        "EXISTS inside a FILTER expression over "
+                        f"nullable shared variable(s) {nsh} is not "
+                        "supported — bind them in a required pattern")
+                m = f"{name}_b{bi}"
+                right = inner.select(*join_on).distinct() \
+                    .withColumn(m, F.lit(1))
+                out = out.join(right, join_on, "left")
+                bms.append(m)
+            cond = F.col(bms[0]).isNotNull()
+            for m in bms[1:]:
+                cond = cond | F.col(m).isNotNull()
+            if neg:
+                cond = ~cond
+            out = out.withColumn(name, cond).drop(*bms)
+            mcols.append(name)
+        out = out.where(F.expr(fe["expr"])).drop(*mcols)
     for expr in filters or []:
         out = out.where(F.expr(expr))
     return out
@@ -1182,6 +1242,7 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
               o_col: str = "obj_value", g_col: str = "graph",
               solution_joins: list | None = None,
               meta_vars: set | None = None,
+              filter_exists: list[dict] | None = None,
               mint_vars: set[str] | None = None) -> DataFrame:
     """SPARQL CONSTRUCT: match the WHERE clause (same arguments as
     ``bgp_match``) and instantiate each ``template`` triple once per
@@ -1217,7 +1278,8 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     not_exists=not_exists, exists=exists, minus=minus,
                     filters=filters, values=values, binds=binds,
                     s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col,
-                    solution_joins=solution_joins, meta_vars=meta_vars)
+                    solution_joins=solution_joins, meta_vars=meta_vars,
+                    filter_exists=filter_exists)
     bound = set(sol.columns)
     mint = set(mint_vars or ())
     mint_key = None

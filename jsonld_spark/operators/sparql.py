@@ -56,7 +56,12 @@ so the compiled plan is identical to the hand-written call):
   the subquery's own nullable set is provably non-null and accepted
   as the outer join key
 * ``FILTER expr`` (compiled to a Spark SQL boolean — the same string
-  ``bgp_match(filters=...)`` takes), ``FILTER [NOT] EXISTS { ... }``,
+  ``bgp_match(filters=...)`` takes); ``[NOT] EXISTS { ... }`` may be
+  EMBEDDED in the expression (``FILTER(?a = 'x' || EXISTS {...})``,
+  ``!EXISTS`` too) — each occurrence compiles to a marker left join
+  against the group's distinct shared-key set (EXISTS as a value in
+  a boolean expression cannot be a semi/anti join); standalone
+  ``FILTER [NOT] EXISTS { ... }`` keeps the semi/anti-join plan,
   ``MINUS { ... }``, ``VALUES`` (both forms, ``UNDEF`` wildcards,
   in-group AND the trailing ValuesClause after solution modifiers),
   ``BIND (expr AS ?v)``; a [NOT] EXISTS / MINUS body that is a
@@ -228,6 +233,9 @@ class _Group:
     minus: list[list[tuple]] = field(default_factory=list)
     values: list[dict] = field(default_factory=list)
     binds: list[tuple[str, str]] = field(default_factory=list)
+    # FILTERs whose expression embeds [NOT] EXISTS markers:
+    # {'expr': sql, 'markers': [(name, group_entry, negated), ...]}
+    filter_exists: list[dict] = field(default_factory=list)
     union_branches: list[list[tuple]] | None = None
     # UNION blocks mixed with other group members: each entry is one
     # { A } UNION { B } ... block's branch list, compiled to a
@@ -298,6 +306,14 @@ class _Parser:
         # the compiled expressions reference — LANG(?x) etc.; passed
         # to bgp_match(meta_vars=...) at compile time
         self.meta_vars: set[str] = set()
+        # [NOT] EXISTS embedded in a FILTER expression: allowed only
+        # while a group-level FILTER is being parsed (the flag), each
+        # occurrence allocating a marker (name, group_entry, negated)
+        # that bgp_match(filter_exists=...) materializes as a boolean
+        # column the expression references
+        self._allow_exists = False
+        self._exists_markers: list[tuple[str, object, bool]] = []
+        self._fx_n = 0
 
     # -- token helpers ----------------------------------------------------
     def _peek(self, ahead: int = 0) -> _Tok:
@@ -797,7 +813,20 @@ class _Parser:
                     self._next()
                     g.not_exists.append(self._group_entry("NOT EXISTS"))
                 else:
-                    g.filters.append(self._expression())
+                    # a FILTER expression may EMBED [NOT] EXISTS
+                    # tests (markers compiled to boolean columns);
+                    # a pure boolean expression stays in g.filters
+                    self._allow_exists = True
+                    start = len(self._exists_markers)
+                    fexpr = self._expression()
+                    self._allow_exists = False
+                    new = self._exists_markers[start:]
+                    if new:
+                        del self._exists_markers[start:]
+                        g.filter_exists.append(
+                            {"expr": fexpr, "markers": new})
+                    else:
+                        g.filters.append(fexpr)
             elif self._eat_kw("minus"):
                 g.minus.append(self._group_entry("MINUS"))
             elif self._eat_kw("values"):
@@ -962,8 +991,30 @@ class _Parser:
             s, k = f"({s} {op} {s2})", "expr"
         return s, k
 
+    def _exists_marker(self, negated: bool) -> tuple[str, str]:
+        """One [NOT] EXISTS { ... } occurrence inside a FILTER
+        expression → a fresh boolean marker column reference."""
+        if not self._allow_exists:
+            raise SparqlUnsupportedError(
+                "[NOT] EXISTS is only supported inside group-level "
+                "FILTER expressions — restructure the query")
+        entry = self._group_entry("NOT EXISTS" if negated else "EXISTS")
+        name = f"_fx{self._fx_n}"
+        self._fx_n += 1
+        self._exists_markers.append((name, entry, negated))
+        return f"`{name}`", "expr"
+
     def _expr_unary(self) -> tuple[str, str]:
         t = self._peek()
+        if t.kind == "KW" and t.value == "exists":
+            self._next()
+            return self._exists_marker(False)
+        if t.kind == "KW" and t.value == "not" \
+                and self._peek(1).kind == "KW" \
+                and self._peek(1).value == "exists":
+            self._next()
+            self._next()
+            return self._exists_marker(True)
         if t.kind == "OP" and t.value == "!":
             self._next()
             s, _ = self._expr_unary()
@@ -1588,7 +1639,8 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                                       distinct_solutions, meta_vars)
     if g.union_branches is not None:
         if g.optional or g.filters or g.not_exists or g.exists \
-                or g.minus or g.values or g.binds or g.subqueries:
+                or g.minus or g.values or g.binds or g.subqueries \
+                or g.filter_exists:
             raise SparqlUnsupportedError(
                 "UNION mixed with other clauses is not supported")
         df = bgp_union(triples, g.union_branches, **cols)
@@ -1602,6 +1654,7 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                        exists=g.exists or None, minus=g.minus or None,
                        filters=g.filters or None, values=g.values or None,
                        binds=g.binds or None,
+                       filter_exists=g.filter_exists or None,
                        distinct_solutions=distinct_solutions,
                        solution_joins=sj,
                        meta_vars=(set(meta_vars) & gvars) or None,
@@ -1778,6 +1831,7 @@ def sparql_query(triples: DataFrame, query: str,
                             filters=gg.filters or None,
                             values=gg.values or None,
                             binds=gg.binds or None,
+                            filter_exists=gg.filter_exists or None,
                             solution_joins=dsj,
                             meta_vars=(set(meta_vars) & dvars) or None,
                             **cols)
@@ -1799,9 +1853,11 @@ def sparql_query(triples: DataFrame, query: str,
                         s_col=s_col, p_col=p_col, o_col=o_col)
     g = q.where
     if q.form == "ask":
-        if g.binds or g.optional or g.subqueries or g.inline_unions:
+        if g.binds or g.optional or g.subqueries or g.inline_unions \
+                or g.filter_exists:
             # General group shapes (BIND / OPTIONAL / subqueries /
-            # inline UNION blocks) compile through the SELECT
+            # inline UNION blocks / expression-embedded EXISTS)
+            # compile through the SELECT
             # machinery and probe emptiness. OPTIONAL or BIND alone
             # cannot change an existence answer, but a group FILTER
             # or join over their variables can, so the full group
@@ -1867,6 +1923,7 @@ def sparql_query(triples: DataFrame, query: str,
                          exists=g.exists or None, minus=g.minus or None,
                          filters=g.filters or None,
                          values=g.values or None, binds=g.binds or None,
+                         filter_exists=g.filter_exists or None,
                          solution_joins=csj,
                          meta_vars=(set(meta_vars) & cvars) or None,
                          mint_vars=tmpl_mint or None, **cols)

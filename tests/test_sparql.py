@@ -1069,6 +1069,37 @@ def test_nested_optional_in_not_exists_raises(triples):
                                 OPTIONAL { ?o ex:lang ?l } } }""")
 
 
+def test_filter_expression_embedded_exists(triples):
+    # EXISTS as a VALUE inside a boolean FILTER expression compiles
+    # to marker left joins (it cannot be a semi/anti join)
+    got = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:author ?a .
+        FILTER(EXISTS { ?d ex:reviewer ?r }
+               || EXISTS { ?d ex:cites ?o }) }""")
+    # d1 reviewer+cites, d2 cites, d3 neither
+    assert _rows(got) == [("d1",), ("d2",)]
+    got2 = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:author ?a .
+        FILTER(?a = 'bob' || NOT EXISTS { ?d ex:cites ?o }) }""")
+    # bob (d3), plus docs citing nothing (d3 only) -> d3
+    assert _rows(got2) == [("d3",)]
+    # the !EXISTS spelling and conjunction with a comparison
+    got3 = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:author ?a .
+        FILTER(!EXISTS { ?d ex:reviewer ?r } && ?a = 'alice') }""")
+    assert _rows(got3) == [("d2",)]
+    # ASK routes through the same machinery
+    assert sparql_query(triples, PFX + """ASK WHERE { ?d ex:author ?a
+        FILTER(?a = 'alice' && EXISTS { ?d ex:cites ?x }) }""") is True
+
+
+def test_embedded_exists_outside_filter_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="group-level"):
+        sparql_query(triples, PFX + """SELECT
+            (IF(EXISTS { ?d ex:cites ?o }, 1, 0) AS ?x)
+            WHERE { ?d ex:author ?a }""")
+
+
 def test_order_by_expression(triples):
     got = sparql_query(triples, PFX + """SELECT ?d ?a WHERE {
         ?d ex:author ?a } ORDER BY STRLEN(?a) DESC(?d)""")
