@@ -1076,6 +1076,28 @@ def q_sparql_optional_subquery(spark: SparkSession, sf_dir: str
     """)
 
 
+def q_sparql_filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NOT] EXISTS embedded in a FILTER expression — the disjunction
+    ``FILTER(?l = 'de' || EXISTS { ?d dct:source 'src3' })`` keeps
+    German docs plus the docs sourced from src3. A standalone FILTER
+    EXISTS plans a semi join; embedded in a boolean expression it
+    cannot (the OR must see a value), so it compiles to a marker left
+    join against the group's distinct key set and the expression
+    tests the marker. One scan per EXISTS group, no row
+    multiplication, no correlated subplan."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?l WHERE {
+            ?d schema:inLanguage ?l .
+            FILTER(?l = 'de' || EXISTS { ?d dct:source 'src3' })
+        }
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -1911,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_nested_optional": q_sparql_nested_optional,
         "sparql_optional_body": q_sparql_optional_body,
         "sparql_optional_subquery": q_sparql_optional_subquery,
+        "sparql_filter_exists": q_sparql_filter_exists,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -1937,7 +1960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "embedding_neardup_hi": q_embedding_neardup_hi,
         "embedding_incremental": q_embedding_incremental,
-        "embedding_clusters": q_embedding_clusters,
         "streaming_sessions": q_streaming_sessions,
         "bgp_exists_minus": q_bgp_exists_minus,
         # ---- driver window ends here (50 entries above) ----
@@ -1988,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
+        "embedding_clusters": q_embedding_clusters,
         "minhash_word_pairs": q_minhash_word_pairs,
         "dedup_exact": q_dedup_exact,
         "subject_stats": q_subject_stats,
@@ -2518,6 +2541,17 @@ u AS (SELECT s.subj AS d, s.obj_value AS o FROM t s
                     AND l.obj_value = 'de')),
 f AS (SELECT * FROM u WHERE o <> 'src3')
 SELECT n.d AS d, f.o AS o FROM n LEFT JOIN f USING (d)
+"""
+
+_SPARQL_FILTER_EXISTS_ORACLE = """
+WITH t AS MATERIALIZED ({0}),
+l AS (SELECT DISTINCT subj AS d, obj_value AS l FROM t
+      WHERE pred = 'http://schema.org/inLanguage')
+SELECT l.d AS d, l.l AS l FROM l
+WHERE l.l = 'de'
+   OR EXISTS (SELECT 1 FROM t s WHERE s.subj = l.d
+              AND s.pred = 'http://purl.org/dc/terms/source'
+              AND s.obj_value = 'src3')
 """
 
 _SPARQL_OPT_SUBQ_ORACLE = """
@@ -3648,6 +3682,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_OPT_BODY_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_optional_subquery":
             _SPARQL_OPT_SUBQ_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_filter_exists":
+            _SPARQL_FILTER_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

@@ -115,6 +115,7 @@ EXTENDED = [
     "sparql_nested_optional",
     "sparql_optional_body",
     "sparql_optional_subquery",
+    "sparql_filter_exists",
 ]
 
 
