@@ -1346,8 +1346,29 @@ class _Parser:
         q.where = self._group()
         if self._eat_kw("group"):
             self._expect("KW", "by")
-            while self._peek().kind == "VAR":
-                q.group_by.append(self._next().value[1:])
+            while True:
+                if self._peek().kind == "VAR":
+                    q.group_by.append(self._next().value[1:])
+                elif self._peek().kind == "OP" \
+                        and self._peek().value == "(":
+                    # GROUP BY (expr AS ?v): per SPARQL §18.2.4.1 the
+                    # key expression binds ?v — desugared to a BIND
+                    # (Extend happens before Group in the algebra)
+                    self._next()
+                    gexpr = self._expression()
+                    self._expect("KW", "as")
+                    gvar = self._expect("VAR").value[1:]
+                    self._expect("OP", ")")
+                    q.where.binds.append((gvar, gexpr))
+                    q.group_by.append(gvar)
+                elif (self._peek().kind == "NAME"
+                        and self._peek(1).kind == "OP"
+                        and self._peek(1).value == "("):
+                    raise SparqlUnsupportedError(
+                        "a bare expression GROUP BY key is not "
+                        "supported — name it: GROUP BY (expr AS ?k)")
+                else:
+                    break
             if not q.group_by:
                 raise SparqlSyntaxError("empty GROUP BY")
         if self._eat_kw("having"):

@@ -1112,6 +1112,18 @@ def test_order_by_expression(triples):
         ("d3", "bob"), ("d1", "alice"), ("d2", "alice")]
 
 
+def test_group_by_expression_key(triples):
+    # GROUP BY (expr AS ?k) binds the key per SPARQL §18.2.4.1
+    # (desugared to Extend-before-Group)
+    got = sparql_query(triples, PFX + """SELECT ?k (COUNT(?a) AS ?n)
+        WHERE { ?d ex:author ?a }
+        GROUP BY (SUBSTR(?a, 1, 1) AS ?k) ORDER BY ?k""")
+    assert [tuple(r) for r in got.collect()] == [("a", 2), ("b", 1)]
+    with pytest.raises(SparqlUnsupportedError, match="name it"):
+        sparql_query(triples, PFX + """SELECT ?k WHERE {
+            ?d ex:author ?a } GROUP BY SUBSTR(?a, 1, 1)""")
+
+
 def test_sameterm_distinguishes_lang_tagged(spark):
     # sameTerm(A, B) is RDF-term identity: 'apple' (plain) and
     # 'apple'@en share a lexical value but are different terms, so
