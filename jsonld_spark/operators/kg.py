@@ -702,6 +702,10 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                             "variables are supported inside OPTIONAL "
                             "group bodies (outer references would "
                             "need a conditional left join)")
+            # distinct_solutions=False: the outer loop dropDuplicates
+            # the group's solutions just below (the dedup the left
+            # join requires) — the recursive call's own final distinct
+            # would be a second, redundant exchange
             step = bgp_match(triples, pat["patterns"],
                              optional=pat.get("optional"),
                              not_exists=pat.get("not_exists"),
@@ -709,6 +713,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                              minus=pat.get("minus"),
                              values=pat.get("values"),
                              solution_joins=pat.get("solution_joins"),
+                             distinct_solutions=False,
                              s_col=s_col, p_col=p_col, o_col=o_col,
                              g_col=g_col)
             step_vars = list(step.columns)
