@@ -661,7 +661,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             # would need right-side unbound-compatibility branching,
             # which is out of scope: raise instead of mis-joining.
             step = bgp_union(triples, pat["union"], s_col=s_col,
-                             p_col=p_col, o_col=o_col, g_col=g_col)
+                             p_col=p_col, o_col=o_col, g_col=g_col,
+                             distinct=False)
             step_vars = list(step.columns)
             per_branch = [{t[1:] for p3 in branch for t in p3
                            if isinstance(t, str) and t.startswith("?")}
@@ -1205,7 +1206,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
 def bgp_union(triples: DataFrame,
               branches: list[list[tuple[str, str, str]]],
               s_col: str = "subj", p_col: str = "pred",
-              o_col: str = "obj_value", g_col: str = "graph") -> DataFrame:
+              o_col: str = "obj_value", g_col: str = "graph",
+              distinct: bool = True) -> DataFrame:
     """SPARQL UNION: match each branch (a BGP pattern list) and take
     the set union of the solution sets. Branches may bind different
     variables — a variable absent from a branch is null in its rows
@@ -1231,7 +1233,9 @@ def bgp_union(triples: DataFrame,
     out = aligned[0]
     for o in aligned[1:]:
         out = out.unionByName(o)
-    return out.distinct()
+    # distinct=False lets a caller that immediately dedups (the
+    # optional-union branch's dropDuplicates) skip a second exchange
+    return out.distinct() if distinct else out
 
 
 def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
