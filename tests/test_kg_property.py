@@ -489,6 +489,53 @@ def test_bgp_nested_optional_equals_naive(spark, triples, req, greq,
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), greq=pattern_st(3), neg=pattern_st(4))
+def test_bgp_optional_body_not_exists_equals_naive(spark, triples, req,
+                                                   greq, neg):
+    """NOT EXISTS inside an OPTIONAL body vs the naive model: the
+    negation filters the GROUP's solutions (a rejected group row
+    leaves the optional vars null), then the surviving group rows
+    left-join the required solutions."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    gvars, gsols = naive_solutions(triples, [greq])
+    nvars, nsols = naive_solutions(triples, [neg])
+    df = spark.createDataFrame(
+        sorted(triples), "subj string, pred string, obj_value string")
+    try:
+        got_df = bgp_match(
+            df, [req],
+            optional=[{"patterns": [greq],
+                       "not_exists": [[neg]]}])
+    except ValueError:
+        return  # disconnected / outer-correlated: typed by design
+    shared_gn = [v for v in nvars if v in gvars]
+    kept = set()
+    for gs in gsols:
+        gb = dict(zip(gvars, gs))
+        hit = any(all(ns[nvars.index(v)] == gb[v] for v in shared_gn)
+                  for ns in nsols)
+        if not hit:
+            kept.add(gs)
+    new = [v for v in gvars if v not in vars_]
+    want = set()
+    for sol in sols:
+        sb = dict(zip(vars_, sol))
+        exts = set()
+        for gs in kept:
+            gb = dict(zip(gvars, gs))
+            if all(gb[v] == sb[v] for v in gvars if v in sb):
+                exts.add(sol + tuple(gb[v] for v in new))
+        want |= exts if exts else {sol + (None,) * len(new)}
+    assert got_df.columns == vars_ + new
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
        req=pattern_st(2), b1=pattern_st(3), b2=pattern_st(3))
 def test_group_union_negation_equals_naive(spark, triples, req, b1, b2):
     """UNION bodies in NOT EXISTS / EXISTS / MINUS against the naive
