@@ -119,3 +119,27 @@ def test_parser_never_crashes_unicode(text):
         _Parser("SELECT * WHERE { " + text).parse()
     except (SparqlSyntaxError, SparqlUnsupportedError, ValueError):
         pass
+
+
+_FUZZ_WORDS = [
+    "SELECT", "ASK", "WHERE", "OPTIONAL", "FILTER", "EXISTS", "NOT",
+    "MINUS", "UNION", "BIND", "VALUES", "GROUP", "BY", "AS", "ORDER",
+    "HAVING", "LIMIT", "DISTINCT", "COUNT", "STRLEN", "UCASE",
+    "sameTerm", "{", "}", "(", ")", "||", "&&", "!", ".", ";", "=",
+    "?a", "?b", "?k", "<http://x/p>", "'lit'", "1", "*", "UNDEF",
+]
+
+
+@given(st.lists(st.sampled_from(_FUZZ_WORDS), min_size=0, max_size=24))
+@settings(max_examples=400, deadline=None)
+def test_parser_never_crashes_keyword_soup(words):
+    """Keyword-level fuzz: random sequences of real SPARQL tokens
+    reach deep grammar paths (nested OPTIONAL, expression-embedded
+    EXISTS, GROUP BY expressions) that character soup rarely hits —
+    still only typed errors, never a crash or hang."""
+    from jsonld_spark.operators.sparql import (SparqlSyntaxError,
+                                               SparqlUnsupportedError)
+    try:
+        _Parser(" ".join(words)).parse()
+    except (SparqlSyntaxError, SparqlUnsupportedError, ValueError):
+        pass
