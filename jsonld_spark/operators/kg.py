@@ -801,6 +801,12 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     "would need a conditional left join)")
             step = step.where(F.expr(fexpr))
         step_meta = [c for c in step.columns if c not in step_vars]
+        if not step_vars:
+            # an all-constant OPTIONAL pattern is a legal SPARQL no-op:
+            # LeftJoin(Ω, {μ0}) = Ω when it matches (the empty solution
+            # is compatible with everything and binds nothing) and
+            # LeftJoin(Ω, ∅) = Ω when it doesn't — skip it entirely
+            continue
         shared = [v for v in step_vars if v in bound]
         new = [v for v in step_vars if v not in bound]
         if not shared:

@@ -70,6 +70,20 @@ def test_bgp_optional_duplicate_triples_do_not_multiply(spark, triples):
     assert got.count() == 3
 
 
+def test_bgp_optional_all_constant_is_noop(triples):
+    # OPTIONAL { <s> <p> <o> } binds nothing whether or not it
+    # matches — a legal SPARQL no-op, never a cartesian error
+    base = bgp_match(triples, [("?d", EX + "author", "?a")])
+    got = bgp_match(triples, [("?d", EX + "author", "?a")],
+                    optional=[("d1", EX + "cites", "d2")])
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, base.collect()))
+    got2 = bgp_match(triples, [("?d", EX + "author", "?a")],
+                     optional=[("d1", EX + "cites", "nope")])
+    assert sorted(map(tuple, got2.collect())) == \
+        sorted(map(tuple, base.collect()))
+
+
 def test_bgp_optional_rejects_disjoint(triples):
     with pytest.raises(ValueError, match="cartesian"):
         bgp_match(triples, [("?d", EX + "author", "?a")],
