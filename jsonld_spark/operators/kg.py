@@ -423,10 +423,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     Patterns (required or optional) that share no variable with what
     came before would be a cartesian product; that is almost always a
     query bug at scale, so it raises instead of silently exploding.
-    Exception: an ALL-CONSTANT required pattern is a legal SPARQL
+    Two exceptions: an ALL-CONSTANT required pattern is a legal SPARQL
     existence test — it gates the whole result (cross join with a
     ``limit(1)`` probe: one row keeps everything, zero rows empties
-    the result) and binds nothing.
+    the result) and binds nothing; and an OPTIONAL entry that binds NO
+    variable in any form (constant pattern, group, union, negation /
+    filter members) is a no-op per the algebra — LeftJoin(Ω, {μ0}) =
+    LeftJoin(Ω, ∅) = Ω — and is skipped entirely.
 
     ``values`` is a SPARQL VALUES block: a list of binding dicts
     ({var: constant}, ``None`` = UNDEF) joined to the solution set
@@ -648,6 +651,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         return inner, gbound
 
     for i, pat in enumerate(optional or []):
+        if not _optional_entry_vars(pat):
+            # an OPTIONAL entry binding NO variable (all-constant
+            # pattern / group / union, in any entry form) is a legal
+            # SPARQL no-op: the group's solutions are {μ0} or ∅, and
+            # LeftJoin(Ω, {μ0}) = LeftJoin(Ω, ∅) = Ω — skip before
+            # planning anything
+            continue
         union_nullable: set[str] = set()
         group_filters: list[str] = []
         group_binds: list[tuple[str, str]] = []
@@ -801,12 +811,6 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     "would need a conditional left join)")
             step = step.where(F.expr(fexpr))
         step_meta = [c for c in step.columns if c not in step_vars]
-        if not step_vars:
-            # an all-constant OPTIONAL pattern is a legal SPARQL no-op:
-            # LeftJoin(Ω, {μ0}) = Ω when it matches (the empty solution
-            # is compatible with everything and binds nothing) and
-            # LeftJoin(Ω, ∅) = Ω when it doesn't — skip it entirely
-            continue
         shared = [v for v in step_vars if v in bound]
         new = [v for v in step_vars if v not in bound]
         if not shared:

@@ -82,6 +82,20 @@ def test_bgp_optional_all_constant_is_noop(triples):
                      optional=[("d1", EX + "cites", "nope")])
     assert sorted(map(tuple, got2.collect())) == \
         sorted(map(tuple, base.collect()))
+    # the sibling entry forms of the same construct skip too: an
+    # all-constant UNION body and an all-constant group with negation
+    got3 = bgp_match(
+        triples, [("?d", EX + "author", "?a")],
+        optional=[{"union": [[("d1", EX + "cites", "d2")],
+                             [("d1", EX + "cites", "nope")]]}])
+    assert sorted(map(tuple, got3.collect())) == \
+        sorted(map(tuple, base.collect()))
+    got4 = bgp_match(
+        triples, [("?d", EX + "author", "?a")],
+        optional=[{"patterns": [("d1", EX + "cites", "d2")],
+                   "minus": [[("d1", EX + "lang", "en")]]}])
+    assert sorted(map(tuple, got4.collect())) == \
+        sorted(map(tuple, base.collect()))
 
 
 def test_bgp_optional_rejects_disjoint(triples):
