@@ -713,6 +713,23 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                             "variables are supported inside OPTIONAL "
                             "group bodies (outer references would "
                             "need a conditional left join)")
+            # group BINDs go INTO the recursion: bgp_match applies
+            # binds before its negation joins, so a [NOT] EXISTS /
+            # MINUS member referencing a bind variable correlates on
+            # the BOUND value (SPARQL evaluates the group's filters
+            # over the Extended group). Outer references still raise
+            # here, typed, before the recursion can die on an
+            # unresolved column
+            for _bv, bexpr in pat.get("binds", []):
+                outer_vs = {x for x in _expr_identifiers(bexpr)
+                            if x in bound and x not in group_vs}
+                if outer_vs:
+                    raise ValueError(
+                        f"optional group {i} BIND {bexpr!r} references "
+                        f"outer variables {sorted(outer_vs)} — only "
+                        "group variables are supported in OPTIONAL "
+                        "group BINDs (outer references would need a "
+                        "conditional left join)")
             # distinct_solutions=False: the outer loop dropDuplicates
             # the group's solutions just below (the dedup the left
             # join requires) — the recursive call's own final distinct
@@ -723,13 +740,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                              exists=pat.get("exists"),
                              minus=pat.get("minus"),
                              values=pat.get("values"),
+                             binds=pat.get("binds"),
                              solution_joins=pat.get("solution_joins"),
                              distinct_solutions=False,
                              s_col=s_col, p_col=p_col, o_col=o_col,
                              g_col=g_col)
             step_vars = list(step.columns)
-            reqset = {t[1:] for p3 in pat["patterns"] for t in p3
-                      if isinstance(t, str) and t.startswith("?")}
+            reqset = _pattern_tuple_vars(pat["patterns"])
             union_nullable = set(step_vars) - reqset
             # vars other nullable sources (inner optionals, group
             # binds) can produce stay conservatively nullable below
@@ -752,7 +769,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     if isinstance(sj, dict) else set()
                 union_nullable -= (set(sjdf.columns) - sjnul - other)
             group_filters = pat.get("filters", [])
-            group_binds = pat.get("binds", [])
+            # binds already applied inside the recursion above
         elif isinstance(pat, dict):
             # {'patterns': [...], 'filters': [...]}: an OPTIONAL group
             # with group-scoped FILTERs. Per SPARQL leftjoin(Ω1, Ω2,

@@ -126,12 +126,36 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-from .kg import META_SUFFIXES, RDF_TYPE, _expr_identifiers, ask as _ask, \
+from .kg import META_SUFFIXES, RDF_TYPE, _expr_identifiers, \
+    _optional_entry_vars as _kg_optional_entry_vars, ask as _ask, \
     bgp_match, bgp_union, construct, describe, describe_nodes
 
 _META_SUFFIXES = tuple(META_SUFFIXES)
 
 __all__ = ["sparql_query", "SparqlSyntaxError", "SparqlUnsupportedError"]
+
+
+def _join_values_tables(a: list[dict], b: list[dict]) -> list[dict]:
+    """SPARQL joins multiple VALUES blocks in one group (each is an
+    inline solution table): compatible rows (equal on shared vars,
+    UNDEF = wildcard that takes the other side's binding) merge;
+    incompatible pairs drop. Literal tables are tiny — pure Python."""
+    if not a:
+        return b
+    if not b:
+        return a
+    out: list[dict] = []
+    for r1 in a:
+        for r2 in b:
+            ok = all(r1[v] is None or r2[v] is None or r1[v] == r2[v]
+                     for v in set(r1) & set(r2))
+            if ok:
+                merged = dict(r1)
+                for v, val in r2.items():
+                    if merged.get(v) is None:
+                        merged[v] = val
+                out.append(merged)
+    return out
 
 
 class SparqlSyntaxError(ValueError):
@@ -697,7 +721,13 @@ class _Parser:
             elif allow_optional and self._eat_kw("minus"):
                 b.minus.append(self._group_entry("MINUS"))
             elif allow_optional and self._eat_kw("values"):
-                b.values += self._values_clause()
+                vrows = self._values_clause()
+                joined = _join_values_tables(b.values, vrows)
+                if not vrows or (b.values and not joined):
+                    # an empty inline table (or an empty JOIN of two
+                    # tables) admits no solution — FILTER(false)
+                    b.filters.append("false")
+                b.values = joined
             elif (self._peek().kind == "KW"
                   and self._peek().value in ("optional", "bind",
                                              "values", "minus",
@@ -830,7 +860,12 @@ class _Parser:
             elif self._eat_kw("minus"):
                 g.minus.append(self._group_entry("MINUS"))
             elif self._eat_kw("values"):
-                g.values += self._values_clause()
+                vrows = self._values_clause()
+                joined = _join_values_tables(g.values, vrows)
+                if not vrows or (g.values and not joined):
+                    # empty inline table / empty join: no solutions
+                    g.filters.append("false")
+                g.values = joined
             elif self._eat_kw("bind"):
                 self._expect("OP", "(")
                 expr = self._expression()
@@ -998,7 +1033,16 @@ class _Parser:
             raise SparqlUnsupportedError(
                 "[NOT] EXISTS is only supported inside group-level "
                 "FILTER expressions — restructure the query")
-        entry = self._group_entry("NOT EXISTS" if negated else "EXISTS")
+        # the flag must NOT leak into the EXISTS body: an embedded
+        # EXISTS inside the body's own FILTER would otherwise hoist
+        # its marker to the OUTER filter and leave an unresolvable
+        # column in the inner group — raise typed instead
+        self._allow_exists = False
+        try:
+            entry = self._group_entry(
+                "NOT EXISTS" if negated else "EXISTS")
+        finally:
+            self._allow_exists = True
         name = f"_fx{self._fx_n}"
         self._fx_n += 1
         self._exists_markers.append((name, entry, negated))
@@ -1359,6 +1403,21 @@ class _Parser:
                     self._expect("KW", "as")
                     gvar = self._expect("VAR").value[1:]
                     self._expect("OP", ")")
+                    # the key var is NOT in scope inside the WHERE
+                    # group (SPARQL binds it at the Group step); the
+                    # BIND desugaring would make a WHERE filter see it
+                    # — refuse rather than diverge from the spec's
+                    # type-error-drops-everything behavior
+                    refs = [f for f in q.where.filters
+                            if gvar in _expr_identifiers(f)]
+                    refs += [fe["expr"] for fe in q.where.filter_exists
+                             if gvar in _expr_identifiers(fe["expr"])]
+                    if refs:
+                        raise SparqlUnsupportedError(
+                            f"GROUP BY key ?{gvar} is referenced by a "
+                            "WHERE-group FILTER, where SPARQL has it "
+                            "out of scope — rename the key or move "
+                            "the filter to HAVING")
                     q.where.binds.append((gvar, gexpr))
                     q.group_by.append(gvar)
                 elif (self._peek().kind == "NAME"
@@ -1472,35 +1531,38 @@ def _pattern_var_names(pats: list) -> set[str]:
 def _subquery_proj_vars(sq: "_Query") -> set[str]:
     """The variable names a subquery's solution set projects."""
     if sq.select_star:
+        # the full in-scope variable set of the subquery's group:
+        # pattern vars, everything nullable (optional/binds/UNDEF
+        # values), plus VALUES vars, union vars, inner-subquery vars
         g = sq.where
-        return _pattern_var_names(g.patterns) | _group_nullable(g)
+        vs = _pattern_var_names(g.patterns) | _group_nullable(g)
+        for row in g.values:
+            vs |= set(row)
+        for branches in ([g.union_branches] if g.union_branches
+                         else []) + g.inline_unions:
+            vs |= set().union(*[_pattern_var_names(b)
+                                for b in branches])
+        for isq in g.subqueries:
+            vs |= _subquery_proj_vars(isq)
+        for opt in g.optional:
+            vs |= _opt_entry_vars(opt)
+        return vs
     return {item[-1] for item in (sq.select or [])}
 
 
 def _opt_entry_vars(opt) -> set[str]:
-    """Every variable an OPTIONAL entry can bind — through its
-    patterns, UNION branches, nested OPTIONALs (recursively), and
-    group BINDs. All are nullable in the outer solutions."""
+    """Every variable an OPTIONAL entry can bind. Delegates to the
+    engine's collector (patterns / union / nested optionals / binds /
+    values / compiled solution_joins — kept in ONE place) and adds the
+    parser-only ``subqueries`` key, recursing so inner entries'
+    subqueries are seen too."""
+    vs = _kg_optional_entry_vars(opt)
     if isinstance(opt, dict):
-        vs: set[str] = set()
-        if "union" in opt:
-            vs |= _pattern_var_names(
-                [p for branch in opt["union"] for p in branch])
-        vs |= _pattern_var_names(opt.get("patterns", []))
-        for inner in opt.get("optional", []):
-            vs |= _opt_entry_vars(inner)
-        vs |= {v for v, _ in opt.get("binds", [])}
-        for row in opt.get("values", []):
-            vs |= set(row)
         for sq in opt.get("subqueries", []):
             vs |= _subquery_proj_vars(sq)
-        for sj in opt.get("solution_joins", []):
-            sjdf = sj["df"] if isinstance(sj, dict) else sj
-            vs |= set(sjdf.columns)
-        return vs
-    if opt and isinstance(opt[0], (list, tuple)):
-        return _pattern_var_names(opt)
-    return _pattern_var_names([opt])
+        for inner in opt.get("optional", []):
+            vs |= _opt_entry_vars(inner)
+    return vs
 
 
 def _group_nullable(g: _Group) -> set[str]:

@@ -1043,6 +1043,57 @@ def test_optional_subquery_union_mix_raises(triples):
                        { SELECT ?d WHERE { ?d ex:cites ?o } } } }""")
 
 
+def test_optional_negation_sees_group_bind_var(triples):
+    # a NOT EXISTS member referencing a group BIND variable must
+    # correlate on the BOUND value (bgp_match applies binds before
+    # its negation joins), not treat it as a free variable
+    got = sparql_query(triples, PFX + """SELECT ?d ?o ?b WHERE {
+        ?d ex:author ?a .
+        OPTIONAL { ?d ex:cites ?o BIND(CONCAT('d', '2') AS ?b)
+                   FILTER NOT EXISTS { ?d ex:cites ?b } } }""")
+    # d1 cites d2 and ?b='d2' -> (d1, cites, 'd2') exists -> group row
+    # rejected -> nulls; d2 cites d3, (d2, cites, 'd2') absent -> kept
+    assert _rows(got) == [("d1", None, None), ("d2", "d3", "d2"),
+                          ("d3", None, None)]
+
+
+def test_embedded_exists_inside_exists_body_raises(triples):
+    # the _allow_exists flag must not leak into the EXISTS body: an
+    # embedded EXISTS in the body's own FILTER raises typed
+    with pytest.raises(SparqlUnsupportedError, match="group-level"):
+        sparql_query(triples, PFX + """SELECT ?d WHERE {
+            ?d ex:author ?a .
+            FILTER(?a = 'x' || EXISTS { ?d ex:cites ?o
+                FILTER(?o = 'y' || EXISTS { ?o ex:lang ?l }) }) }""")
+
+
+def test_multiple_values_in_group_join(triples):
+    # two VALUES blocks in one group JOIN (SPARQL inline tables), not
+    # a UNDEF-padded row union
+    got = sparql_query(triples, PFX + """SELECT ?d ?x ?y WHERE {
+        ?d ex:lang 'en' .
+        VALUES ?x { '1' '2' } VALUES ?y { 'a' } }""")
+    assert _rows(got) == [("d1", "1", "a"), ("d1", "2", "a"),
+                          ("d3", "1", "a"), ("d3", "2", "a")]
+    # shared-var join constrains: only compatible rows survive
+    got2 = sparql_query(triples, PFX + """SELECT ?d ?x WHERE {
+        ?d ex:lang 'en' .
+        VALUES ?x { '1' '2' } VALUES ?x { '2' '3' } }""")
+    assert _rows(got2) == [("d1", "2"), ("d3", "2")]
+    # an empty join (or an empty VALUES block) admits no solution
+    got3 = sparql_query(triples, PFX + """SELECT ?d WHERE {
+        ?d ex:lang 'en' .
+        VALUES ?x { '1' } VALUES ?x { '2' } }""")
+    assert _rows(got3) == []
+
+
+def test_group_by_key_in_where_filter_raises(triples):
+    with pytest.raises(SparqlUnsupportedError, match="out of scope"):
+        sparql_query(triples, PFX + """SELECT ?k (COUNT(?a) AS ?n)
+            WHERE { ?d ex:author ?a FILTER(?k != 'z') }
+            GROUP BY (SUBSTR(?a, 1, 1) AS ?k)""")
+
+
 def test_optional_group_negation_outer_var_raises(triples):
     with pytest.raises(ValueError, match="outer variables"):
         sparql_query(triples, PFX + """SELECT * WHERE {
