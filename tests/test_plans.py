@@ -386,6 +386,32 @@ def test_bgp_optional_negation_body_plans_anti_under_left(spark,
     assert "CartesianProduct" not in plan
 
 
+def test_filter_exists_marker_join_shape(spark, tmp_path):
+    """An expression-embedded EXISTS plans ONE left join per marker
+    against a distinct key set with the group constant pushed to the
+    scan — no cartesian, no row multiplication, no semi/anti."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "fx_triples")
+    rows = [(f"s{i}", "p/a", f"o{i}", "g") for i in range(100)]
+    rows += [(f"s{i}", "p/flag", "t", "g") for i in range(0, 100, 2)]
+    # duplicate flag rows: the distinct key set must prevent fanout
+    rows += [(f"s{i}", "p/flag", "t", "g") for i in range(0, 100, 4)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string") \
+        .write.parquet(path)
+    triples = spark.read.parquet(path)
+    q = bgp_match(
+        triples, [("?x", "p/a", "?v")],
+        filter_exists=[{
+            "expr": "`m` OR v = 'o1'",
+            "markers": [("m", [("?x", "p/flag", "?f")], False)]}])
+    plan = _plan(q)
+    assert q.count() == 51  # 50 flagged + o1
+    assert plan.count("LeftOuter") == 1
+    assert "EqualTo(pred,p/flag)" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bgp_nullable_branch_guard_raises(spark):
     """More than 4 nullable shared variables in one clause would plan
     2^k join branches — the typed guard refuses instead."""
