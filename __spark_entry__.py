@@ -1534,6 +1534,29 @@ def q_kg_path_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
 
 
+def q_kg_path_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path under GRAPH ?var: parent+ closed PER NAMED GRAPH
+    in one distributed job — the binary-tree parent edges are homed
+    into per-source graphs, and the graph column rides the doubling
+    join keys (operators/kg.py:kg_path(g_col=...)), so a chain that
+    crosses sources is NOT a path in any single graph. All graphs'
+    closures come from a single fixpoint, never one closure per
+    graph."""
+    from jsonld_spark.operators.kg import bgp_match
+    edges = _read(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") >= 1).select(
+            F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+            F.lit(_KG_EX + "parent").alias("pred"),
+            F.concat(F.lit(_KG_EX + "doc/"),
+                     F.floor(F.col("doc_id") / 2).cast("long"))
+            .alias("obj_value"),
+            F.concat(F.lit(_KG_EX + "g/"), F.col("source")).alias("graph"))
+    pp = _KG_EX + "parent"
+    return bgp_match(edges, [("?x", f"<{pp}>+", "?y", "?g")]) \
+        .select(F.col("g").alias("graph"), F.col("x").alias("src"),
+                F.col("y").alias("dst"))
+
+
 def q_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL VALUES + BIND: an inline binding table (with an UNDEF
     wildcard row — unbound matches anything per the compatible-bindings
@@ -1919,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "kg_path_ops": q_kg_path_ops,
         "kg_path_neg": q_kg_path_neg,
+        "kg_path_graph": q_kg_path_graph,
         "bgp_values": q_bgp_values,
         "same_as_fuse": q_same_as_fuse,
         "ivf_index_append": q_ivf_index_append,
@@ -1940,7 +1964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
         "compact_docs": q_compact_docs,
-        "flatten_docs": q_flatten_docs,
         "error_isolation": q_error_isolation,
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
@@ -1966,7 +1989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- long-stable rows rotated out this round (hash-matched in
         #    two or more prior rounds; queries unchanged;
         #    nquads_media_lines is subsumed by nquads_roundtrip, whose
-        #    serializer path it shares) --
+        #    serializer path it shares; flatten_docs rotated out for
+        #    kg_path_graph, the new per-graph path-closure row) --
+        "flatten_docs": q_flatten_docs,
         "nquads_media_lines": q_nquads_media_lines,
         "streaming_user_totals": q_streaming_user_totals,
         "minhash_pairs": q_minhash_pairs,
@@ -2860,6 +2885,20 @@ SELECT DISTINCT src, dst FROM (
   SELECT obj AS src, subj AS dst FROM e WHERE pred <> '{_KG_EX}parent')
 """
 
+_KG_PATH_GRAPH_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT '{_KG_EX}g/' || source AS g,
+             '{_KG_EX}doc/' || doc_id AS src,
+             '{_KG_EX}doc/' || (doc_id // 2) AS dst
+      FROM documents WHERE doc_id >= 1),
+p(g, src, dst) AS (
+  SELECT g, src, dst FROM e
+  UNION
+  SELECT p.g, p.src, e.dst FROM p JOIN e
+    ON p.dst = e.src AND p.g = e.g)
+SELECT DISTINCT g AS graph, src, dst FROM p
+"""
+
 _BGP_VALUES_ORACLE = """
 WITH t AS MATERIALIZED ({}),
 v AS (SELECT 'en' AS l, 'tier1' AS tier
@@ -3702,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_paths": _KG_PATHS_ORACLE,
         "kg_path_ops": _KG_PATH_OPS_ORACLE,
         "kg_path_neg": _KG_PATH_NEG_ORACLE,
+        "kg_path_graph": _KG_PATH_GRAPH_ORACLE,
         "bgp_exists_minus":
             _BGP_EXISTS_MINUS_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_optional_chain":

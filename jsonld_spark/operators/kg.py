@@ -121,12 +121,23 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
     instead of a single scan. Plain IRIs and variables never contain
     ``<``, so the syntaxes cannot collide. A path pattern may carry a
     CONSTANT graph term (the closure runs over that graph's edges
-    only); a variable graph term raises (it would need one closure
-    per graph)."""
+    only) or a VARIABLE graph term (the closure runs per-graph over
+    every named graph in one job — ``kg_path(g_col=...)``)."""
     if len(pat) not in (3, 4):
         raise ValueError(f"pattern {i} must be (s, p, o) or "
                          f"(s, p, o, g), got {pat!r}")
     if not pat[1].startswith("?") and "<" in pat[1]:
+        # the path SOURCE is always a subject (IRI/bnode — kind
+        # derivable from the _: prefix), but the DESTINATION
+        # carries object values whose kind/lang/datatype the
+        # closure does not track — a literal would silently
+        # classify as 'iri', so metadata there must raise
+        if pat[2].startswith("?") and pat[2][1:] in meta_vars:
+            raise ValueError(
+                f"pattern {i}: LANG()/DATATYPE()/isIRI() on a "
+                "property-path destination is not supported — the "
+                "closure does not track term metadata; bind the "
+                "variable in a plain triple pattern")
         if len(pat) == 3 or not pat[3].startswith("?"):
             scope = triples if len(pat) == 3 else \
                 triples.where(F.col(pos_cols[3]) == pat[3])
@@ -134,23 +145,17 @@ def _pattern_step(triples: DataFrame, pat: tuple, i: int,
             # graph's edges only (the filter pushes to the scan)
             rel = kg_path(scope, pat[1], s_col=pos_cols[0],
                           p_col=pos_cols[1], o_col=pos_cols[2])
-            # the path SOURCE is always a subject (IRI/bnode — kind
-            # derivable from the _: prefix), but the DESTINATION
-            # carries object values whose kind/lang/datatype the
-            # closure does not track — a literal would silently
-            # classify as 'iri', so metadata there must raise
-            if pat[2].startswith("?") and pat[2][1:] in meta_vars:
-                raise ValueError(
-                    f"pattern {i}: LANG()/DATATYPE()/isIRI() on a "
-                    "property-path destination is not supported — the "
-                    "closure does not track term metadata; bind the "
-                    "variable in a plain triple pattern")
             return _apply_terms(rel, (pat[0], pat[2]), ("src", "dst"),
                                 i, meta_vars=meta_vars)
-        raise ValueError(
-            f"pattern {i}: a property path under a VARIABLE graph "
-            "term would need one closure per graph — bind the graph "
-            "to a constant or drop the path")
+        # VARIABLE graph term: one per-graph closure over ALL graphs
+        # at once — the graph column rides the doubling/sequence join
+        # keys inside kg_path, so this is a single distributed job,
+        # not one closure per graph
+        rel = kg_path(triples, pat[1], s_col=pos_cols[0],
+                      p_col=pos_cols[1], o_col=pos_cols[2],
+                      g_col=pos_cols[3])
+        return _apply_terms(rel, (pat[0], pat[2], pat[3]),
+                            ("src", "dst", "g"), i, meta_vars=meta_vars)
     return _apply_terms(triples, pat, pos_cols[:len(pat)], i,
                         meta_vars=meta_vars, meta_cols=meta_cols,
                         o_col=pos_cols[2], p_col=pos_cols[1])
@@ -1513,18 +1518,30 @@ def property_path(triples: DataFrame, pred: str,
     return _path_closure(edges, max_rounds)
 
 
-def _path_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+def _path_closure(edges: DataFrame, max_rounds: int = 20,
+                  extra: tuple[str, ...] = ()) -> DataFrame:
     """Transitive closure of an arbitrary (src, dst) edge relation by
     iterative doubling — the shared kernel behind ``property_path``
-    (``p+``) and the ``kg_path`` algebra's ``+``/``*`` operators."""
+    (``p+``) and the ``kg_path`` algebra's ``+``/``*`` operators.
+
+    ``extra`` names carried grouping columns (e.g. the graph name):
+    they join the doubling equi-join key, so the closure is computed
+    independently WITHIN each group — every group in one distributed
+    job, no per-group loop. This is what makes ``GRAPH ?g { ?s p+ ?o }``
+    a single fixpoint over all named graphs at once."""
     from ..session import cut_lineage
-    paths = cut_lineage(edges.select("src", "dst").distinct())
+    cols = ["src", "dst", *extra]
+    paths = cut_lineage(edges.select(*cols).distinct())
     n = paths.count()
     for _ in range(max_rounds):
+        cond = F.col("a.dst") == F.col("b.src")
+        for g in extra:
+            cond &= F.col(f"a.{g}") == F.col(f"b.{g}")
         hop = (paths.alias("a")
-               .join(paths.alias("b"), F.col("a.dst") == F.col("b.src"))
+               .join(paths.alias("b"), cond)
                .select(F.col("a.src").alias("src"),
-                       F.col("b.dst").alias("dst")))
+                       F.col("b.dst").alias("dst"),
+                       *[F.col(f"a.{g}").alias(g) for g in extra]))
         grown = cut_lineage(paths.unionByName(hop).distinct())
         m = grown.count()
         if m == n:
@@ -1663,9 +1680,17 @@ class _PathParser:
 def kg_path(triples: DataFrame, path: str,
             s_col: str = "subj", p_col: str = "pred",
             o_col: str = "obj_value",
-            max_rounds: int = 20) -> DataFrame:
+            max_rounds: int = 20,
+            g_col: str | None = None) -> DataFrame:
     """Evaluate a SPARQL 1.1 property-path expression over the triples
     table, returning the distinct (src, dst) pairs it connects.
+
+    With ``g_col`` set (the GRAPH ?var case) every relation carries a
+    third column ``g`` and the path is evaluated independently WITHIN
+    each named graph — the graph column rides every equi-join key
+    (sequence midpoints, the doubling closure) and the zero-length
+    identity is per-graph, so ALL graphs' paths are computed in one
+    distributed job rather than one closure per graph.
 
     ``path`` syntax (IRIs angle-bracketed, precedence per SPARQL §9.1):
     ``<p>`` single predicate, ``^p`` inverse, ``p1/p2`` sequence,
@@ -1691,15 +1716,18 @@ def kg_path(triples: DataFrame, path: str,
     """
     ast = _PathParser(path).parse()
     nodes_cache: list[DataFrame] = []
+    gx: tuple = () if g_col is None else (F.col(g_col).alias("g"),)
+    extra: tuple = () if g_col is None else ("g",)
 
     def nodes() -> DataFrame:
         if not nodes_cache:
             from ..session import cut_lineage
-            subs = triples.select(F.col(s_col).alias("n"))
-            objs = triples.select(F.col(o_col).alias("n"))
+            subs = triples.select(F.col(s_col).alias("n"), *gx)
+            objs = triples.select(F.col(o_col).alias("n"), *gx)
+            keep = [F.col("n").alias("src"), F.col("n").alias("dst"),
+                    *[F.col(g) for g in extra]]
             nodes_cache.append(cut_lineage(
-                subs.unionByName(objs).distinct()
-                .select(F.col("n").alias("src"), F.col("n").alias("dst"))))
+                subs.unionByName(objs).distinct().select(*keep)))
         return nodes_cache[0]
 
     def ev(node: tuple) -> DataFrame:
@@ -1707,21 +1735,27 @@ def kg_path(triples: DataFrame, path: str,
         if op == "pred":
             return (triples.where(F.col(p_col) == node[1])
                     .select(F.col(s_col).alias("src"),
-                            F.col(o_col).alias("dst")).distinct())
+                            F.col(o_col).alias("dst"), *gx).distinct())
         if op == "inv":
-            return ev(node[1]).select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst"))
+            return ev(node[1]).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                *[F.col(g) for g in extra])
         if op == "seq":
             a, b = ev(node[1]).alias("a"), ev(node[2]).alias("b")
-            return (a.join(b, F.col("a.dst") == F.col("b.src"))
+            cond = F.col("a.dst") == F.col("b.src")
+            for g in extra:
+                cond &= F.col(f"a.{g}") == F.col(f"b.{g}")
+            return (a.join(b, cond)
                     .select(F.col("a.src").alias("src"),
-                            F.col("b.dst").alias("dst")).distinct())
+                            F.col("b.dst").alias("dst"),
+                            *[F.col(f"a.{g}").alias(g) for g in extra])
+                    .distinct())
         if op == "alt":
             return ev(node[1]).unionByName(ev(node[2])).distinct()
         if op == "plus":
-            return _path_closure(ev(node[1]), max_rounds)
+            return _path_closure(ev(node[1]), max_rounds, extra=extra)
         if op == "star":
-            return (_path_closure(ev(node[1]), max_rounds)
+            return (_path_closure(ev(node[1]), max_rounds, extra=extra)
                     .unionByName(nodes()).distinct())
         if op == "opt":
             return ev(node[1]).unionByName(nodes()).distinct()
@@ -1736,11 +1770,11 @@ def kg_path(triples: DataFrame, path: str,
             if fwd or not inv:
                 parts.append(triples.where(~F.col(p_col).isin(list(fwd)))
                              .select(F.col(s_col).alias("src"),
-                                     F.col(o_col).alias("dst")))
+                                     F.col(o_col).alias("dst"), *gx))
             if inv:
                 parts.append(triples.where(~F.col(p_col).isin(list(inv)))
                              .select(F.col(o_col).alias("src"),
-                                     F.col(s_col).alias("dst")))
+                                     F.col(s_col).alias("dst"), *gx))
             out = parts[0]
             for q in parts[1:]:
                 out = out.unionByName(q)

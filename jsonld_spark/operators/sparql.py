@@ -593,22 +593,17 @@ class _Parser:
         return var
 
     def _graphify(self, pats: list[tuple], gterm: str) -> list[tuple]:
-        """Home a GRAPH body's patterns into the graph term. A path
-        predicate under a VARIABLE graph would need one closure per
-        graph — reject at parse time (constant graphs scope fine)."""
+        """Home a GRAPH body's patterns into the graph term. Path
+        predicates are fine under BOTH constant and variable graphs —
+        a variable graph runs one per-graph closure over every named
+        graph in a single job (``kg_path(g_col=...)``)."""
         out = []
         for pat in pats:
             if len(pat) == 4:
                 raise SparqlUnsupportedError(
                     "nested GRAPH clauses are not supported — flatten "
                     "to one graph level")
-            s, p, o = pat
-            if gterm.startswith("?") and not p.startswith("?") \
-                    and "<" in p:
-                raise SparqlUnsupportedError(
-                    "a property path inside GRAPH ?var would need one "
-                    "closure per graph — use a constant graph name")
-            out.append((s, p, o, gterm))
+            out.append(pat + (gterm,))
         return out
 
     def _plain_bgp(self) -> list[tuple]:

@@ -786,10 +786,37 @@ def test_bgp_path_pattern_graph_slot(path_triples):
         "graph", F.when(F.col("subj") == "a", "g1").otherwise("g0"))
     got2 = bgp_match(t2, [("?x", "<p>+", "c", "g0")])
     assert sorted(r.x for r in got2.collect()) == ["b"]
-    # a VARIABLE graph term would need one closure per graph — typed
-    # error, not silent graph-ignoring
-    with pytest.raises(ValueError, match="VARIABLE graph"):
-        bgp_match(t, [("?x", "<p>+", "?y", "?g")])
+    # a VARIABLE graph term: one per-graph closure over every named
+    # graph in a single job; the graph variable binds per row
+    got3 = bgp_match(t, [("?x", "<p>+", "c", "?g")])
+    assert sorted((r.x, r.g) for r in got3.collect()) == \
+        [("a", "g0"), ("b", "g0")]
+    # the a->b edge lives in g1, so a+ reaches c only within g0 via b;
+    # in g1 the only p-path is a->b itself
+    got4 = bgp_match(t2, [("?x", "<p>+", "?y", "?g")])
+    assert sorted((r.x, r.y, r.g) for r in got4.collect()) == \
+        [("a", "b", "g1"), ("b", "c", "g0")]
+
+
+def test_kg_path_per_graph_equals_per_constant(spark):
+    """kg_path(g_col=...) over the union of graphs == running the
+    same path per constant graph — including the per-graph
+    zero-length node identity of '*'."""
+    from jsonld_spark.operators.kg import kg_path
+    rows = [("a", "p", "b", "g0"), ("b", "p", "c", "g0"),
+            ("c", "q", "d", "g0"),
+            ("a", "p", "c", "g1"), ("c", "q", "a", "g1"),
+            ("z", "r", "z", "g1")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string")
+    expr = "(<p>+/<q>) | <p>*"
+    merged = {(r.g, r.src, r.dst)
+              for r in kg_path(t, expr, g_col="graph").collect()}
+    split = set()
+    for g in ("g0", "g1"):
+        part = kg_path(t.where(F.col("graph") == g), expr)
+        split |= {(g, r.src, r.dst) for r in part.collect()}
+    assert merged == split
 
 
 def test_construct_with_path_pattern(path_triples):

@@ -444,8 +444,14 @@ def test_exec_path_inside_constant_graph(triples):
                        "GRAPH <g1> { ?x ex:cites+ ?y } }")
     # only d1->d2 is homed in g1; d2->d3 lives in g2
     assert _rows(got) == [("d1", "d2")]
-    with pytest.raises(SparqlUnsupportedError, match="GRAPH .var"):
-        _parse(PFX + "SELECT * WHERE { GRAPH ?g { ?x ex:cites+ ?y } }")
+
+
+def test_exec_path_inside_variable_graph(triples):
+    # per-graph closure: d1->d3 needs edges from BOTH graphs, so it
+    # appears in neither graph's own closure
+    got = sparql_query(triples, PFX + "SELECT ?g ?x ?y WHERE { "
+                       "GRAPH ?g { ?x ex:cites+ ?y } }")
+    assert _rows(got) == [("g1", "d1", "d2"), ("g2", "d2", "d3")]
 
 
 def test_exec_property_path(triples):
