@@ -960,6 +960,30 @@ def q_sparql_union_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_union_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER inside UNION branches — SPARQL scopes a branch FILTER to
+    the branch group, so it prunes that branch's solutions BEFORE the
+    null-padding union and cannot see sibling branches. Branch 1:
+    English docs' dct:source values starting 'src1' (the branch
+    FILTER); branch 2: German docs' media refs, unfiltered. Each
+    branch stays an independently-planned pushed-filter scan
+    (operators/sparql.py:_union_branch, kg.py:bgp_union
+    branch_filters)."""
+    from jsonld_spark.operators.sparql import sparql_query
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value")
+    return sparql_query(triples, """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?o WHERE {
+            { ?d schema:inLanguage 'en' . ?d dct:source ?o
+              FILTER(STRSTARTS(?o, 'src1')) }
+            UNION
+            { ?d schema:inLanguage 'de' . ?d schema:associatedMedia ?o }
+        }
+    """)
+
+
 def q_sparql_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL over a UNION body — the algebra
     LeftJoin(rest, Union(A, B)): the branches' solution union becomes
@@ -1958,12 +1982,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_body": q_sparql_optional_body,
         "sparql_optional_subquery": q_sparql_optional_subquery,
         "sparql_filter_exists": q_sparql_filter_exists,
+        "sparql_union_filter": q_sparql_union_filter,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
         "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
-        "compact_docs": q_compact_docs,
         "error_isolation": q_error_isolation,
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
@@ -1990,8 +2014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    two or more prior rounds; queries unchanged;
         #    nquads_media_lines is subsumed by nquads_roundtrip, whose
         #    serializer path it shares; flatten_docs rotated out for
-        #    kg_path_graph, the new per-graph path-closure row) --
+        #    kg_path_graph, compact_docs for sparql_union_filter) --
         "flatten_docs": q_flatten_docs,
+        "compact_docs": q_compact_docs,
         "nquads_media_lines": q_nquads_media_lines,
         "streaming_user_totals": q_streaming_user_totals,
         "minhash_pairs": q_minhash_pairs,
@@ -2547,6 +2572,23 @@ u AS (SELECT subj AS d, obj_value AS o FROM t
       SELECT subj, obj_value FROM t
       WHERE pred = 'http://schema.org/associatedMedia')
 SELECT DISTINCT n.d AS d, u.o AS o FROM n JOIN u USING (d)
+"""
+
+_SPARQL_UNION_FILTER_ORACLE = """
+WITH t AS MATERIALIZED ({0})
+SELECT DISTINCT d, o FROM (
+  SELECT s.subj AS d, s.obj_value AS o FROM t s
+  WHERE s.pred = 'http://purl.org/dc/terms/source'
+    AND s.obj_value LIKE 'src1%'
+    AND EXISTS (SELECT 1 FROM t l WHERE l.subj = s.subj
+                AND l.pred = 'http://schema.org/inLanguage'
+                AND l.obj_value = 'en')
+  UNION
+  SELECT m.subj, m.obj_value FROM t m
+  WHERE m.pred = 'http://schema.org/associatedMedia'
+    AND EXISTS (SELECT 1 FROM t l WHERE l.subj = m.subj
+                AND l.pred = 'http://schema.org/inLanguage'
+                AND l.obj_value = 'de'))
 """
 
 _SPARQL_OPT_UNION_ORACLE = """
@@ -3723,6 +3765,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_OPT_SUBQ_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_filter_exists":
             _SPARQL_FILTER_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_union_filter":
+            _SPARQL_UNION_FILTER_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

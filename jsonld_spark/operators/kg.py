@@ -1239,12 +1239,18 @@ def bgp_union(triples: DataFrame,
               branches: list[list[tuple[str, str, str]]],
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph",
-              distinct: bool = True) -> DataFrame:
+              distinct: bool = True,
+              branch_filters: list[list[str]] | None = None
+              ) -> DataFrame:
     """SPARQL UNION: match each branch (a BGP pattern list) and take
     the set union of the solution sets. Branches may bind different
     variables — a variable absent from a branch is null in its rows
     (SPARQL's unbound), and the output carries the union of all
     variables in first-appearance order across branches.
+    ``branch_filters`` (parallel to ``branches``) are group-scoped
+    FILTER expressions applied to that branch's solutions BEFORE the
+    null-padding union — SPARQL scopes a branch FILTER to the branch
+    group, so it may reference only branch-bound variables.
 
     Plan shape: each branch is an independent ``bgp_match`` join tree;
     the union is a zero-shuffle concatenation and the final distinct
@@ -1253,9 +1259,13 @@ def bgp_union(triples: DataFrame,
     """
     if not branches:
         raise ValueError("empty branch list")
+    if branch_filters is not None and len(branch_filters) != len(branches):
+        raise ValueError("branch_filters must parallel branches")
     outs = [bgp_match(triples, b, s_col=s_col, p_col=p_col, o_col=o_col,
-                      g_col=g_col)
-            for b in branches]
+                      g_col=g_col,
+                      filters=(branch_filters[i] or None)
+                      if branch_filters else None)
+            for i, b in enumerate(branches)]
     all_vars: list[str] = []
     for o in outs:
         all_vars += [v for v in o.columns if v not in all_vars]

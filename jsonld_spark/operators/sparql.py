@@ -261,10 +261,16 @@ class _Group:
     # {'expr': sql, 'markers': [(name, group_entry, negated), ...]}
     filter_exists: list[dict] = field(default_factory=list)
     union_branches: list[list[tuple]] | None = None
+    # per-branch group-scoped FILTERs (parallel to union_branches):
+    # applied to the branch's solutions BEFORE null-padding/union
+    union_branch_filters: list[list[str]] | None = None
     # UNION blocks mixed with other group members: each entry is one
     # { A } UNION { B } ... block's branch list, compiled to a
     # solution join — algebra Join(Union(A, B), rest-of-group)
     inline_unions: list[list[list[tuple]]] = field(default_factory=list)
+    # parallel per-block, per-branch FILTER lists for inline_unions
+    inline_union_filters: list[list[list[str]]] = field(
+        default_factory=list)
     subqueries: list["_Query"] = field(default_factory=list)
 
 
@@ -634,6 +640,68 @@ class _Parser:
         self._next()
         return pats
 
+    def _union_branch(self) -> tuple[list[tuple], list[str]]:
+        """One UNION branch at WHERE level: triple patterns, GRAPH
+        blocks, and group-scoped FILTERs (applied to the branch's
+        solutions before the null-padding union — SPARQL scopes a
+        branch FILTER to the branch group). A branch FILTER may
+        reference only variables the branch itself binds: an outer
+        variable is out of scope there per SPARQL (always unbound →
+        the filter errors every row), so we reject it typed instead
+        of silently emptying the branch."""
+        self._expect("OP", "{")
+        pats: list[tuple] = []
+        filters: list[str] = []
+        while not (self._peek().kind == "OP" and self._peek().value == "}"):
+            if self._peek().kind == "EOF":
+                raise SparqlSyntaxError("unterminated union branch")
+            if self._at_kw("graph"):
+                self._next()
+                g = self._term("graph")
+                pats += self._graphify(self._plain_bgp(), g)
+            elif self._eat_kw("filter"):
+                if self._at_kw("exists") or self._at_kw("not"):
+                    raise SparqlUnsupportedError(
+                        "FILTER [NOT] EXISTS inside a UNION branch is "
+                        "not supported — lift it to the outer group")
+                filters.append(self._expression())
+            elif self._peek().kind == "OP" and self._peek().value == ".":
+                self._next()
+            elif (self._peek().kind == "KW" and self._peek().value in (
+                    "optional", "bind", "values", "minus", "union",
+                    "select")) \
+                    or (self._peek().kind == "OP"
+                        and self._peek().value == "{"):
+                raise SparqlUnsupportedError(
+                    f"{self._peek().value.upper()} inside a UNION "
+                    "branch is not supported — only triple patterns, "
+                    "GRAPH blocks, and plain FILTERs here")
+            else:
+                pats += self._triples_block(None)
+        self._next()
+        if filters and not pats:
+            raise SparqlUnsupportedError(
+                "a UNION branch with only FILTERs has no patterns to "
+                "filter — add a triple pattern")
+        bound = {t[1:] for p in pats for t in p if t.startswith("?")}
+        for expr in filters:
+            loose = _expr_identifiers(expr) - bound
+            meta = {x for x in loose
+                    if any(x.endswith(sfx) for sfx in META_SUFFIXES)}
+            if meta:
+                raise SparqlUnsupportedError(
+                    "LANG()/DATATYPE()/isIRI()-family builtins inside "
+                    "a UNION-branch FILTER are not supported — the "
+                    "branch match does not carry term metadata; lift "
+                    "the test to the outer group")
+            if loose:
+                raise SparqlUnsupportedError(
+                    f"UNION-branch FILTER references {sorted(loose)} "
+                    "not bound in that branch — an outer variable is "
+                    "out of scope inside a branch group per SPARQL; "
+                    "move the FILTER to the outer group")
+        return pats, filters
+
     def _filtered_body(self, label: str, allow_union: bool = False,
                        allow_optional: bool = False) -> "_Body":
         """A group body that may mix triple patterns (incl. GRAPH)
@@ -800,21 +868,31 @@ class _Parser:
                          and self._peek(1).value == "select"):
             # UNION form: { BGP } UNION { BGP } ... — or a single
             # nested plain group, which is equivalent to inlining
-            branches = [self._plain_bgp()]
+            pair = self._union_branch()
+            branches, bfilters = [pair[0]], [pair[1]]
             while self._at_kw("union"):
                 self._next()
-                branches.append(self._plain_bgp())
+                pair = self._union_branch()
+                branches.append(pair[0])
+                bfilters.append(pair[1])
             if len(branches) > 1:
                 if (self._peek().kind == "OP"
                         and self._peek().value == "}"):
                     self._next()
                     g.union_branches = branches
+                    if any(bfilters):
+                        g.union_branch_filters = bfilters
                     return g
                 # other members follow the UNION block: compiles to
                 # Join(Union(branches), rest) via a solution join
                 g.inline_unions.append(branches)
+                g.inline_union_filters.append(bfilters)
             else:
+                # a single nested plain group inlines; its branch
+                # FILTERs reference only branch-bound vars, so they
+                # commute with the join and join the group's filters
                 g.patterns += branches[0]
+                g.filters += bfilters[0]
         while not (self._peek().kind == "OP" and self._peek().value == "}"):
             t = self._peek()
             if t.kind == "EOF":
@@ -883,15 +961,21 @@ class _Parser:
                     self._expect("OP", "}")
                     continue
                 # nested group / UNION block after other members
-                branches = [self._plain_bgp()]
+                pair = self._union_branch()
+                branches, bfilters = [pair[0]], [pair[1]]
                 while self._at_kw("union"):
                     self._next()
-                    branches.append(self._plain_bgp())
+                    pair = self._union_branch()
+                    branches.append(pair[0])
+                    bfilters.append(pair[1])
                 if len(branches) == 1:
                     # a single nested plain group joins by inlining
+                    # (branch FILTERs commute — see the leading form)
                     g.patterns += branches[0]
+                    g.filters += bfilters[0]
                 else:
                     g.inline_unions.append(branches)
+                    g.inline_union_filters.append(bfilters)
                 continue
             elif t.kind == "OP" and t.value == ".":
                 self._next()
@@ -1604,14 +1688,18 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
         entries.append({"df": sdf, "nullable": snul,
                         "allow_disjoint": scalar})
         nul |= snul
-    for branches in g.inline_unions:
+    for bi, branches in enumerate(g.inline_unions):
         # UNION mixed with other group members: the union's solution
         # set joins the rest of the group on the shared variables
         # (algebra Join(Union(...), rest)). A variable not bound by
         # EVERY branch is nullable — bgp_match raises (typed) if such
         # a variable is a join key, per its unbound-compatibility
         # policy for solution joins
-        udf = bgp_union(triples, branches, **cols)
+        bf = g.inline_union_filters[bi] \
+            if bi < len(g.inline_union_filters) else None
+        udf = bgp_union(triples, branches,
+                        branch_filters=bf if bf and any(bf) else None,
+                        **cols)
         per_branch = [_pattern_var_names(b) for b in branches]
         bad = (set(meta_vars) & set.union(*per_branch)) \
             - _pattern_var_names(g.patterns)
@@ -1721,7 +1809,8 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                 or g.filter_exists:
             raise SparqlUnsupportedError(
                 "UNION mixed with other clauses is not supported")
-        df = bgp_union(triples, g.union_branches, **cols)
+        df = bgp_union(triples, g.union_branches,
+                       branch_filters=g.union_branch_filters, **cols)
     else:
         gvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         df = bgp_match(triples, g.patterns,
@@ -1886,7 +1975,9 @@ def sparql_query(triples: DataFrame, query: str,
         if q.describe_var is not None:
             gg = q.where
             if gg.union_branches is not None:
-                sol = bgp_union(triples, gg.union_branches, **cols)
+                sol = bgp_union(triples, gg.union_branches,
+                                branch_filters=gg.union_branch_filters,
+                                **cols)
                 if q.describe_var not in sol.columns:
                     raise SparqlSyntaxError(
                         f"DESCRIBE ?{q.describe_var}: variable is not "
@@ -1951,8 +2042,10 @@ def sparql_query(triples: DataFrame, query: str,
         if g.union_branches is not None:
             # ASK over a UNION: true iff any branch matches
             # (short-circuits branch by branch)
-            return any(_ask(triples, b, **cols)
-                       for b in g.union_branches)
+            bfs = g.union_branch_filters \
+                or [[] for _ in g.union_branches]
+            return any(_ask(triples, b, filters=bf or None, **cols)
+                       for b, bf in zip(g.union_branches, bfs))
         return _ask(triples, g.patterns, not_exists=g.not_exists or None,
                     exists=g.exists or None, minus=g.minus or None,
                     filters=g.filters or None, values=g.values or None,
@@ -1973,7 +2066,9 @@ def sparql_query(triples: DataFrame, query: str,
             # Template variables need not be bound by every branch;
             # per SPARQL an unbound template slot skips that triple.
             outs = []
-            for branch in g.union_branches:
+            cbfs = g.union_branch_filters \
+                or [[] for _ in g.union_branches]
+            for branch, bf in zip(g.union_branches, cbfs):
                 bvars = _pattern_var_names(branch) | tmpl_mint
                 tmpl = [t for t in q.template
                         if all(not term.startswith("?")
@@ -1981,6 +2076,7 @@ def sparql_query(triples: DataFrame, query: str,
                 if tmpl:
                     outs.append(construct(triples, branch, tmpl,
                                           mint_vars=tmpl_mint or None,
+                                          filters=bf or None,
                                           **cols))
             if not outs:
                 raise SparqlSyntaxError(

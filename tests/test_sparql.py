@@ -432,6 +432,63 @@ def test_exec_union(triples):
     assert _rows(got) == _rows(want)
 
 
+def test_parse_union_branch_filters():
+    q = _parse(PFX + "SELECT * WHERE { { ?d ex:author ?a "
+               "FILTER(?a = 'alice') } UNION { ?d ex:lang 'de' } }")
+    assert len(q.where.union_branches) == 2
+    assert q.where.union_branch_filters[0] == ["(`a` = 'alice')"]
+    assert q.where.union_branch_filters[1] == []
+    # out-of-branch variable: typed error, not a silently-empty branch
+    with pytest.raises(SparqlUnsupportedError, match="not bound in that"):
+        _parse(PFX + "SELECT * WHERE { { ?d ex:author ?a "
+               "FILTER(?x = 'y') } UNION { ?d ex:lang ?x } }")
+    with pytest.raises(SparqlUnsupportedError, match="EXISTS inside a"):
+        _parse(PFX + "SELECT * WHERE { { ?d ex:author ?a FILTER EXISTS "
+               "{ ?d ex:lang ?l } } UNION { ?d ex:lang 'de' } }")
+
+
+def test_exec_union_branch_filter(triples):
+    # the filter prunes only its own branch: alice-authored docs from
+    # branch 1, every de-lang doc from branch 2
+    got = sparql_query(triples, PFX + "SELECT * WHERE { "
+                       "{ ?d ex:author ?a FILTER(?a = 'alice') } UNION "
+                       "{ ?d ex:lang 'de' } }")
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {("d1", "alice"), ("d2", None), ("d2", "alice")}
+
+
+def test_exec_union_branch_filter_inline(triples):
+    # UNION (with a branch filter) mixed with another member: the
+    # union's filtered solutions join the rest of the group
+    got = sparql_query(triples, PFX + "SELECT ?d ?l WHERE { "
+                       "{ ?d ex:author 'alice' FILTER(?d != 'd2') } "
+                       "UNION { ?d ex:reviewer ?r } "
+                       "?d ex:lang ?l }")
+    assert _rows(got) == [("d1", "en")]
+
+
+def test_exec_union_branch_filter_ask_construct(triples):
+    assert sparql_query(triples, PFX + "ASK { { ?d ex:author ?a "
+                        "FILTER(?a = 'nobody') } UNION "
+                        "{ ?d ex:lang 'de' } }") is True
+    assert sparql_query(triples, PFX + "ASK { { ?d ex:author ?a "
+                        "FILTER(?a = 'nobody') } UNION "
+                        "{ ?d ex:lang 'xx' } }") is False
+    got = sparql_query(triples, PFX + "CONSTRUCT { ?d ex:hit 'y' } "
+                       "WHERE { { ?d ex:author ?a FILTER(?a = 'bob') } "
+                       "UNION { ?d ex:lang 'de' } }")
+    assert sorted(r.subj for r in got.collect()) == ["d2", "d3"]
+
+
+def test_exec_nested_group_filter_inlines(triples):
+    # a single nested plain group with a filter inlines into the
+    # enclosing group (filter deps are branch-bound, so it commutes)
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { "
+                       "{ ?d ex:author ?a FILTER(?a = 'alice') } "
+                       "?d ex:lang 'en' }")
+    assert _rows(got) == [("d1",)]
+
+
 def test_exec_graph_clause(triples):
     got = sparql_query(triples, PFX + "SELECT * WHERE { "
                        "GRAPH ex:g2 { ?d ex:author ?a } }".replace(
