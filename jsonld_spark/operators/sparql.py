@@ -1250,6 +1250,24 @@ class _Parser:
         _XSD + "date": "date", _XSD + "dateTime": "timestamp",
     }
 
+    def _regex_flags(self, arg: str, label: str) -> str:
+        """Validate a REGEX()/REPLACE() flags argument (XPath
+        fn:matches flags): must be a string literal over i/s/m/q/x.
+        i/s/m/x map to Java's inline ``(?ismx)`` embedded flags
+        (Spark RLIKE / regexp_replace run java.util.regex); ``q``
+        (literal pattern) is handled by the callers."""
+        m = re.fullmatch(r"'([a-zA-Z]*)'", arg)
+        if m is None:
+            raise SparqlUnsupportedError(
+                f"{label}() flags must be a plain string literal")
+        flags = m.group(1)
+        bad = sorted(set(flags) - set("ismqx"))
+        if bad:
+            raise SparqlUnsupportedError(
+                f"{label}() flag(s) {bad} are not supported — "
+                "i/s/m/x/q only")
+        return flags
+
     def _builtin_call(self, t: _Tok) -> tuple[str, str]:
         name = t.value.lower()
         self._expect("OP", "(")
@@ -1264,12 +1282,22 @@ class _Parser:
                 self._next()
         self._next()
         if name == "regex":
+            if len(args) not in (2, 3):
+                raise SparqlSyntaxError("REGEX() takes 2 or 3 arguments")
             if len(args) == 3:
-                if args[2] != "'i'":
-                    raise SparqlUnsupportedError(
-                        f"REGEX flag {args[2]} is not supported — "
-                        "only 'i' (case-insensitive)")
-                return f"({args[0]} RLIKE concat('(?i)', {args[1]}))", "expr"
+                flags = self._regex_flags(args[2], "REGEX")
+                if not flags:
+                    return f"({args[0]} RLIKE {args[1]})", "expr"
+                if "q" in flags:
+                    # 'q' (XPath fn:matches): the pattern is a literal
+                    # string, so the match is substring containment;
+                    # 'iq' folds case first
+                    s, p = args[0], args[1]
+                    if "i" in flags:
+                        s, p = f"lower({s})", f"lower({p})"
+                    return f"(instr({s}, {p}) > 0)", "expr"
+                return (f"({args[0]} RLIKE concat('(?{flags})', "
+                        f"{args[1]}))", "expr")
             return f"({args[0]} RLIKE {args[1]})", "expr"
         if name in ("datatype", "lang", "isiri", "isuri", "isliteral",
                     "isblank"):
@@ -1330,9 +1358,24 @@ class _Parser:
                 f"(lower({a}) = lower({b}) OR "
                 f"startswith(lower({a}), lower({b}) || '-')) END)",
                 "expr")
-        if name == "replace" and len(args) > 3:
-            raise SparqlUnsupportedError(
-                "REPLACE() flags argument is not supported")
+        if name == "replace" and len(args) > 4:
+            raise SparqlSyntaxError("REPLACE() takes at most 4 arguments")
+        if name == "replace" and len(args) == 4:
+            flags = self._regex_flags(args[3], "REPLACE")
+            if not flags:
+                return (f"regexp_replace({args[0]}, {args[1]}, "
+                        f"{args[2]})", "expr")
+            if "q" in flags:
+                # 'q': pattern AND replacement are literal strings
+                # (XPath fn:replace with q) — plain substring replace
+                if flags != "q":
+                    raise SparqlUnsupportedError(
+                        "REPLACE() flag 'q' cannot combine with "
+                        "regex flags")
+                return (f"replace({args[0]}, {args[1]}, {args[2]})",
+                        "expr")
+            return (f"regexp_replace({args[0]}, concat('(?{flags})', "
+                    f"{args[1]}), {args[2]})", "expr")
         tmpl = self._FUNC_MAP.get(name)
         if name in self._FUNC_MAP:
             if tmpl is None:

@@ -432,6 +432,33 @@ def test_exec_union(triples):
     assert _rows(got) == _rows(want)
 
 
+def test_regex_replace_flags(triples):
+    # 's' (dotall) and 'm' (multiline) map to Java inline flags
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { "
+                       "?d ex:author ?a FILTER REGEX(?a, 'a.ice', 's') }")
+    assert _rows(got) == [("d1",), ("d2",)]
+    # 'q': literal-pattern containment — the dot is NOT a wildcard
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { "
+                       "?d ex:author ?a FILTER REGEX(?a, 'a.ice', 'q') }")
+    assert _rows(got) == []
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { "
+                       "?d ex:author ?a FILTER REGEX(?a, 'LIC', 'iq') }")
+    assert _rows(got) == [("d1",), ("d2",)]
+    # REPLACE with flags; 'q' = plain substring replacement
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:author ?a "
+               "FILTER (REPLACE(?a, 'A.*E', '', 'is') = '') }")
+    assert "(?is)" in q.where.filters[0]
+    q = _parse(PFX + "SELECT * WHERE { ?d ex:author ?a "
+               "FILTER (REPLACE(?a, 'a.i', 'x', 'q') = ?a) }")
+    assert "regexp_replace" not in q.where.filters[0]
+    with pytest.raises(SparqlUnsupportedError, match="not supported"):
+        _parse(PFX + "SELECT * WHERE { ?d ex:author ?a "
+               "FILTER REGEX(?a, 'x', 'g') }")
+    with pytest.raises(SparqlUnsupportedError, match="cannot combine"):
+        _parse(PFX + "SELECT * WHERE { ?d ex:author ?a "
+               "FILTER (REPLACE(?a, 'x', 'y', 'qs') = ?a) }")
+
+
 def test_parse_union_branch_filters():
     q = _parse(PFX + "SELECT * WHERE { { ?d ex:author ?a "
                "FILTER(?a = 'alice') } UNION { ?d ex:lang 'de' } }")
