@@ -677,7 +677,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             # which is out of scope: raise instead of mis-joining.
             step = bgp_union(triples, pat["union"], s_col=s_col,
                              p_col=p_col, o_col=o_col, g_col=g_col,
-                             distinct=False)
+                             distinct=False,
+                             branch_filters=pat.get("branch_filters"))
             step_vars = list(step.columns)
             per_branch = [{t[1:] for p3 in branch for t in p3
                            if isinstance(t, str) and t.startswith("?")}
@@ -1073,8 +1074,10 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     f"{kind} group {gi}: filter {fexpr!r} references "
                     f"variable(s) {bad} not bound by every UNION "
                     "branch — bind them in every branch")
-        return [{"patterns": b, "filters": fs} if fs else b
-                for b in branches]
+        bfs = group.get("branch_filters") or [[] for _ in branches]
+        return [{"patterns": b, "filters": fs + bfs[bi]}
+                if (fs or bfs[bi]) else b
+                for bi, b in enumerate(branches)]
 
     def _exists_union(out_df: DataFrame, group, gi: int) -> DataFrame:
         """EXISTS { {A} UNION {B} } ≡ EXISTS{A} OR EXISTS{B} — not
@@ -1240,8 +1243,8 @@ def bgp_union(triples: DataFrame,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj_value", g_col: str = "graph",
               distinct: bool = True,
-              branch_filters: list[list[str]] | None = None
-              ) -> DataFrame:
+              branch_filters: list[list[str]] | None = None,
+              meta_vars: set | None = None) -> DataFrame:
     """SPARQL UNION: match each branch (a BGP pattern list) and take
     the set union of the solution sets. Branches may bind different
     variables — a variable absent from a branch is null in its rows
@@ -1259,12 +1262,41 @@ def bgp_union(triples: DataFrame,
     """
     if not branches:
         raise ValueError("empty branch list")
-    if branch_filters is not None and len(branch_filters) != len(branches):
-        raise ValueError("branch_filters must parallel branches")
+    if branch_filters is not None:
+        if len(branch_filters) != len(branches):
+            raise ValueError("branch_filters must parallel branches")
+        for bi, (b, fl) in enumerate(zip(branches, branch_filters)):
+            bv = _pattern_tuple_vars(b)
+            # meta columns exist for branch vars requested via
+            # meta_vars — a branch filter may reference those too
+            ok = bv | {f"{v}{sfx}" for v in set(meta_vars or ()) & bv
+                       for sfx in META_SUFFIXES}
+            for expr in fl or []:
+                loose = sorted(_expr_identifiers(expr) - ok)
+                if loose:
+                    raise ValueError(
+                        f"union branch {bi} filter {expr!r} references "
+                        f"{loose} not bound in that branch — a branch "
+                        "FILTER scopes to its branch group (for "
+                        "LANG()/DATATYPE() pass the var in meta_vars)")
+    if meta_vars:
+        # term-metadata columns for union-bound variables: each branch
+        # emits {v}__kind/__lang/__datatype for the vars IT binds; a
+        # var a branch does not bind pads null metadata like the var
+        # itself (LANG() of unbound is a type error → NULL per SPARQL)
+        missing = set(meta_vars) \
+            - set().union(*[_pattern_tuple_vars(b) for b in branches])
+        if missing:
+            raise ValueError(
+                f"meta_vars {sorted(missing)} were never bound by any "
+                "UNION branch — LANG()/DATATYPE()/isIRI() need a "
+                "binding pattern")
     outs = [bgp_match(triples, b, s_col=s_col, p_col=p_col, o_col=o_col,
                       g_col=g_col,
                       filters=(branch_filters[i] or None)
-                      if branch_filters else None)
+                      if branch_filters else None,
+                      meta_vars=(set(meta_vars) & _pattern_tuple_vars(b))
+                      or None if meta_vars else None)
             for i, b in enumerate(branches)]
     all_vars: list[str] = []
     for o in outs:

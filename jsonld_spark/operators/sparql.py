@@ -281,6 +281,8 @@ class _Body:
     pats: list[tuple] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)
     union: list[list[tuple]] | None = None
+    # per-branch FILTERs parallel to ``union`` (None when none)
+    union_branch_filters: list[list[str]] | None = None
     nested: list = field(default_factory=list)
     binds: list[tuple[str, str]] = field(default_factory=list)
     not_exists: list = field(default_factory=list)
@@ -686,14 +688,11 @@ class _Parser:
         bound = {t[1:] for p in pats for t in p if t.startswith("?")}
         for expr in filters:
             loose = _expr_identifiers(expr) - bound
-            meta = {x for x in loose
-                    if any(x.endswith(sfx) for sfx in META_SUFFIXES)}
-            if meta:
-                raise SparqlUnsupportedError(
-                    "LANG()/DATATYPE()/isIRI()-family builtins inside "
-                    "a UNION-branch FILTER are not supported — the "
-                    "branch match does not carry term metadata; lift "
-                    "the test to the outer group")
+            # term-metadata identifiers over branch-bound vars are
+            # fine: the branch's bgp_match emits those columns
+            loose -= {x for x in loose
+                      if any(x.endswith(sfx) for sfx in META_SUFFIXES)
+                      and x.rsplit("__", 1)[0] in bound}
             if loose:
                 raise SparqlUnsupportedError(
                     f"UNION-branch FILTER references {sorted(loose)} "
@@ -757,13 +756,19 @@ class _Parser:
                 self._expect("OP", "}")
             elif (allow_union and self._peek().kind == "OP"
                     and self._peek().value == "{"):
-                branches = [self._plain_bgp()]
+                pair = self._union_branch()
+                branches, bfilters = [pair[0]], [pair[1]]
                 while self._at_kw("union"):
                     self._next()
-                    branches.append(self._plain_bgp())
+                    pair = self._union_branch()
+                    branches.append(pair[0])
+                    bfilters.append(pair[1])
                 if len(branches) == 1:
-                    # a plain nested group inlines
+                    # a plain nested group inlines; its FILTERs are
+                    # group-scoped and reference only branch-bound
+                    # vars, so they join the body's filters
                     pats += branches[0]
+                    filters += bfilters[0]
                 elif union is not None:
                     raise SparqlUnsupportedError(
                         f"multiple UNION blocks inside one {label} "
@@ -771,6 +776,8 @@ class _Parser:
                         "into one UNION")
                 else:
                     union = branches
+                    if any(bfilters):
+                        b.union_branch_filters = bfilters
             elif allow_optional and self._at_kw("optional"):
                 self._next()
                 nested.append(self._optional_entry())
@@ -844,9 +851,11 @@ class _Parser:
             ("not_exists", b.not_exists), ("exists", b.exists),
             ("minus", b.minus), ("values", b.values),
             ("subqueries", b.subqueries),
-            ("filters", b.filters)) if v}
+            ("filters", b.filters),
+            ("branch_filters", b.union_branch_filters)) if v}
         if b.union is not None:
             return {"union": b.union, **extras}
+        extras.pop("branch_filters", None)
         if not extras:
             return b.pats[0] if len(b.pats) == 1 else b.pats
         return {"patterns": b.pats, **extras}
@@ -854,8 +863,12 @@ class _Parser:
     def _group_entry(self, label: str) -> list | dict:
         b = self._filtered_body(label, allow_union=True)
         if b.union is not None:
-            return {"union": b.union, "filters": b.filters} \
-                if b.filters else {"union": b.union}
+            entry: dict = {"union": b.union}
+            if b.filters:
+                entry["filters"] = b.filters
+            if b.union_branch_filters:
+                entry["branch_filters"] = b.union_branch_filters
+            return entry
         return {"patterns": b.pats, "filters": b.filters} \
             if b.filters else b.pats
 
@@ -1852,8 +1865,12 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                 or g.filter_exists:
             raise SparqlUnsupportedError(
                 "UNION mixed with other clauses is not supported")
+        uvars = set().union(*[_pattern_var_names(b)
+                              for b in g.union_branches])
         df = bgp_union(triples, g.union_branches,
-                       branch_filters=g.union_branch_filters, **cols)
+                       branch_filters=g.union_branch_filters,
+                       meta_vars=(set(meta_vars) & uvars) or None,
+                       **cols)
     else:
         gvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         df = bgp_match(triples, g.patterns,

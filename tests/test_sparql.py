@@ -516,6 +516,38 @@ def test_exec_nested_group_filter_inlines(triples):
     assert _rows(got) == [("d1",)]
 
 
+def test_exec_optional_union_branch_filter(triples):
+    # OPTIONAL { {A FILTER} UNION {B} }: the branch filter prunes only
+    # branch A's rows BEFORE the union; outer solutions never drop
+    got = sparql_query(triples, PFX + "SELECT ?d ?o WHERE { "
+                       "?d ex:lang ?l . OPTIONAL { "
+                       "{ ?d ex:author ?o FILTER(?o = 'alice') } UNION "
+                       "{ ?d ex:reviewer ?o } } }")
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {("d1", "alice"), ("d1", "rev1"),
+                    ("d2", "alice"), ("d3", None)}
+
+
+def test_exec_negation_union_branch_filter(triples):
+    # NOT EXISTS over a UNION distributes per branch; each branch's
+    # own FILTER applies inside that branch
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "FILTER NOT EXISTS { "
+                       "{ ?d ex:author ?a FILTER(?a = 'bob') } UNION "
+                       "{ ?d ex:reviewer ?r } } }")
+    assert _rows(got) == [("d2",)]
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "FILTER EXISTS { "
+                       "{ ?d ex:author ?a FILTER(?a = 'bob') } UNION "
+                       "{ ?d ex:reviewer ?r } } }")
+    assert _rows(got) == [("d1",), ("d3",)]
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "MINUS { "
+                       "{ ?d ex:author ?a FILTER(?a = 'bob') } UNION "
+                       "{ ?d ex:reviewer ?r } } }")
+    assert _rows(got) == [("d2",)]
+
+
 def test_exec_graph_clause(triples):
     got = sparql_query(triples, PFX + "SELECT * WHERE { "
                        "GRAPH ex:g2 { ?d ex:author ?a } }".replace(
@@ -1458,6 +1490,26 @@ def test_is_kind_builtins(typed_triples):
                        "SELECT ?s WHERE { ?s ?p ?o "
                        "FILTER(isLiteral(?o) && isIRI(?s)) }")
     assert ("d1",) in _rows(got) and ("_:b1",) not in _rows(got)
+
+
+def test_meta_over_union_bound_var(typed_triples):
+    # LANG()/DATATYPE() over a variable bound by UNION branches: each
+    # branch emits its own term metadata; the union dedups by TERM
+    # identity (plain vs @fr "chat" are distinct solutions)
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?o (LANG(?o) AS ?l) WHERE { "
+                       "{ ?s ex:name ?o } UNION { ?s ex:n ?o } }")
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {("chat", ""), ("chat", "fr"), ("hi", "en-GB"),
+                    ("5", "")}
+    # a var bound in only ONE branch: the other branch pads null
+    # metadata, so isLiteral(?o) is NULL there (never true)
+    got = sparql_query(typed_triples, PFX +
+                       "SELECT ?s ?o WHERE { "
+                       "{ ?s ex:n ?o FILTER(isLiteral(?o)) } UNION "
+                       "{ ?s ex:link ?x } }")
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {("d1", "5"), ("d1", None)}
 
 
 def test_langmatches_range(typed_triples):
