@@ -1122,6 +1122,34 @@ def q_sparql_filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_double_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested negation (the forall idiom): docs that have no
+    UNREVIEWED media — ``FILTER NOT EXISTS { ?d :associatedMedia ?m
+    FILTER NOT EXISTS { ?d :reviewedBy ?r } }``. The inner NOT EXISTS
+    compiles through a recursive bgp_match on the outer body's
+    solutions (operators/kg.py:_prep_group), so the whole test stays
+    two anti-join trees — no correlated subplan, no row
+    multiplication."""
+    from jsonld_spark.operators.sparql import sparql_query
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value").unionByName(reviews)
+    return sparql_query(triples, """
+        PREFIX ex: <http://example.org/>
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d WHERE {
+            ?d ex:nChars ?n .
+            FILTER NOT EXISTS { ?d schema:associatedMedia ?m
+                FILTER NOT EXISTS { ?d ex:reviewedBy ?r } }
+        }
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -1983,10 +2011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_subquery": q_sparql_optional_subquery,
         "sparql_filter_exists": q_sparql_filter_exists,
         "sparql_union_filter": q_sparql_union_filter,
+        "sparql_double_neg": q_sparql_double_neg,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
-        "nquads_roundtrip": q_nquads_roundtrip,
         "canonicalize_anon": q_canonicalize_anon,
         "error_isolation": q_error_isolation,
         "rdfs_entail": q_rdfs_entail,
@@ -2014,9 +2042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    two or more prior rounds; queries unchanged;
         #    nquads_media_lines is subsumed by nquads_roundtrip, whose
         #    serializer path it shares; flatten_docs rotated out for
-        #    kg_path_graph, compact_docs for sparql_union_filter) --
+        #    kg_path_graph, compact_docs for sparql_union_filter,
+        #    nquads_roundtrip for sparql_double_neg) --
         "flatten_docs": q_flatten_docs,
         "compact_docs": q_compact_docs,
+        "nquads_roundtrip": q_nquads_roundtrip,
         "nquads_media_lines": q_nquads_media_lines,
         "streaming_user_totals": q_streaming_user_totals,
         "minhash_pairs": q_minhash_pairs,
@@ -2589,6 +2619,18 @@ SELECT DISTINCT d, o FROM (
     AND EXISTS (SELECT 1 FROM t l WHERE l.subj = m.subj
                 AND l.pred = 'http://schema.org/inLanguage'
                 AND l.obj_value = 'de'))
+"""
+
+_SPARQL_DOUBLE_NEG_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+rev AS (SELECT '{_KG_EX}doc/' || doc_id AS d
+        FROM documents WHERE doc_id % 3 = 0)
+SELECT DISTINCT o.subj AS d FROM t o
+WHERE o.pred = '{_KG_EX}nChars'
+  AND NOT EXISTS (
+    SELECT 1 FROM t m WHERE m.subj = o.subj
+      AND m.pred = 'http://schema.org/associatedMedia'
+      AND NOT EXISTS (SELECT 1 FROM rev WHERE rev.d = m.subj))
 """
 
 _SPARQL_OPT_UNION_ORACLE = """
@@ -3767,6 +3809,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_FILTER_EXISTS_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_union_filter":
             _SPARQL_UNION_FILTER_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_double_neg":
+            _SPARQL_DOUBLE_NEG_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

@@ -178,9 +178,12 @@ def _pattern_tuple_vars(pats) -> set[str]:
 
 def _group_entry_vars(entry) -> set[str]:
     """Every variable a [NOT] EXISTS / EXISTS / MINUS group entry
-    references — pattern variables plus group-filter identifiers.
-    Entry forms mirror the ``not_exists=`` parameter: a pattern list,
-    a ``{'patterns', 'filters'}`` dict, or a ``{'union': ...}`` dict."""
+    references — pattern variables plus group-filter identifiers,
+    recursing through nested-body keys (inner negations, BINDs,
+    VALUES, inner OPTIONALs). Entry forms mirror the ``not_exists=``
+    parameter: a pattern list, a ``{'patterns', 'filters'}`` dict
+    (optionally with nested-body keys), or a ``{'union': ...}``
+    dict."""
     if isinstance(entry, dict):
         if "union" in entry:
             pats = [p for branch in entry["union"] for p in branch]
@@ -189,6 +192,18 @@ def _group_entry_vars(entry) -> set[str]:
         vs = _pattern_tuple_vars(pats)
         for fexpr in entry.get("filters", []):
             vs |= _expr_identifiers(fexpr)
+        for bfl in entry.get("branch_filters", []):
+            for fexpr in bfl:
+                vs |= _expr_identifiers(fexpr)
+        for k in ("not_exists", "exists", "minus"):
+            for inner in entry.get(k, []):
+                vs |= _group_entry_vars(inner)
+        for bv, bexpr in entry.get("binds", []):
+            vs |= {bv} | _expr_identifiers(bexpr)
+        for row in entry.get("values", []):
+            vs |= set(row)
+        for inner in entry.get("optional", []):
+            vs |= _optional_entry_vars(inner)
         return vs
     if entry and isinstance(entry[0], (list, tuple)):
         return _pattern_tuple_vars(entry)
@@ -1002,11 +1017,53 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         group variables — analysis succeeds on the group frame) apply
         to the group's solutions right here; the rest are returned
         for the caller's per-kind correlation semantics."""
+        nested: dict = {}
         if isinstance(group, dict):
             pats, gfilters = group["patterns"], group.get("filters", [])
+            nested = {k: group[k] for k in
+                      ("optional", "not_exists", "exists", "minus",
+                       "values", "binds") if group.get(k)}
         else:
             pats, gfilters = group, []
-        inner, gbound = _group_solutions(pats, gi, kind)
+        if nested:
+            # a FULL group body inside [NOT] EXISTS / MINUS (nested
+            # negation, BIND, VALUES, inner OPTIONAL): compile it
+            # through a recursive bgp_match — the body is evaluated
+            # as a unit with exact group semantics, then the caller's
+            # per-kind join applies. Members may not reference OUTER
+            # variables (correlation through nesting would need a
+            # conditional join) — typed refusal before the recursion
+            # dies on an unresolved column.
+            gvs = _optional_entry_vars(group)
+            for k in ("not_exists", "exists", "minus"):
+                for gentry in nested.get(k, []):
+                    outer_vs = (_group_entry_vars(gentry)
+                                & set(bound)) - gvs
+                    if outer_vs:
+                        raise ValueError(
+                            f"{kind} group {gi} nested {k.upper()} "
+                            f"references outer variables "
+                            f"{sorted(outer_vs)} — only group "
+                            "variables are supported inside nested "
+                            "group bodies")
+            for _bv, bexpr in nested.get("binds", []):
+                outer_vs = {x for x in _expr_identifiers(bexpr)
+                            if x in bound and x not in gvs}
+                if outer_vs:
+                    raise ValueError(
+                        f"{kind} group {gi} BIND {bexpr!r} references "
+                        f"outer variables {sorted(outer_vs)} — only "
+                        "group variables are supported in nested "
+                        "group BINDs")
+            # distinct_solutions=False: the per-kind callers
+            # distinct/semi-join the group's solutions themselves
+            inner = bgp_match(triples, pats,
+                              distinct_solutions=False,
+                              s_col=s_col, p_col=p_col,
+                              o_col=o_col, g_col=g_col, **nested)
+            gbound = list(inner.columns)
+        else:
+            inner, gbound = _group_solutions(pats, gi, kind)
         gset = set(gbound)
         correlated: list[str] = []
         for fexpr in gfilters:

@@ -860,8 +860,26 @@ class _Parser:
             return b.pats[0] if len(b.pats) == 1 else b.pats
         return {"patterns": b.pats, **extras}
 
+    @staticmethod
+    def _entry_has_subqueries(entry) -> bool:
+        """True if an OPTIONAL entry dict carries (possibly nested)
+        un-compiled subquery ASTs — those compile only through the
+        optional-entry pipeline, not inside negation bodies."""
+        if isinstance(entry, dict):
+            if entry.get("subqueries"):
+                return True
+            return any(_Parser._entry_has_subqueries(i)
+                       for i in entry.get("optional", []))
+        return False
+
     def _group_entry(self, label: str) -> list | dict:
-        b = self._filtered_body(label, allow_union=True)
+        b = self._filtered_body(label, allow_union=True,
+                                allow_optional=True)
+        if b.subqueries or any(self._entry_has_subqueries(e)
+                               for e in b.nested):
+            raise SparqlUnsupportedError(
+                f"subqueries inside {label} are not supported — "
+                "restructure with the subquery at the outer level")
         if b.union is not None:
             entry: dict = {"union": b.union}
             if b.filters:
@@ -869,8 +887,14 @@ class _Parser:
             if b.union_branch_filters:
                 entry["branch_filters"] = b.union_branch_filters
             return entry
-        return {"patterns": b.pats, "filters": b.filters} \
-            if b.filters else b.pats
+        extras = {k: v for k, v in (
+            ("optional", b.nested), ("binds", b.binds),
+            ("not_exists", b.not_exists), ("exists", b.exists),
+            ("minus", b.minus), ("values", b.values),
+            ("filters", b.filters)) if v}
+        if not extras:
+            return b.pats
+        return {"patterns": b.pats, **extras}
 
     # -- group graph pattern ----------------------------------------------
     def _group(self) -> _Group:

@@ -548,6 +548,41 @@ def test_exec_negation_union_branch_filter(triples):
     assert _rows(got) == [("d2",)]
 
 
+def test_exec_nested_not_exists(triples):
+    # double negation (forall): docs whose every cited doc has a
+    # reviewer — the inner NOT EXISTS body compiles via a recursive
+    # bgp_match inside the outer group
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "FILTER NOT EXISTS { ?d ex:cites ?c "
+                       "FILTER NOT EXISTS { ?c ex:reviewer ?r } } }")
+    assert _rows(got) == [("d3",)]
+    # BIND inside an EXISTS body
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "FILTER EXISTS { ?d ex:author ?a "
+                       "BIND(UCASE(?a) AS ?u) FILTER(?u = 'BOB') } }")
+    assert _rows(got) == [("d3",)]
+    # VALUES inside a MINUS body
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l2 "
+                       "MINUS { ?d ex:lang ?l2 VALUES ?l2 { 'en' } } }")
+    assert _rows(got) == [("d2",)]
+    # inner OPTIONAL inside an EXISTS body
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "FILTER EXISTS { ?d ex:author ?a "
+                       "OPTIONAL { ?d ex:reviewer ?r } "
+                       "FILTER(BOUND(?r)) } }")
+    assert _rows(got) == [("d1",)]
+    # an inner negation referencing an OUTER-only variable raises
+    # typed (correlation through nesting is out of scope)
+    with pytest.raises(ValueError, match="outer variables"):
+        sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                     "FILTER NOT EXISTS { ?d ex:cites ?c "
+                     "FILTER NOT EXISTS { ?c ex:lang ?l } } }").collect()
+    with pytest.raises(SparqlUnsupportedError, match="subqueries"):
+        _parse(PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+               "FILTER EXISTS { ?d ex:author ?a "
+               "{ SELECT ?a WHERE { ?x ex:author ?a } } } }")
+
+
 def test_exec_graph_clause(triples):
     got = sparql_query(triples, PFX + "SELECT * WHERE { "
                        "GRAPH ex:g2 { ?d ex:author ?a } }".replace(
@@ -1232,14 +1267,15 @@ def test_optional_negation_only_body_raises(triples):
             OPTIONAL { FILTER NOT EXISTS { ?d ex:lang ?l } } }""")
 
 
-def test_nested_optional_in_not_exists_raises(triples):
-    # nested OPTIONAL is only supported in OPTIONAL bodies; negation
-    # groups keep the typed unsupported error
-    with pytest.raises(SparqlUnsupportedError):
-        sparql_query(triples, PFX + """SELECT * WHERE {
-            ?d ex:author ?a .
-            FILTER NOT EXISTS { ?d ex:cites ?o
-                                OPTIONAL { ?o ex:lang ?l } } }""")
+def test_nested_optional_in_not_exists(triples):
+    # an OPTIONAL inside a negation body compiles via the recursive
+    # bgp_match; a left join never changes row EXISTENCE, so this
+    # equals NOT EXISTS over the required pattern alone
+    got = sparql_query(triples, PFX + """SELECT * WHERE {
+        ?d ex:author ?a .
+        FILTER NOT EXISTS { ?d ex:cites ?o
+                            OPTIONAL { ?o ex:lang ?l } } }""")
+    assert _rows(got) == [("d3", "bob")]
 
 
 def test_filter_expression_embedded_exists(triples):
