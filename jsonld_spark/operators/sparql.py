@@ -1663,12 +1663,17 @@ def _agg_column(spec: tuple, alias: str, all_cols: list[str]) -> Any:
     if col is None:
         raise SparqlSyntaxError(f"{name.upper()}(*) is not SPARQL")
     if name in ("sum", "avg"):
-        col = col.cast("double")
-        col = getattr(F, name)(col)
+        if distinct:
+            # SUM/AVG(DISTINCT expr) — aggregate over the distinct
+            # VALUE multiset per SPARQL 18.5.1
+            col = F.expr(f"{name}(DISTINCT cast(({arg}) as double))")
+        else:
+            col = getattr(F, name)(col.cast("double"))
     elif name in ("min", "max"):
-        col = getattr(F, name)(col)
+        col = getattr(F, name)(col)   # DISTINCT is a no-op for MIN/MAX
     elif name == "sample":
         # SAMPLE is implementation-defined; min() makes it deterministic
+        # (and DISTINCT a no-op)
         col = F.min(col)
     elif name == "group_concat":
         inner = (F.collect_set if distinct else F.collect_list)(col)

@@ -648,6 +648,24 @@ def test_exec_aggregation(triples):
         ("en", 2, "alice|bob"), ("de", 1, "alice")]
 
 
+def test_exec_sum_avg_distinct(versions):
+    # SUM/AVG(DISTINCT expr) aggregate the distinct VALUE multiset
+    # (SPARQL 18.5.1): "02" is a distinct solution from "2" (lexical
+    # term identity) but the same xsd:integer value — DISTINCT inside
+    # the aggregate collapses it, plain SUM would count it twice
+    dup = versions.sparkSession.createDataFrame(
+        [("d1", EX + "ver", "02")],
+        "subj string, pred string, obj_value string")
+    t = versions.unionByName(dup)
+    got = sparql_query(t, PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d (SUM(DISTINCT xsd:integer(?v)) AS ?sd)
+               (AVG(DISTINCT xsd:integer(?v)) AS ?ad)
+        WHERE { ?d ex:ver ?v } GROUP BY ?d ORDER BY ?d""")
+    assert [tuple(r) for r in got.collect()] == [
+        ("d1", 3.0, 1.5), ("d2", 5.0, 5.0)]
+
+
 def test_exec_aggregate_over_cast_expression(versions):
     got = sparql_query(versions, PFX + """
         PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
