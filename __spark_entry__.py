@@ -1150,6 +1150,30 @@ def q_sparql_double_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset clauses (SPARQL §13.2): doc triples homed into
+    per-source graphs; ``FROM <g/src1> FROM <g/src2>`` merges those
+    two feeds into the default graph, so the pattern matches only
+    their docs. Compiles to one pushed graph-column isin filter on
+    the scan (operators/sparql.py:_apply_dataset_clause) — partition
+    pruning on a graph-partitioned layout."""
+    from jsonld_spark.operators.sparql import sparql_query
+    docs = _read(spark, sf_dir, "documents")
+    src = docs.select(F.col("doc_id").cast("long").alias("_n"), "source")
+    t = (q_jsonld_doc_triples(spark, sf_dir)
+         .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
+                     .cast("long"))
+         .join(src, "_n")
+         .withColumn("graph", F.concat(F.lit(_KG_EX + "g/"),
+                                       F.col("source")))
+         .select("subj", "pred", "obj_value", "graph"))
+    return sparql_query(t, f"""
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?l FROM <{_KG_EX}g/src1> FROM <{_KG_EX}g/src2>
+        WHERE {{ ?d schema:inLanguage ?l }}
+    """)
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -2012,11 +2036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_exists": q_sparql_filter_exists,
         "sparql_union_filter": q_sparql_union_filter,
         "sparql_double_neg": q_sparql_double_neg,
+        "sparql_from": q_sparql_from,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
         "canonicalize_anon": q_canonicalize_anon,
-        "error_isolation": q_error_isolation,
+        "error_isolation": q_error_isolation,  # 2+ rounds green but the
+        # pipeline error-column contract deserves a standing row
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
         "bgp_star": q_bgp_star,
@@ -2025,7 +2051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_union": q_bgp_union,
         "bgp_not_exists": q_bgp_not_exists,
         "bgp_graph": q_bgp_graph,
-        "bgp_agg": q_bgp_agg,
         "construct_media": q_construct_media,
         "describe_doc": q_describe_doc,
         "kg_incremental": q_kg_incremental,
@@ -2043,7 +2068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    nquads_media_lines is subsumed by nquads_roundtrip, whose
         #    serializer path it shares; flatten_docs rotated out for
         #    kg_path_graph, compact_docs for sparql_union_filter,
-        #    nquads_roundtrip for sparql_double_neg) --
+        #    nquads_roundtrip for sparql_double_neg, bgp_agg (r4 green,
+        #    unchanged; GROUP BY covered by sparql_text/bgp_star rows)
+        #    for sparql_from) --
+        "bgp_agg": q_bgp_agg,
         "flatten_docs": q_flatten_docs,
         "compact_docs": q_compact_docs,
         "nquads_roundtrip": q_nquads_roundtrip,
@@ -2631,6 +2659,18 @@ WHERE o.pred = '{_KG_EX}nChars'
     SELECT 1 FROM t m WHERE m.subj = o.subj
       AND m.pred = 'http://schema.org/associatedMedia'
       AND NOT EXISTS (SELECT 1 FROM rev WHERE rev.d = m.subj))
+"""
+
+_SPARQL_FROM_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+tg AS (SELECT t.subj, t.pred, t.obj_value,
+              '{_KG_EX}g/' || d.source AS graph
+       FROM t JOIN documents d
+         ON CAST(regexp_extract(t.doc_id, '([0-9]+)', 1) AS BIGINT)
+            = d.doc_id)
+SELECT DISTINCT subj AS d, obj_value AS l FROM tg
+WHERE pred = 'http://schema.org/inLanguage'
+  AND graph IN ('{_KG_EX}g/src1', '{_KG_EX}g/src2')
 """
 
 _SPARQL_OPT_UNION_ORACLE = """
@@ -3811,6 +3851,8 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_UNION_FILTER_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_double_neg":
             _SPARQL_DOUBLE_NEG_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_from":
+            _SPARQL_FROM_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

@@ -116,6 +116,10 @@ EXTENDED = [
     "sparql_optional_body",
     "sparql_optional_subquery",
     "sparql_filter_exists",
+    "kg_path_graph",
+    "sparql_union_filter",
+    "sparql_double_neg",
+    "sparql_from",
 ]
 
 

@@ -198,7 +198,7 @@ _KEYWORDS = {
     "union", "minus", "exists", "not", "values", "bind", "as", "graph",
     "construct", "ask", "describe", "prefix", "base", "group", "by",
     "having", "order", "asc", "desc", "limit", "offset", "undef", "in",
-    "a", "true", "false",
+    "a", "true", "false", "from", "named",
 }
 
 
@@ -311,6 +311,9 @@ class _Query:
     describe_var: str | None = None
     aggregates: list[tuple[Any, str]] = field(default_factory=list)
     post_values: list[dict] = field(default_factory=list)
+    # dataset clauses: FROM <g> (default-graph merge) / FROM NAMED <g>
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -752,7 +755,7 @@ class _Parser:
                 # solutions on the shared variables
                 self._next()
                 self._next()
-                b.subqueries.append(self._parse_select())
+                b.subqueries.append(self._parse_select(sub=True))
                 self._expect("OP", "}")
             elif (allow_union and self._peek().kind == "OP"
                     and self._peek().value == "{"):
@@ -994,7 +997,7 @@ class _Parser:
                     # the shared variables
                     self._next()
                     self._next()
-                    g.subqueries.append(self._parse_select())
+                    g.subqueries.append(self._parse_select(sub=True))
                     self._expect("OP", "}")
                     continue
                 # nested group / UNION block after other members
@@ -1487,31 +1490,36 @@ class _Parser:
             q = self._parse_select()
         elif self._eat_kw("ask"):
             q = _Query(form="ask")
+            self._dataset_clause(q)
             self._eat_kw("where")
             q.where = self._group()
         elif self._eat_kw("construct"):
             q = _Query(form="construct")
-            if self._at_kw("where"):
+            if self._at_kw("where") or self._at_kw("from"):
                 # CONSTRUCT WHERE { ... } shorthand: the template IS
                 # the (plain-BGP) where clause
-                self._next()
+                self._dataset_clause(q)
+                self._expect("KW", "where")
                 pats = self._plain_bgp()
                 q.template = [p[:3] for p in pats]
                 q.where = _Group(patterns=pats)
             else:
                 q.template = self._plain_bgp()
+                self._dataset_clause(q)
                 self._expect("KW", "where")
                 q.where = self._group()
         elif self._eat_kw("describe"):
             q = _Query(form="describe")
             if self._peek().kind == "VAR":
                 q.describe_var = self._next().value[1:]
+                self._dataset_clause(q)
                 self._eat_kw("where")
                 q.where = self._group()
             else:
                 nodes = [self._iri(self._next())]
                 while self._peek().kind in ("IRIREF", "PNAME"):
                     nodes.append(self._iri(self._next()))
+                self._dataset_clause(q)
                 if len(nodes) == 1:
                     q.describe_node = nodes[0]
                 else:
@@ -1527,7 +1535,19 @@ class _Parser:
                 f"trailing input {t.value!r} at offset {t.pos}")
         return q
 
-    def _parse_select(self) -> _Query:
+    def _dataset_clause(self, q: _Query) -> None:
+        """FROM <g> / FROM NAMED <g> dataset clauses (SPARQL §13.2):
+        FROM graphs merge into the default graph, FROM NAMED graphs
+        are the named-graph set. Stored on the query; the executor
+        applies them as pushed graph-column filters."""
+        while self._eat_kw("from"):
+            t = self._next()
+            if t.kind == "KW" and t.value == "named":
+                q.from_named.append(self._iri(self._next()))
+            else:
+                q.from_graphs.append(self._iri(t))
+
+    def _parse_select(self, sub: bool = False) -> _Query:
         q = _Query(form="select")
         if self._eat_kw("distinct"):
             q.distinct = True
@@ -1545,6 +1565,12 @@ class _Parser:
             if not items:
                 raise SparqlSyntaxError("empty SELECT list")
             q.select = items
+        if self._at_kw("from"):
+            if sub:
+                raise SparqlSyntaxError(
+                    "FROM/FROM NAMED are not allowed in a subquery "
+                    "(SPARQL SubSelect has no dataset clause)")
+            self._dataset_clause(q)
         self._eat_kw("where")
         q.where = self._group()
         if self._eat_kw("group"):
@@ -1648,6 +1674,79 @@ class _Parser:
 # ---------------------------------------------------------------------------
 # Compiler
 # ---------------------------------------------------------------------------
+
+def _entry_patterns(entry):
+    """All pattern tuples inside an optional/negation entry (dicts
+    recurse through union branches, nested bodies, and subqueries)."""
+    if isinstance(entry, dict):
+        for br in entry.get("union", []):
+            yield from br
+        yield from entry.get("patterns", [])
+        for k in ("not_exists", "exists", "minus", "optional"):
+            for e in entry.get(k, []):
+                yield from _entry_patterns(e)
+        for sq in entry.get("subqueries", []):
+            yield from _query_patterns(sq)
+    elif entry and isinstance(entry[0], (list, tuple)):
+        yield from entry
+    elif entry:
+        yield entry
+
+
+def _group_patterns(g: "_Group"):
+    yield from g.patterns
+    for br in (g.union_branches or []):
+        yield from br
+    for blk in g.inline_unions:
+        for br in blk:
+            yield from br
+    for e in (list(g.not_exists) + list(g.exists) + list(g.minus)
+              + list(g.optional)):
+        yield from _entry_patterns(e)
+    for fe in g.filter_exists:
+        for _name, entry, _neg in fe["markers"]:
+            yield from _entry_patterns(entry)
+    for sq in g.subqueries:
+        yield from _query_patterns(sq)
+
+
+def _query_patterns(q: "_Query"):
+    if q.where is not None:
+        yield from _group_patterns(q.where)
+
+
+def _apply_dataset_clause(triples: DataFrame, q: "_Query",
+                          g_col: str) -> DataFrame:
+    """FROM / FROM NAMED (SPARQL §13.2) as pushed graph-column
+    filters. Exactly-supported scopes: FROM alone (the query's
+    patterns all match the default graph = merge of the FROM graphs;
+    GRAPH clauses would need the separate named scope → typed error)
+    and FROM NAMED alone (every pattern carries a GRAPH term; a
+    pattern outside GRAPH would match the EMPTY default graph →
+    typed error instead of silently returning nothing)."""
+    if g_col not in triples.columns:
+        raise SparqlUnsupportedError(
+            "FROM/FROM NAMED need a named-graph column on the "
+            "triples frame")
+    if q.from_graphs and q.from_named:
+        raise SparqlUnsupportedError(
+            "combining FROM and FROM NAMED is not supported — the "
+            "default and named scopes would need separate scans; "
+            "split the query")
+    pats = list(_query_patterns(q))
+    if q.from_graphs:
+        if any(len(p) == 4 for p in pats):
+            raise SparqlUnsupportedError(
+                "FROM together with GRAPH clauses is not supported — "
+                "use FROM NAMED for named-graph matching")
+        return triples.where(F.col(g_col).isin(q.from_graphs))
+    if any(len(p) == 3 for p in pats):
+        raise SparqlUnsupportedError(
+            "FROM NAMED without FROM leaves the default graph empty — "
+            "a pattern outside GRAPH can never match; wrap it in "
+            "GRAPH or add FROM")
+    return triples.where(F.col(g_col).isin(q.from_named))
+
 
 def _agg_column(spec: tuple, alias: str, all_cols: list[str]) -> Any:
     name, arg, distinct, sep = spec
@@ -2060,6 +2159,8 @@ def sparql_query(triples: DataFrame, query: str,
     q = parser.parse()
     meta_vars = frozenset(parser.meta_vars)
     cols = dict(s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col)
+    if q.from_graphs or q.from_named:
+        triples = _apply_dataset_clause(triples, q, g_col)
     if q.form == "describe":
         if q.describe_var is not None:
             gg = q.where

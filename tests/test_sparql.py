@@ -548,6 +548,44 @@ def test_exec_negation_union_branch_filter(triples):
     assert _rows(got) == [("d2",)]
 
 
+def test_dataset_clauses(triples):
+    # FROM: the default graph is the merge of the FROM graphs — a
+    # pushed graph-column isin filter
+    got = sparql_query(triples, PFX + "SELECT ?d ?a FROM <g1> "
+                       "WHERE { ?d ex:author ?a }")
+    assert _rows(got) == [("d1", "alice"), ("d3", "bob")]
+    got = sparql_query(triples, PFX + "SELECT ?d ?a FROM <g1> "
+                       "FROM <g2> WHERE { ?d ex:author ?a }")
+    assert len(_rows(got)) == 3
+    # FROM NAMED: GRAPH ?g ranges over the named set only
+    got = sparql_query(triples, PFX + "SELECT ?g ?d FROM NAMED <g2> "
+                       "WHERE { GRAPH ?g { ?d ex:author ?a } }")
+    assert _rows(got) == [("g2", "d2")]
+    # ASK with a dataset clause
+    assert sparql_query(triples, PFX +
+                        "ASK FROM <g2> { ?d ex:lang 'de' }") is True
+    assert sparql_query(triples, PFX +
+                        "ASK FROM <g1> { ?d ex:lang 'de' }") is False
+    # CONSTRUCT with a dataset clause (template-then-FROM position)
+    got = sparql_query(triples, PFX + "CONSTRUCT { ?d ex:hit 'y' } "
+                       "FROM <g2> WHERE { ?d ex:author ?a }")
+    assert sorted(r.subj for r in got.collect()) == ["d2"]
+    # typed refusals for the unsupported scope mixes
+    with pytest.raises(SparqlUnsupportedError, match="FROM together"):
+        sparql_query(triples, PFX + "SELECT * FROM <g1> WHERE { "
+                     "GRAPH ?g { ?d ex:author ?a } }")
+    with pytest.raises(SparqlUnsupportedError, match="default graph"):
+        sparql_query(triples, PFX + "SELECT * FROM NAMED <g1> WHERE { "
+                     "?d ex:author ?a }")
+    with pytest.raises(SparqlUnsupportedError, match="combining FROM"):
+        sparql_query(triples, PFX + "SELECT ?g ?d FROM <g1> "
+                     "FROM NAMED <g2> WHERE { "
+                     "GRAPH ?g { ?d ex:author ?a } }")
+    with pytest.raises(SparqlSyntaxError, match="subquery"):
+        _parse(PFX + "SELECT * WHERE { { SELECT ?d FROM <g1> WHERE "
+               "{ ?d ex:author ?a } } ?d ex:lang ?l }")
+
+
 def test_exec_nested_not_exists(triples):
     # double negation (forall): docs whose every cited doc has a
     # reviewer — the inner NOT EXISTS body compiles via a recursive
