@@ -1055,6 +1055,38 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                         f"outer variables {sorted(outer_vs)} — only "
                         "group variables are supported in nested "
                         "group BINDs")
+            # SPARQL evaluates [NOT] EXISTS/MINUS bodies under
+            # SUBSTITUTION: an outer-bound variable is a constant
+            # inside the body. Our plan joins on the shared vars
+            # instead — equivalent ONLY when the body binds them
+            # non-null in a required pattern. A shared var the body
+            # binds through an inner OPTIONAL or an UNDEF-able VALUES
+            # cell (nullable), or re-binds via BIND, would make the
+            # equality join silently diverge from substitution —
+            # typed refusal.
+            req_vs = _pattern_tuple_vars(pats)
+            soft: set[str] = set()
+            for oentry in nested.get("optional", []):
+                soft |= _optional_entry_vars(oentry)
+            for row in nested.get("values", []):
+                soft |= {v for v, val in row.items() if val is None}
+            import re as _re
+            for bv, bexpr in nested.get("binds", []):
+                m = _re.fullmatch(r"`(\w+)`", bexpr.strip())
+                if m is None or m.group(1) not in req_vs:
+                    # a pure rename of a required-pattern var is
+                    # provably non-null — the shared-var equality
+                    # join stays exact; anything else may be null
+                    soft.add(bv)
+            bad = sorted((soft - req_vs) & set(bound))
+            if bad:
+                raise ValueError(
+                    f"{kind} group {gi}: variable(s) {bad} are shared "
+                    "with the outer solutions but bound inside the "
+                    "body only by OPTIONAL / BIND / an UNDEF-able "
+                    "VALUES — substitution semantics would need a "
+                    "conditional join; bind them in a required body "
+                    "pattern or rename them")
             # distinct_solutions=False: the per-kind callers
             # distinct/semi-join the group's solutions themselves
             inner = bgp_match(triples, pats,
@@ -1132,9 +1164,20 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     f"variable(s) {bad} not bound by every UNION "
                     "branch — bind them in every branch")
         bfs = group.get("branch_filters") or [[] for _ in branches]
-        return [{"patterns": b, "filters": fs + bfs[bi]}
-                if (fs or bfs[bi]) else b
-                for bi, b in enumerate(branches)]
+        bnds = group.get("binds") or []
+        out_entries = []
+        for bi, b in enumerate(branches):
+            if fs or bfs[bi] or bnds:
+                e: dict = {"patterns": b, "filters": fs + bfs[bi]}
+                if bnds:
+                    # Extend distributes over Union: each branch
+                    # carries the group's BINDs (applied before the
+                    # group filters by the recursive bgp_match)
+                    e["binds"] = bnds
+                out_entries.append(e)
+            else:
+                out_entries.append(b)
+        return out_entries
 
     def _exists_union(out_df: DataFrame, group, gi: int) -> DataFrame:
         """EXISTS { {A} UNION {B} } ≡ EXISTS{A} OR EXISTS{B} — not

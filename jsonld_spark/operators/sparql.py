@@ -645,7 +645,8 @@ class _Parser:
         self._next()
         return pats
 
-    def _union_branch(self) -> tuple[list[tuple], list[str]]:
+    def _union_branch(self, allow_meta: bool = True
+                      ) -> tuple[list[tuple], list[str]]:
         """One UNION branch at WHERE level: triple patterns, GRAPH
         blocks, and group-scoped FILTERs (applied to the branch's
         solutions before the null-padding union — SPARQL scopes a
@@ -653,7 +654,10 @@ class _Parser:
         reference only variables the branch itself binds: an outer
         variable is out of scope there per SPARQL (always unbound →
         the filter errors every row), so we reject it typed instead
-        of silently emptying the branch."""
+        of silently emptying the branch. ``allow_meta=False`` (unions
+        inside group bodies / mixed with other members, where the
+        compile paths cannot thread meta_vars) rejects
+        LANG()/DATATYPE()-family references typed."""
         self._expect("OP", "{")
         pats: list[tuple] = []
         filters: list[str] = []
@@ -692,10 +696,18 @@ class _Parser:
         for expr in filters:
             loose = _expr_identifiers(expr) - bound
             # term-metadata identifiers over branch-bound vars are
-            # fine: the branch's bgp_match emits those columns
-            loose -= {x for x in loose
-                      if any(x.endswith(sfx) for sfx in META_SUFFIXES)
-                      and x.rsplit("__", 1)[0] in bound}
+            # fine where the compile path threads meta_vars (complete
+            # unions in SELECT/ASK/CONSTRUCT/DESCRIBE); group-body and
+            # inline unions cannot, so they reject typed
+            meta_refs = {x for x in loose
+                         if any(x.endswith(sfx) for sfx in META_SUFFIXES)
+                         and x.rsplit("__", 1)[0] in bound}
+            if meta_refs and not allow_meta:
+                raise SparqlUnsupportedError(
+                    "LANG()/DATATYPE()/isIRI()-family builtins inside "
+                    "this UNION branch's FILTER are not supported "
+                    "here — lift the test to the outer group")
+            loose -= meta_refs
             if loose:
                 raise SparqlUnsupportedError(
                     f"UNION-branch FILTER references {sorted(loose)} "
@@ -703,6 +715,34 @@ class _Parser:
                     "out of scope inside a branch group per SPARQL; "
                     "move the FILTER to the outer group")
         return pats, filters
+
+    def _union_block(self, allow_meta: bool = True
+                     ) -> tuple[list[list[tuple]], list[list[str]]]:
+        """``{ A } UNION { B } ...`` (first '{' NOT yet consumed):
+        one or more branches with their per-branch FILTER lists."""
+        pair = self._union_branch(allow_meta)
+        branches, bfilters = [pair[0]], [pair[1]]
+        while self._at_kw("union"):
+            self._next()
+            pair = self._union_branch(allow_meta)
+            branches.append(pair[0])
+            bfilters.append(pair[1])
+        return branches, bfilters
+
+    @staticmethod
+    def _reject_branch_meta(bfilters: list[list[str]],
+                            where: str) -> None:
+        """Inline unions' compile path cannot thread meta_vars into
+        bgp_union — reject term-metadata branch-filter references
+        typed instead of crashing on an unresolved column."""
+        for fl in bfilters:
+            for expr in fl:
+                if any(any(x.endswith(s) for s in META_SUFFIXES)
+                       for x in _expr_identifiers(expr)):
+                    raise SparqlUnsupportedError(
+                        "LANG()/DATATYPE()/isIRI()-family builtins in "
+                        "a UNION-branch FILTER are not supported "
+                        f"{where} — lift the test to the outer group")
 
     def _filtered_body(self, label: str, allow_union: bool = False,
                        allow_optional: bool = False) -> "_Body":
@@ -759,13 +799,7 @@ class _Parser:
                 self._expect("OP", "}")
             elif (allow_union and self._peek().kind == "OP"
                     and self._peek().value == "{"):
-                pair = self._union_branch()
-                branches, bfilters = [pair[0]], [pair[1]]
-                while self._at_kw("union"):
-                    self._next()
-                    pair = self._union_branch()
-                    branches.append(pair[0])
-                    bfilters.append(pair[1])
+                branches, bfilters = self._union_block(allow_meta=False)
                 if len(branches) == 1:
                     # a plain nested group inlines; its FILTERs are
                     # group-scoped and reference only branch-bound
@@ -889,6 +923,10 @@ class _Parser:
                 entry["filters"] = b.filters
             if b.union_branch_filters:
                 entry["branch_filters"] = b.union_branch_filters
+            if b.binds:
+                # BIND over a union body: Extend distributes over
+                # Union — each expanded branch entry carries it
+                entry["binds"] = b.binds
             return entry
         extras = {k: v for k, v in (
             ("optional", b.nested), ("binds", b.binds),
@@ -908,13 +946,7 @@ class _Parser:
                          and self._peek(1).value == "select"):
             # UNION form: { BGP } UNION { BGP } ... — or a single
             # nested plain group, which is equivalent to inlining
-            pair = self._union_branch()
-            branches, bfilters = [pair[0]], [pair[1]]
-            while self._at_kw("union"):
-                self._next()
-                pair = self._union_branch()
-                branches.append(pair[0])
-                bfilters.append(pair[1])
+            branches, bfilters = self._union_block()
             if len(branches) > 1:
                 if (self._peek().kind == "OP"
                         and self._peek().value == "}"):
@@ -925,6 +957,8 @@ class _Parser:
                     return g
                 # other members follow the UNION block: compiles to
                 # Join(Union(branches), rest) via a solution join
+                self._reject_branch_meta(
+                    bfilters, "in a UNION mixed with other members")
                 g.inline_unions.append(branches)
                 g.inline_union_filters.append(bfilters)
             else:
@@ -1001,19 +1035,15 @@ class _Parser:
                     self._expect("OP", "}")
                     continue
                 # nested group / UNION block after other members
-                pair = self._union_branch()
-                branches, bfilters = [pair[0]], [pair[1]]
-                while self._at_kw("union"):
-                    self._next()
-                    pair = self._union_branch()
-                    branches.append(pair[0])
-                    bfilters.append(pair[1])
+                branches, bfilters = self._union_block()
                 if len(branches) == 1:
                     # a single nested plain group joins by inlining
                     # (branch FILTERs commute — see the leading form)
                     g.patterns += branches[0]
                     g.filters += bfilters[0]
                 else:
+                    self._reject_branch_meta(
+                        bfilters, "in a UNION mixed with other members")
                     g.inline_unions.append(branches)
                     g.inline_union_filters.append(bfilters)
                 continue
@@ -1292,20 +1322,23 @@ class _Parser:
 
     def _regex_flags(self, arg: str, label: str) -> str:
         """Validate a REGEX()/REPLACE() flags argument (XPath
-        fn:matches flags): must be a string literal over i/s/m/q/x.
-        i/s/m/x map to Java's inline ``(?ismx)`` embedded flags
-        (Spark RLIKE / regexp_replace run java.util.regex); ``q``
-        (literal pattern) is handled by the callers."""
+        fn:matches flags): must be a string literal over i/s/m/q.
+        i/s/m map to Java's inline ``(?ism)`` embedded flags (Spark
+        RLIKE / regexp_replace run java.util.regex); ``q`` (literal
+        pattern) is handled by the callers. XPath's ``x`` is NOT
+        supported: Java's (?x) additionally treats ``#`` as a
+        comment-to-end-of-line marker, silently diverging from
+        fn:matches on any pattern containing ``#``."""
         m = re.fullmatch(r"'([a-zA-Z]*)'", arg)
         if m is None:
             raise SparqlUnsupportedError(
                 f"{label}() flags must be a plain string literal")
         flags = m.group(1)
-        bad = sorted(set(flags) - set("ismqx"))
+        bad = sorted(set(flags) - set("ismq"))
         if bad:
             raise SparqlUnsupportedError(
                 f"{label}() flag(s) {bad} are not supported — "
-                "i/s/m/x/q only")
+                "i/s/m/q only")
         return flags
 
     def _builtin_call(self, t: _Tok) -> tuple[str, str]:
@@ -1879,11 +1912,6 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
         # EVERY branch is nullable — bgp_match raises (typed) if such
         # a variable is a join key, per its unbound-compatibility
         # policy for solution joins
-        bf = g.inline_union_filters[bi] \
-            if bi < len(g.inline_union_filters) else None
-        udf = bgp_union(triples, branches,
-                        branch_filters=bf if bf and any(bf) else None,
-                        **cols)
         per_branch = [_pattern_var_names(b) for b in branches]
         bad = (set(meta_vars) & set.union(*per_branch)) \
             - _pattern_var_names(g.patterns)
@@ -1893,6 +1921,11 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
                 f"UNION-bound variable(s) {sorted(bad)} are not "
                 "supported — bind the variable in a required triple "
                 "pattern outside the UNION")
+        bf = g.inline_union_filters[bi] \
+            if bi < len(g.inline_union_filters) else None
+        udf = bgp_union(triples, branches,
+                        branch_filters=bf if bf and any(bf) else None,
+                        **cols)
         unul = set.union(*per_branch) - set.intersection(*per_branch)
         entries.append({"df": udf, "nullable": unul})
         nul |= unul
@@ -2165,8 +2198,11 @@ def sparql_query(triples: DataFrame, query: str,
         if q.describe_var is not None:
             gg = q.where
             if gg.union_branches is not None:
+                duv = set().union(*[_pattern_var_names(b)
+                                    for b in gg.union_branches])
                 sol = bgp_union(triples, gg.union_branches,
                                 branch_filters=gg.union_branch_filters,
+                                meta_vars=(set(meta_vars) & duv) or None,
                                 **cols)
                 if q.describe_var not in sol.columns:
                     raise SparqlSyntaxError(
@@ -2234,8 +2270,12 @@ def sparql_query(triples: DataFrame, query: str,
             # (short-circuits branch by branch)
             bfs = g.union_branch_filters \
                 or [[] for _ in g.union_branches]
-            return any(_ask(triples, b, filters=bf or None, **cols)
-                       for b, bf in zip(g.union_branches, bfs))
+            return any(
+                _ask(triples, b, filters=bf or None,
+                     meta_vars=(set(meta_vars)
+                                & _pattern_var_names(b)) or None,
+                     **cols)
+                for b, bf in zip(g.union_branches, bfs))
         return _ask(triples, g.patterns, not_exists=g.not_exists or None,
                     exists=g.exists or None, minus=g.minus or None,
                     filters=g.filters or None, values=g.values or None,
@@ -2264,10 +2304,13 @@ def sparql_query(triples: DataFrame, query: str,
                         if all(not term.startswith("?")
                                or term[1:] in bvars for term in t)]
                 if tmpl:
-                    outs.append(construct(triples, branch, tmpl,
-                                          mint_vars=tmpl_mint or None,
-                                          filters=bf or None,
-                                          **cols))
+                    outs.append(construct(
+                        triples, branch, tmpl,
+                        mint_vars=tmpl_mint or None,
+                        filters=bf or None,
+                        meta_vars=(set(meta_vars)
+                                   & _pattern_var_names(branch)) or None,
+                        **cols))
             if not outs:
                 raise SparqlSyntaxError(
                     "CONSTRUCT over UNION: no template triple is fully "

@@ -632,8 +632,10 @@ def test_union_branch_filter_applies_before_union(spark, tmp_path):
     # both branch predicates pushed
     assert "EqualTo(pred,http://x/a)" in plan
     assert "EqualTo(pred,http://x/b)" in plan
-    # the branch filter's constant evaluates pre-union: it appears as
-    # a pushed/scan-level filter, so the Union's inputs are already
-    # pruned (v1 only) — 10 + 50 rows survive
-    assert "v1" in plan.split("Union")[-1] or "v1" in plan
+    # the branch filter's constant evaluates pre-union: it must appear
+    # in the BRANCH subtree section (before the Union operator in the
+    # plan string), so the Union's inputs are already pruned (v1
+    # only) — 10 + 50 rows survive
+    assert "Union" in plan and "v1" in plan.split("Union", 1)[1], \
+        "branch filter constant not found below the Union operator"
     assert df.count() == 60

@@ -548,6 +548,67 @@ def test_exec_negation_union_branch_filter(triples):
     assert _rows(got) == [("d2",)]
 
 
+def test_nested_body_nullable_shared_var_refuses(spark):
+    # review finding: a negation body whose inner OPTIONAL binds a
+    # variable ALSO bound outside silently diverged from substitution
+    # semantics (the equality anti-join key saw the optional's value,
+    # not the outer constant) — now a typed refusal
+    t = spark.createDataFrame(
+        [("d1", EX + "cites", "c1"), ("c1", EX + "rev", "alice"),
+         ("d1", EX + "rev", "bob"), ("d2", EX + "rev", "bob")],
+        "subj string, pred string, obj_value string")
+    with pytest.raises(ValueError, match="OPTIONAL / BIND"):
+        sparql_query(t, PFX + "SELECT ?d ?r WHERE { ?d ex:rev ?r "
+                     "FILTER NOT EXISTS { ?d ex:cites ?c "
+                     "OPTIONAL { ?c ex:rev ?r } } }").collect()
+    # renaming the inner variable makes it a pure group var — fine
+    got = sparql_query(t, PFX + "SELECT ?d ?r WHERE { ?d ex:rev ?r "
+                       "FILTER NOT EXISTS { ?d ex:cites ?c "
+                       "OPTIONAL { ?c ex:rev ?r2 } } }")
+    # d1 cites something -> dropped; c1 and d2 cite nothing -> kept
+    assert _rows(got) == [("c1", "alice"), ("d2", "bob")]
+
+
+def test_minus_union_body_bind_joins_domain(spark):
+    # review finding: BIND beside a UNION body was silently dropped —
+    # the MINUS domain lost ?l and removed everything. Extend
+    # distributes over Union; ?l (a pure rename of the required ?x)
+    # joins the compatibility domain, so d2 (de vs fr) survives
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en"), ("d1", EX + "a", "en"),
+         ("d2", EX + "lang", "de"), ("d2", EX + "b", "fr")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + "SELECT ?d ?l WHERE { ?d ex:lang ?l "
+                       "MINUS { { ?d ex:a ?x } UNION { ?d ex:b ?x } "
+                       "BIND(?x AS ?l) } }")
+    assert _rows(got) == [("d2", "de")]
+
+
+def test_ask_union_branch_meta_filter(typed_triples):
+    # review finding: meta builtins in branch filters crashed outside
+    # the SELECT path — ASK/CONSTRUCT union paths now thread meta_vars
+    assert sparql_query(typed_triples, PFX + "ASK { "
+                        "{ ?s ex:name ?o FILTER(LANG(?o) = 'fr') } "
+                        "UNION { ?s ex:link ?o } }") is True
+    assert sparql_query(typed_triples, PFX + "ASK { "
+                        "{ ?s ex:name ?o FILTER(LANG(?o) = 'zz') } "
+                        "UNION { ?s ex:missing ?o } }") is False
+    got = sparql_query(typed_triples, PFX +
+                       "CONSTRUCT { ?s ex:hit 'y' } WHERE { "
+                       "{ ?s ex:name ?o FILTER(LANG(?o) = 'fr') } "
+                       "UNION { ?s ex:link ?o } }")
+    assert sorted(r.subj for r in got.collect()) == ["d1"]
+    # group-body unions cannot thread meta_vars — typed rejection
+    with pytest.raises(SparqlUnsupportedError, match="LANG"):
+        _parse(PFX + "SELECT * WHERE { ?s ex:n ?n OPTIONAL { "
+               "{ ?s ex:name ?o FILTER(LANG(?o) = 'fr') } UNION "
+               "{ ?s ex:link ?o } } }")
+    # the XPath 'x' flag diverges in Java ('#' comments) — rejected
+    with pytest.raises(SparqlUnsupportedError, match="i/s/m/q"):
+        _parse(PFX + "SELECT * WHERE { ?s ex:name ?o "
+               "FILTER REGEX(?o, 'a b', 'x') }")
+
+
 def test_dataset_clauses(triples):
     # FROM: the default graph is the merge of the FROM graphs — a
     # pushed graph-column isin filter
