@@ -70,7 +70,38 @@ so the compiled plan is identical to the hand-written call):
   marker left joins against each branch's distinct key set
 * a WHERE clause that is entirely ``{ BGP } UNION { BGP } ...``
   compiles to ``bgp_union``; ``CONSTRUCT`` over such a UNION
-  instantiates the template per branch and unions the graphs
+  instantiates the template per branch and unions the graphs;
+  UNION branches accept group-scoped ``FILTER`` members (applied to
+  the branch's solutions BEFORE the null-padding union — a filter
+  referencing a variable the branch does not bind raises typed, as
+  the variable is out of scope there per SPARQL); term-metadata
+  builtins in branch filters and over union-bound variables work in
+  the complete-union SELECT/ASK/CONSTRUCT/DESCRIBE forms (each
+  branch emits the metadata of the vars it binds; a non-binding
+  branch pads null — LANG of unbound is a type error → NULL) and
+  reject typed in group-body/inline unions
+* ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses (§13.2) in all
+  four query forms — one pushed graph-column ``isin`` filter.
+  Supported scopes: FROM alone (patterns match the merged default
+  graph; GRAPH clauses refuse typed) and FROM NAMED alone (every
+  pattern must sit inside GRAPH); FROM + FROM NAMED together
+  refuses (two scan scopes); subqueries reject dataset clauses per
+  the SubSelect grammar
+* ``[NOT] EXISTS`` / ``MINUS`` bodies accept FULL group bodies:
+  nested ``FILTER [NOT] EXISTS`` / ``MINUS`` (the double-negation /
+  forall idiom), ``BIND``, ``VALUES``, inner ``OPTIONAL``, and
+  UNION bodies WITH per-branch filters and BINDs (Extend
+  distributes over Union) — compiled through a recursive
+  ``bgp_match``; a nested member referencing an OUTER variable
+  raises typed (correlation through nesting), and a variable shared
+  with the outer solutions that the body binds only through an
+  inner OPTIONAL / non-rename BIND / UNDEF-able VALUES raises typed
+  (the equality join would diverge from substitution semantics)
+* ``REGEX`` / ``REPLACE`` flags ``i`` / ``s`` / ``m`` (Java inline
+  ``(?ism)``) and ``q`` (literal pattern → substring containment /
+  plain replace; ``iq`` folds case); ``x`` refuses — Java's ``(?x)``
+  treats ``#`` as a comment, silently diverging from fn:matches;
+  ``SUM/AVG(DISTINCT expr)`` aggregate the distinct value multiset
 * SPARQL 1.1 subqueries ``{ SELECT ... }`` as group members —
   compiled bottom-up (§18.2.2) and joined to the group's solutions
   on the shared variables (``bgp_match``'s ``solution_joins``); a
@@ -91,6 +122,7 @@ so the compiled plan is identical to the hand-written call):
 Deviations / limits (all raise a clear error, never mis-execute):
 SERVICE, nested GRAPH, subqueries inside EXISTS / MINUS bodies,
 nondeterministic builtins (NOW / UUID / RAND / BNODE), STRLANG/STRDT,
+FROM combined with FROM NAMED or GRAPH,
 and OPTIONAL-group filters
 referencing outer variables are not supported. A UNION block mixed
 with other group members compiles to Join(Union(branches), rest) via
