@@ -1174,6 +1174,48 @@ def q_sparql_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dateTime accessors (SPARQL §17.4.5) from text: events become
+    triples whose ``ex:ts`` object is the xsd:dateTime LEXICAL form
+    (microsecond-precision ISO 8601, the shape toRDF emits), and the
+    query filters/buckets with YEAR/SECONDS/MONTH/HOURS — each
+    compiles to ``try_cast(... as timestamp)`` + the builtin, so one
+    malformed literal (a planted ``not-a-dateTime`` row) is a SPARQL
+    type error → NULL → dropped by the FILTER, never a task-failing
+    ANSI cast error. Plan: scan → join → project → one aggregate."""
+    from jsonld_spark.operators.sparql import sparql_query
+    ev = _read(spark, sf_dir, "events")
+    subj = F.concat(F.lit(_KG_EX + "event/"),
+                    F.col("event_id").cast("string"))
+    triples = ev.select(
+        subj.alias("subj"), F.lit(_KG_EX + "ts").alias("pred"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+         .alias("obj_value"),
+    ).unionByName(ev.select(
+        subj.alias("subj"), F.lit(_KG_EX + "type").alias("pred"),
+        F.col("event_type").alias("obj_value"),
+    )).unionByName(spark.createDataFrame(
+        [(_KG_EX + "event/bad", _KG_EX + "ts", "not-a-dateTime"),
+         (_KG_EX + "event/bad", _KG_EX + "type", "click")],
+        "subj string, pred string, obj_value string"))
+    out = sparql_query(triples, f"""
+        PREFIX ex: <{_KG_EX}>
+        SELECT ?mo ?h (COUNT(?e) AS ?n_events)
+               (COUNT(DISTINCT ?ty) AS ?n_types)
+        WHERE {{
+            ?e ex:ts ?t ; ex:type ?ty
+            FILTER(YEAR(?t) = 2024 && SECONDS(?t) >= 10)
+            BIND(MONTH(?t) AS ?mo) BIND(HOURS(?t) AS ?h)
+        }}
+        GROUP BY ?mo ?h
+        ORDER BY ?mo ?h
+    """)
+    return out.select(F.col("mo").cast("long").alias("mo"),
+                      F.col("h").cast("long").alias("h"),
+                      F.col("n_events").cast("long").alias("n_events"),
+                      F.col("n_types").cast("long").alias("n_types"))
+
+
 def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT with a template blank node (SPARQL §16.2): ``_:z``
     mints one fresh node per solution, shared across the solution's
@@ -2037,10 +2079,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_filter": q_sparql_union_filter,
         "sparql_double_neg": q_sparql_double_neg,
         "sparql_from": q_sparql_from,
+        "sparql_datetime": q_sparql_datetime,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
-        "canonicalize_anon": q_canonicalize_anon,
         "error_isolation": q_error_isolation,  # 2+ rounds green but the
         # pipeline error-column contract deserves a standing row
         "rdfs_entail": q_rdfs_entail,
@@ -2070,7 +2112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    kg_path_graph, compact_docs for sparql_union_filter,
         #    nquads_roundtrip for sparql_double_neg, bgp_agg (r4 green,
         #    unchanged; GROUP BY covered by sparql_text/bgp_star rows)
-        #    for sparql_from) --
+        #    for sparql_from; canonicalize_anon (hash-matched r2+r3+r4,
+        #    canonicalization code untouched this round) for
+        #    sparql_datetime) --
+        "canonicalize_anon": q_canonicalize_anon,
         "bgp_agg": q_bgp_agg,
         "flatten_docs": q_flatten_docs,
         "compact_docs": q_compact_docs,
@@ -3853,6 +3898,19 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_DOUBLE_NEG_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_from":
             _SPARQL_FROM_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        # sparql_datetime: the Spark side round-trips ts through the
+        # xsd:dateTime lexical form; the oracle reads the native
+        # timestamp — equality proves the lexical round-trip is exact
+        "sparql_datetime": """
+            SELECT CAST(month(ts) AS BIGINT) AS mo,
+                   CAST(hour(ts) AS BIGINT) AS h,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events
+            WHERE year(ts) = 2024 AND second(ts) >= 10
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "bgp_star_encoded": _BGP_STAR_ORACLE,
         "shacl_report": _SHACL_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "bgp_not_exists":

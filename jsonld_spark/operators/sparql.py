@@ -118,11 +118,17 @@ so the compiled plan is identical to the hand-written call):
   (``bgp_match(meta_vars=...)``), plus STRBEFORE / STRAFTER /
   ENCODE_FOR_URI / MD5 / SHA1 / SHA256/384/512 and IRI()/URI()
   (identity on the stored lexical IRI — enables skolem templates)
+* dateTime accessors YEAR / MONTH / DAY / HOURS / MINUTES / SECONDS
+  (§17.4.5) over the stored lexical form via ``try_cast`` — a
+  malformed lexical value is a SPARQL type error → NULL, never a
+  task-failing ANSI cast error; SECONDS returns whole seconds
 
 Deviations / limits (all raise a clear error, never mis-execute):
 SERVICE, nested GRAPH, subqueries inside EXISTS / MINUS bodies,
-nondeterministic builtins (NOW / UUID / RAND / BNODE), STRLANG/STRDT,
-FROM combined with FROM NAMED or GRAPH,
+nondeterministic builtins (NOW / UUID / STRUUID / RAND / BNODE — a
+retried Spark task would re-evaluate them, breaking reproducibility),
+TZ / TIMEZONE (lexical forms carry no normalized offset), STRLANG /
+STRDT, FROM combined with FROM NAMED or GRAPH,
 and OPTIONAL-group filters
 referencing outer variables are not supported. A UNION block mixed
 with other group members compiles to Join(Union(branches), rest) via
@@ -1288,7 +1294,28 @@ class _Parser:
         # the engine's IRIs are absolute); enables the documented
         # skolem-template idiom BIND(IRI(CONCAT(...)) AS ?node)
         "iri": "{0}", "uri": "{0}",
+        # SPARQL §17.4.5 dateTime accessors: xsd:dateTime literals are
+        # stored as their lexical form, so each accessor try_casts the
+        # string to a timestamp first — a malformed lexical form yields
+        # NULL (the SPARQL type-error contract: a FILTER comparison
+        # then drops the solution). try_cast, not cast: the session
+        # runs ANSI mode, where a plain cast of a bad string THROWS —
+        # one dirty literal would fail the whole (retried) task.
+        # Deviation: SECONDS returns whole seconds (an integer), not
+        # the fraction-carrying xsd:decimal of fn:seconds-from-dateTime.
+        "year": "year(try_cast({0} as timestamp))",
+        "month": "month(try_cast({0} as timestamp))",
+        "day": "day(try_cast({0} as timestamp))",
+        "hours": "hour(try_cast({0} as timestamp))",
+        "minutes": "minute(try_cast({0} as timestamp))",
+        "seconds": "second(try_cast({0} as timestamp))",
     }
+
+    # refused with a reason, never mis-executed: a retried Spark task
+    # re-evaluates its expressions, so a nondeterministic builtin would
+    # give two executions of the SAME task different answers — results
+    # would not be reproducible (and exactly-once sinks would diverge)
+    _NONDETERMINISTIC = ("now", "rand", "uuid", "struuid", "bnode")
 
     def _expr_primary(self) -> tuple[str, str]:
         t = self._next()
@@ -1486,6 +1513,17 @@ class _Parser:
             if tmpl is None:
                 return f"{name}({', '.join(args)})", "expr"
             return tmpl.format(*args), "expr"
+        if name in self._NONDETERMINISTIC:
+            raise SparqlUnsupportedError(
+                f"{name.upper()}() is nondeterministic — a retried "
+                "Spark task would re-evaluate it to a different value, "
+                "so results would not be reproducible; bind the value "
+                "once in the driver and pass it as a constant instead")
+        if name in ("tz", "timezone"):
+            raise SparqlUnsupportedError(
+                f"{name.upper()}() is not supported — the engine "
+                "stores xsd:dateTime lexical forms without timezone "
+                "normalization (the session runs in UTC)")
         raise SparqlUnsupportedError(
             f"builtin {name.upper()}() is not in the compiled subset")
 

@@ -1873,3 +1873,74 @@ def test_having_with_direct_aggregates(triples):
         SELECT ?a (MIN(?d) AS ?m) WHERE { ?d ex:author ?a }
         GROUP BY ?a HAVING(COUNT(?d) = 2 && COUNT(?d) != 3)""")
     assert _rows(got) == [("alice", "d1")]
+
+
+# ---------------------------------------------------------------------------
+# dateTime accessors (§17.4.5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dt_triples(spark):
+    rows = [
+        ("e1", EX + "ts", "2024-01-05T10:03:52.824425"),
+        ("e2", EX + "ts", "2024-02-05T23:59:07"),
+        ("e3", EX + "ts", "2025-01-05T00:30:00"),
+        ("e4", EX + "ts", "not-a-date"),
+        ("e1", EX + "kind", "click"),
+        ("e2", EX + "kind", "click"),
+        ("e3", EX + "kind", "view"),
+        ("e4", EX + "kind", "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string")
+
+
+def test_datetime_accessors_bind(dt_triples):
+    got = sparql_query(dt_triples, PFX + """
+        SELECT ?e ?y ?mo ?d ?h ?mi ?s WHERE {
+            ?e ex:ts ?t
+            BIND(YEAR(?t) AS ?y)   BIND(MONTH(?t) AS ?mo)
+            BIND(DAY(?t) AS ?d)    BIND(HOURS(?t) AS ?h)
+            BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?s)
+        } ORDER BY ?e""")
+    assert _rows(got) == [
+        ("e1", 2024, 1, 5, 10, 3, 52),
+        ("e2", 2024, 2, 5, 23, 59, 7),
+        ("e3", 2025, 1, 5, 0, 30, 0),
+        # malformed lexical form: SPARQL type error → NULL, not a
+        # task-failing ANSI cast error
+        ("e4", None, None, None, None, None, None),
+    ]
+
+
+def test_datetime_accessor_in_filter_drops_malformed(dt_triples):
+    got = sparql_query(dt_triples, PFX + """
+        SELECT ?e WHERE {
+            ?e ex:ts ?t ; ex:kind 'click'
+            FILTER(YEAR(?t) = 2024 && HOURS(?t) >= 10)
+        }""")
+    assert _rows(got) == [("e1",), ("e2",)]
+
+
+def test_datetime_accessor_in_group_by_expr(dt_triples):
+    got = sparql_query(dt_triples, PFX + """
+        SELECT ?mo (COUNT(?e) AS ?n) WHERE { ?e ex:ts ?t
+            FILTER(BOUND(?t) && YEAR(?t) = 2024) }
+        GROUP BY (MONTH(?t) AS ?mo) ORDER BY ?mo""")
+    assert _rows(got) == [(1, 1), (2, 1)]
+
+
+def test_nondeterministic_builtins_refuse_with_reason(dt_triples):
+    for call in ("NOW()", "RAND()", "UUID()", "STRUUID()", "BNODE()"):
+        with pytest.raises(SparqlUnsupportedError,
+                           match="nondeterministic"):
+            sparql_query(dt_triples, PFX +
+                         f"SELECT ?e WHERE {{ ?e ex:ts ?t "
+                         f"BIND({call} AS ?x) }}")
+
+
+def test_tz_refuses_with_reason(dt_triples):
+    with pytest.raises(SparqlUnsupportedError, match="timezone"):
+        sparql_query(dt_triples, PFX +
+                     "SELECT ?e WHERE { ?e ex:ts ?t "
+                     "FILTER(TZ(?t) = 'Z') }")
