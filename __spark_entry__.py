@@ -1100,6 +1100,43 @@ def q_sparql_optional_subquery(spark: SparkSession, sf_dir: str
     """)
 
 
+def q_sparql_optional_correlated(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Correlated OPTIONAL filter — SPARQL LeftJoin(Ω1, Ω2, expr)
+    with expr comparing an OUTER variable against a group variable:
+    attach a doc's reviewer only when the doc is long enough for the
+    reviewer's minimum (``FILTER(xsd:integer(?n) >= xsd:integer(?m))``
+    references outer ?n and group ?m). The filter compiles to the
+    left join's residual condition over equi keys on ?d — a reviewer
+    failing it is as-if absent for THAT doc only (the doc keeps a
+    null ?r, never drops). The DuckDB oracle is the literal
+    ``LEFT JOIN ... ON d = d AND n >= mc``."""
+    from jsonld_spark.operators.sparql import sparql_query
+    docs = _read(spark, sf_dir, "documents")
+    reviews = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit(_KG_EX + "doc/"), F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "reviewedBy").alias("pred"),
+        F.concat(F.lit(_KG_EX + "reviewer/"),
+                 (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
+    caps = spark.createDataFrame(
+        [(f"{_KG_EX}reviewer/{i}", _KG_EX + "minChars", str(i * 300))
+         for i in range(5)],
+        "subj string, pred string, obj_value string")
+    triples = q_jsonld_doc_triples(spark, sf_dir) \
+        .select("subj", "pred", "obj_value") \
+        .unionByName(reviews).unionByName(caps)
+    return sparql_query(triples, f"""
+        PREFIX ex: <{_KG_EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d ?n ?r
+        WHERE {{
+            ?d ex:nChars ?n .
+            OPTIONAL {{ ?d ex:reviewedBy ?r . ?r ex:minChars ?m
+                        FILTER (xsd:integer(?n) >= xsd:integer(?m)) }}
+        }}
+    """)
+
+
 def q_sparql_filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[NOT] EXISTS embedded in a FILTER expression — the disjunction
     ``FILTER(?l = 'de' || EXISTS { ?d dct:source 'src3' })`` keeps
@@ -2080,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_double_neg": q_sparql_double_neg,
         "sparql_from": q_sparql_from,
         "sparql_datetime": q_sparql_datetime,
+        "sparql_optional_correlated": q_sparql_optional_correlated,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -2088,7 +2126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
         "bgp_star": q_bgp_star,
-        "bgp_optional": q_bgp_optional,
         "bgp_filter": q_bgp_filter,
         "bgp_union": q_bgp_union,
         "bgp_not_exists": q_bgp_not_exists,
@@ -2170,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hetero_compact": q_hetero_compact,
         "frame_docs": q_frame_docs,
         "fromrdf_docs": q_fromrdf_docs,
+        "bgp_optional": q_bgp_optional,
     }
 
 
@@ -2826,6 +2864,19 @@ grp AS (SELECT r.d, r.r, lv.lvl
         FROM r JOIN lv USING (r) WHERE lv.lvl <> 'junior')
 SELECT l.d, grp.r, grp.lvl
 FROM l LEFT JOIN grp USING (d)
+"""
+
+_SPARQL_OPT_CORR_ORACLE = f"""
+WITH t AS MATERIALIZED ({{0}}),
+nc AS (SELECT subj AS d, obj_value AS n FROM t
+       WHERE pred = '{_KG_EX}nChars'),
+rv AS (SELECT '{_KG_EX}doc/' || doc_id AS d,
+              '{_KG_EX}reviewer/' || (doc_id % 5) AS r,
+              (doc_id % 5) * 300 AS mc
+       FROM documents WHERE doc_id % 3 = 0)
+SELECT nc.d AS d, nc.n AS n, rv.r AS r
+FROM nc LEFT JOIN rv
+  ON nc.d = rv.d AND CAST(nc.n AS BIGINT) >= rv.mc
 """
 
 _BGP_OPTIONAL_ORACLE = f"""
@@ -3870,6 +3921,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text": _SPARQL_TEXT_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_optional_group":
             _SPARQL_OPT_GROUP_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_optional_correlated":
+            _SPARQL_OPT_CORR_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_not_exists_max":
             _SPARQL_NOT_EXISTS_MAX_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_subquery":

@@ -335,10 +335,17 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
     inner-join among themselves, and must connect), then left-joins
     the joined group, so a partial group match binds nothing. An
     entry that is a DICT ``{'patterns': [...], 'filters': [...]}``
-    additionally applies group-scoped FILTER expressions to the
-    group's solutions before the left join (SPARQL leftjoin's expr
-    argument, for the case where it references only group
-    variables; outer-variable references raise). A dict entry
+    additionally applies group-scoped FILTER expressions — SPARQL
+    leftjoin's expr argument. A filter referencing only group
+    variables pre-filters the group's solutions (equivalent per the
+    leftjoin definition); a filter referencing OUTER variables
+    conditions the join itself (``LeftJoin(Ω1, Ω2, expr)``): it
+    compiles to the left join's residual condition with equi keys on
+    the shared variables, so a group row failing the filter is
+    as-if absent for that outer solution only, and an erroring
+    (null) filter follows SPARQL's error-is-false rule. Correlated
+    filters over NULLABLE shared variables, or combined with
+    term-metadata columns on the optional side, raise. A dict entry
     ``{'union': [branch, ...], 'filters': [...]}`` is
     ``OPTIONAL { { A } UNION { B } }`` — algebra LeftJoin(rest,
     Union(A, B)): the branches' solution union (missing variables
@@ -837,17 +844,23 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             step_vars.append(bvar)
             svset.add(bvar)
             union_nullable.add(bvar)
+        cond_filters: list[str] = []
         for fexpr in group_filters:
             outer = {x for x in _expr_identifiers(fexpr)
                      if x in bound and x not in svset}
             if outer:
-                raise ValueError(
-                    f"optional group {i} filter {fexpr!r} "
-                    f"references outer variables {sorted(outer)} "
-                    "— only group variables are supported in "
-                    "OPTIONAL group filters (outer references "
-                    "would need a conditional left join)")
-            step = step.where(F.expr(fexpr))
+                # SPARQL LeftJoin(Ω1, Ω2, expr) with expr referencing
+                # OUTER bindings: the filter conditions the join itself
+                # (a group row failing it is as-if absent for THAT
+                # outer solution only) — compiled below as the left
+                # join's residual condition, exactly the
+                # _theta_group_join shape EXISTS/NOT EXISTS use
+                cond_filters.append(fexpr)
+            else:
+                # references only group vars: pre-filtering the
+                # group's solutions is equivalent per the leftjoin
+                # definition (and keeps the join residual-free)
+                step = step.where(F.expr(fexpr))
         step_meta = [c for c in step.columns if c not in step_vars]
         shared = [v for v in step_vars if v in bound]
         new = [v for v in step_vars if v not in bound]
@@ -869,7 +882,40 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         # (metadata columns participate: RDF term distinctness)
         step = step.dropDuplicates(step_vars + step_meta)
         nshared = [v for v in shared if v in nullable]
-        if not nshared:
+        if cond_filters:
+            # correlated group filter → conditional left join: equi
+            # keys on the shared vars keep the join hash/sort-merge
+            # plannable, the filter (group-variable references renamed
+            # to the right side) is the residual condition. A filter
+            # that errors (NULL) fails the condition, so the solution
+            # keeps unbound optional vars — SPARQL's error-is-false
+            # leftjoin contract. Nullable shared vars would need the
+            # compat branching TIMES the residual — typed refusal,
+            # same rule as _theta_group_join.
+            if nshared:
+                raise ValueError(
+                    f"optional group {i}: a filter referencing outer "
+                    f"variables over nullable shared variables "
+                    f"{nshared} is not supported — bind them in a "
+                    "required pattern")
+            if step_meta:
+                raise ValueError(
+                    f"optional group {i}: LANG()/DATATYPE()/isIRI() "
+                    "metadata cannot combine with a filter "
+                    "referencing outer variables")
+            right = step.select(
+                *[F.col(v).alias(f"_o_{v}") for v in step_vars])
+            cond = F.lit(True)
+            for v in shared:
+                cond = cond & (F.col(v) == F.col(f"_o_{v}"))
+            ren = {v: f"_o_{v}" for v in step_vars}
+            for fexpr in cond_filters:
+                cond = cond & F.expr(_rewrite_refs(fexpr, ren))
+            out = out.join(right, cond, "left").select(
+                *[F.col(v) for v in bound],
+                *[F.col(f"_o_{v}").alias(v) for v in new],
+                *[F.col(c) for c in meta_bound])
+        elif not nshared:
             out = out.join(step, shared, "left")
             _note_meta(step_vars)
         elif step_meta:

@@ -29,8 +29,11 @@ so the compiled plan is identical to the hand-written call):
   multi-pattern group is evaluated as a unit per SPARQL leftjoin:
   its patterns inner-join among themselves, then the joined group
   left-joins the solutions); group-scoped ``FILTER`` inside the
-  OPTIONAL body (must reference only group variables — SPARQL
-  leftjoin's expr argument in its common form); an OPTIONAL body
+  OPTIONAL body — SPARQL leftjoin's expr argument: a filter over
+  group variables pre-filters the group, one referencing OUTER
+  variables conditions the left join itself (compiled as the
+  join's residual condition; over nullable shared variables it
+  raises); an OPTIONAL body
   that is a ``{ A } UNION { B }`` block compiles to
   LeftJoin(rest, Union(A, B)) — a shared join variable must be
   bound by every branch (else a typed error); nested
@@ -128,9 +131,8 @@ SERVICE, nested GRAPH, subqueries inside EXISTS / MINUS bodies,
 nondeterministic builtins (NOW / UUID / STRUUID / RAND / BNODE — a
 retried Spark task would re-evaluate them, breaking reproducibility),
 TZ / TIMEZONE (lexical forms carry no normalized offset), STRLANG /
-STRDT, FROM combined with FROM NAMED or GRAPH,
-and OPTIONAL-group filters
-referencing outer variables are not supported. A UNION block mixed
+STRDT, and FROM combined with FROM NAMED or GRAPH
+are not supported. A UNION block mixed
 with other group members compiles to Join(Union(branches), rest) via
 a solution join (a variable not bound by every branch is nullable;
 using one as the join key, or in a term-metadata builtin, raises).

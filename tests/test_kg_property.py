@@ -575,3 +575,73 @@ def test_group_union_negation_equals_naive(spark, triples, req, b1, b2):
         got = [tuple(r) for r in got_df.collect()]
         assert len(got) == len(set(got)), kind  # no row multiplication
         assert set(got) == want, kind
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), opt=pattern_st(3))
+def test_bgp_optional_correlated_filter_equals_naive(spark, triples,
+                                                     req, opt):
+    """SPARQL LeftJoin(Ω1, Ω2, expr) with expr comparing an OUTER
+    variable against a group variable: the engine compiles the filter
+    into the left join's residual condition; the naive model applies
+    expr to each merged solution and falls back to unbound when no
+    compatible-and-passing row exists. When the picked 'outer' var
+    happens to also be bound by the optional pattern the filter
+    degrades to a group-only pre-filter — both paths must agree with
+    the same naive model."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    opt_only = []
+    for t in opt:
+        if t.startswith("?") and t[1:] not in vars_ \
+                and t[1:] not in opt_only:
+            opt_only.append(t[1:])
+    if not opt_only:
+        return  # no group-only variable: nothing correlated to test
+    ov, gv = vars_[0], opt_only[0]
+    fexpr = f"`{gv}` > `{ov}`"
+    df = spark.createDataFrame(
+        sorted(triples) * 2,  # duplicated rows must not multiply
+        "subj string, pred string, obj_value string")
+    try:
+        got_df = bgp_match(
+            df, [req],
+            optional=[{"patterns": [opt], "filters": [fexpr]}])
+    except ValueError:
+        return  # disconnected optional rejected by design
+    # naive LeftJoin with expr over the merged binding
+    opt_rows = set()
+    for tr in triples:
+        b, ok = {}, True
+        for t, x in zip(opt, tr):
+            if t.startswith("?"):
+                if t[1:] in b and b[t[1:]] != x:
+                    ok = False
+                    break
+                b[t[1:]] = x
+            elif t != x:
+                ok = False
+                break
+        if ok:
+            opt_rows.add(tuple(sorted(b.items())))
+    want = set()
+    for sol in sols:
+        sb = dict(zip(vars_, sol))
+        exts = set()
+        for row in opt_rows:
+            rb = dict(row)
+            if not all(sb[k] == v for k, v in rb.items() if k in sb):
+                continue
+            merged = {**sb, **rb}
+            if merged[gv] > merged[ov]:  # ASCII string compare = Spark
+                exts.add(tuple(merged[v] for v in vars_ + opt_only))
+        if not exts:
+            exts = {sol + tuple(None for _ in opt_only)}
+        want |= exts
+    cols = got_df.columns
+    got = {tuple(r[c] for c in cols) for r in got_df.collect()}
+    assert cols == vars_ + opt_only
+    assert got == want

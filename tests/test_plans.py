@@ -639,3 +639,14 @@ def test_union_branch_filter_applies_before_union(spark, tmp_path):
     assert "Union" in plan and "v1" in plan.split("Union", 1)[1], \
         "branch filter constant not found below the Union operator"
     assert df.count() == 60
+
+
+def test_optional_correlated_filter_is_equi_join_with_residual(spark):
+    """A correlated OPTIONAL filter (LeftJoin expr referencing outer
+    vars) must plan as an EQUI left join with the filter as residual
+    condition — never a nested-loop/cartesian over solutions × group
+    rows."""
+    q = E.queries()["sparql_optional_correlated"](spark, SF_ORACLE)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

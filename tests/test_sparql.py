@@ -331,12 +331,61 @@ def test_exec_optional_group_scoped_filter(triples):
     assert _rows(got) == [("d1", "rev1"), ("d3", None)]
 
 
-def test_optional_group_filter_rejects_outer_vars(triples):
-    with pytest.raises(ValueError, match="only group variables"):
-        sparql_query(triples, PFX + """SELECT ?d ?r WHERE {
-            ?d ex:lang ?l
-            OPTIONAL { ?d ex:reviewer ?r FILTER (?l != 'de') }
-        }""").collect()
+def test_optional_correlated_filter_conditions_the_join(spark):
+    """SPARQL LeftJoin(A, B, expr) with expr referencing OUTER
+    variables: the filter conditions the join — a group row failing
+    it is as-if absent for THAT solution only (the solution keeps
+    unbound optional vars), never a row drop."""
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en"),
+         ("d2", EX + "lang", "de"),
+         ("d1", EX + "reviewer", "r1"),
+         ("d2", EX + "reviewer", "r2")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?d ?r WHERE {
+        ?d ex:lang ?l
+        OPTIONAL { ?d ex:reviewer ?r FILTER (?l != 'de') }
+    }""")
+    # d2 HAS a reviewer, but the correlated filter is false for its
+    # outer binding → d2's solution survives with ?r unbound
+    assert _rows(got) == [("d1", "r1"), ("d2", None)]
+
+
+def test_optional_correlated_filter_cross_side_comparison(spark):
+    """The residual condition compares an outer var against a
+    group var — the classic attach-if-newer idiom."""
+    t = spark.createDataFrame(
+        [("d1", EX + "v", "3"),
+         ("d2", EX + "v", "9"),
+         ("d1", EX + "cand", "5"),
+         ("d1", EX + "cand", "2"),
+         ("d2", EX + "cand", "4")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(
+        t, "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        + PFX + """SELECT ?d ?c WHERE {
+        ?d ex:v ?v
+        OPTIONAL { ?d ex:cand ?c
+                   FILTER (xsd:integer(?c) > xsd:integer(?v)) }
+    }""")
+    assert _rows(got) == [("d1", "5"), ("d2", None)]
+
+
+def test_optional_correlated_filter_nullable_shared_raises(spark):
+    """A correlated filter over a shared var bound only by an earlier
+    OPTIONAL (nullable) raises typed — the compat branching times a
+    residual condition is out of scope."""
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en"),
+         ("d1", EX + "reviewer", "r1"),
+         ("r1", EX + "level", "senior")],
+        "subj string, pred string, obj_value string")
+    with pytest.raises(ValueError, match="nullable shared"):
+        bgp_match(
+            t, [("?d", EX + "lang", "?l")],
+            optional=[("?d", EX + "reviewer", "?r"),
+                      {"patterns": [("?r", EX + "level", "?lv")],
+                       "filters": ["`lv` > `l`"]}]).collect()
 
 
 def test_parse_optional_group_filter_dict_form():
