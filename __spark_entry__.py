@@ -1137,6 +1137,38 @@ def q_sparql_optional_correlated(spark: SparkSession, sf_dir: str
     """)
 
 
+def q_sparql_exists_subquery(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Subquery inside FILTER EXISTS — keep docs whose ex:under
+    parent is itself non-root AND has at least two children (a
+    grouped HAVING subquery joined to the body's required pattern on
+    ?p, then the whole body semi-joins the outer solutions on the
+    shared vars). Substitution does not descend into subqueries, so
+    the subquery compiles independently; a subquery-only var shared
+    with the outer query would raise typed."""
+    from jsonld_spark.operators.sparql import sparql_query
+    docs = _read(spark, sf_dir, "documents")
+    iri = lambda c: F.concat(F.lit(_KG_EX + "doc/"), c.cast("string"))  # noqa: E731
+    under = docs.where(F.col("doc_id") >= 1).select(
+        iri(F.col("doc_id")).alias("subj"),
+        F.lit(_KG_EX + "under").alias("pred"),
+        iri(F.floor(F.col("doc_id") / 2)).alias("obj_value"))
+    triples = (q_jsonld_doc_triples(spark, sf_dir)
+               .select("subj", "pred", "obj_value").unionByName(under))
+    return sparql_query(triples, f"""
+        PREFIX ex: <{_KG_EX}>
+        SELECT ?d ?p
+        WHERE {{
+            ?d ex:under ?p .
+            FILTER EXISTS {{
+                ?p ex:under ?gp .
+                {{ SELECT ?p WHERE {{ ?c ex:under ?p }}
+                   GROUP BY ?p HAVING (COUNT(?c) >= 2) }}
+            }}
+        }}
+    """)
+
+
 def q_sparql_filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[NOT] EXISTS embedded in a FILTER expression — the disjunction
     ``FILTER(?l = 'de' || EXISTS { ?d dct:source 'src3' })`` keeps
@@ -2118,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_from": q_sparql_from,
         "sparql_datetime": q_sparql_datetime,
         "sparql_optional_correlated": q_sparql_optional_correlated,
+        "sparql_exists_subquery": q_sparql_exists_subquery,
         # -- engine code touched in round 5 (context clone, bgp_match,
         #    rdfs/owl kind gates, property_path reflexive semantics) --
         "jsonld_doc_triples": q_jsonld_doc_triples,
@@ -2126,7 +2159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
         "bgp_star": q_bgp_star,
-        "bgp_filter": q_bgp_filter,
         "bgp_union": q_bgp_union,
         "bgp_not_exists": q_bgp_not_exists,
         "bgp_graph": q_bgp_graph,
@@ -2208,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_docs": q_frame_docs,
         "fromrdf_docs": q_fromrdf_docs,
         "bgp_optional": q_bgp_optional,
+        "bgp_filter": q_bgp_filter,
     }
 
 
@@ -2877,6 +2910,17 @@ rv AS (SELECT '{_KG_EX}doc/' || doc_id AS d,
 SELECT nc.d AS d, nc.n AS n, rv.r AS r
 FROM nc LEFT JOIN rv
   ON nc.d = rv.d AND CAST(nc.n AS BIGINT) >= rv.mc
+"""
+
+_SPARQL_EXISTS_SUBQ_ORACLE = f"""
+WITH u AS (SELECT '{_KG_EX}doc/' || doc_id AS d,
+                  '{_KG_EX}doc/' || (doc_id // 2) AS p
+           FROM documents WHERE doc_id >= 1),
+pop AS (SELECT p FROM u GROUP BY p HAVING COUNT(*) >= 2)
+SELECT u.d AS d, u.p AS p
+FROM u
+WHERE EXISTS (SELECT 1 FROM u u2 JOIN pop ON u2.d = pop.p
+              WHERE u2.d = u.p)
 """
 
 _BGP_OPTIONAL_ORACLE = f"""
@@ -3923,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
             _SPARQL_OPT_GROUP_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_optional_correlated":
             _SPARQL_OPT_CORR_ORACLE.format(_DOC_TRIPLES_ORACLE),
+        "sparql_exists_subquery": _SPARQL_EXISTS_SUBQ_ORACLE,
         "sparql_not_exists_max":
             _SPARQL_NOT_EXISTS_MAX_ORACLE.format(_DOC_TRIPLES_ORACLE),
         "sparql_subquery":

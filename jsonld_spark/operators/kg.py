@@ -204,6 +204,9 @@ def _group_entry_vars(entry) -> set[str]:
             vs |= set(row)
         for inner in entry.get("optional", []):
             vs |= _optional_entry_vars(inner)
+        for sj in entry.get("solution_joins", []):
+            sjdf = sj["df"] if isinstance(sj, dict) else sj
+            vs |= set(sjdf.columns)
         return vs
     if entry and isinstance(entry[0], (list, tuple)):
         return _pattern_tuple_vars(entry)
@@ -1068,7 +1071,8 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             pats, gfilters = group["patterns"], group.get("filters", [])
             nested = {k: group[k] for k in
                       ("optional", "not_exists", "exists", "minus",
-                       "values", "binds") if group.get(k)}
+                       "values", "binds", "solution_joins")
+                      if group.get(k)}
         else:
             pats, gfilters = group, []
         if nested:
@@ -1133,6 +1137,25 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     "VALUES — substitution semantics would need a "
                     "conditional join; bind them in a required body "
                     "pattern or rename them")
+            # a subquery-bound var the body does NOT also bind in a
+            # required pattern must not be shared with the outer
+            # solutions: SPARQL substitution does not descend into
+            # subqueries (§18.6 / errata), so the outer binding
+            # imposes NO constraint on it — our shared-var equality
+            # join would wrongly constrain it. Refuse, typed.
+            for sj in nested.get("solution_joins", []):
+                sjdf = sj["df"] if isinstance(sj, dict) else sj
+                sub_bad = sorted(
+                    (set(sjdf.columns) - req_vs) & set(bound))
+                if sub_bad:
+                    raise ValueError(
+                        f"{kind} group {gi}: variable(s) {sub_bad} "
+                        "are shared with the outer solutions but "
+                        "bound inside the body only by a subquery — "
+                        "substitution does not descend into "
+                        "subqueries, so the outer binding would not "
+                        "constrain them; bind them in a required "
+                        "body pattern or rename them")
             # distinct_solutions=False: the per-kind callers
             # distinct/semi-join the group's solutions themselves
             inner = bgp_match(triples, pats,

@@ -110,7 +110,12 @@ so the compiled plan is identical to the hand-written call):
   on the shared variables (``bgp_match``'s ``solution_joins``); a
   scalar aggregate subquery (no GROUP BY — the ``MAX``-argmax idiom)
   joins disjoint via broadcast. Subqueries projecting possibly-
-  unbound variables used as join keys raise rather than mis-join
+  unbound variables used as join keys raise rather than mis-join.
+  Subqueries are also accepted inside ``FILTER [NOT] EXISTS`` and
+  ``MINUS`` bodies (each compiles independently — substitution does
+  not descend into subqueries, so a subquery-only variable shared
+  with the outer solutions raises typed instead of being wrongly
+  constrained)
 * blank nodes in patterns: ``_:label``, ``[]`` and
   ``[ p1 o1 ; p2 o2 ]`` property lists (nesting allowed) compile to
   non-distinguished variables + desugared patterns (``SELECT *``
@@ -127,7 +132,8 @@ so the compiled plan is identical to the hand-written call):
   task-failing ANSI cast error; SECONDS returns whole seconds
 
 Deviations / limits (all raise a clear error, never mis-execute):
-SERVICE, nested GRAPH, subqueries inside EXISTS / MINUS bodies,
+SERVICE, nested GRAPH, subqueries inside expression-embedded EXISTS
+or beside a UNION body inside a negation group,
 nondeterministic builtins (NOW / UUID / STRUUID / RAND / BNODE — a
 retried Spark task would re-evaluate them, breaking reproducibility),
 TZ / TIMEZONE (lexical forms carry no normalized offset), STRLANG /
@@ -939,24 +945,29 @@ class _Parser:
 
     @staticmethod
     def _entry_has_subqueries(entry) -> bool:
-        """True if an OPTIONAL entry dict carries (possibly nested)
+        """True if a group-entry dict carries (possibly nested)
         un-compiled subquery ASTs — those compile only through the
-        optional-entry pipeline, not inside negation bodies."""
+        optional-entry / negation-entry compilers, never through the
+        embedded-EXISTS marker path or a UNION body."""
         if isinstance(entry, dict):
             if entry.get("subqueries"):
                 return True
-            return any(_Parser._entry_has_subqueries(i)
-                       for i in entry.get("optional", []))
+            return any(
+                _Parser._entry_has_subqueries(i)
+                for k in ("optional", "not_exists", "exists", "minus")
+                for i in entry.get(k, []))
         return False
 
     def _group_entry(self, label: str) -> list | dict:
         b = self._filtered_body(label, allow_union=True,
                                 allow_optional=True)
-        if b.subqueries or any(self._entry_has_subqueries(e)
-                               for e in b.nested):
+        if b.union is not None and (
+                b.subqueries or any(self._entry_has_subqueries(e)
+                                    for e in b.nested)):
             raise SparqlUnsupportedError(
-                f"subqueries inside {label} are not supported — "
-                "restructure with the subquery at the outer level")
+                f"subqueries beside a UNION body inside {label} are "
+                "not supported — restructure with the subquery at "
+                "the outer level")
         if b.union is not None:
             entry: dict = {"union": b.union}
             if b.filters:
@@ -972,7 +983,8 @@ class _Parser:
             ("optional", b.nested), ("binds", b.binds),
             ("not_exists", b.not_exists), ("exists", b.exists),
             ("minus", b.minus), ("values", b.values),
-            ("filters", b.filters)) if v}
+            ("filters", b.filters),
+            ("subqueries", b.subqueries)) if v}
         if not extras:
             return b.pats
         return {"patterns": b.pats, **extras}
@@ -1232,6 +1244,13 @@ class _Parser:
                 "NOT EXISTS" if negated else "EXISTS")
         finally:
             self._allow_exists = True
+        if self._entry_has_subqueries(entry):
+            # the marker-join path has no subquery compile hook —
+            # refuse rather than silently dropping the subquery
+            raise SparqlUnsupportedError(
+                "subqueries inside an expression-embedded [NOT] "
+                "EXISTS are not supported — use a standalone "
+                "FILTER [NOT] EXISTS or lift the subquery")
         name = f"_fx{self._fx_n}"
         self._fx_n += 1
         self._exists_markers.append((name, entry, negated))
@@ -2037,6 +2056,47 @@ def _compile_optional_entries(triples: DataFrame, optional: list,
     return out
 
 
+def _compile_negation_entries(triples: DataFrame, entries: list | None,
+                              cols: dict, distinct_solutions: bool
+                              ) -> list | None:
+    """Compile subquery ASTs inside [NOT] EXISTS / MINUS group-entry
+    dicts into bgp_match solution-join entries (bottom-up, SPARQL
+    §18.2.2 — substitution does not descend into subqueries, so each
+    compiles independently of the outer solutions; kg.bgp_match
+    refuses, typed, a subquery-only variable shared with the outer
+    query). Inner OPTIONAL members recurse through the optional-entry
+    compiler. Entries without subqueries pass through unchanged."""
+    if not entries:
+        return None
+    out = []
+    for entry in entries:
+        if isinstance(entry, dict) and (
+                entry.get("subqueries") or entry.get("optional")
+                or any(entry.get(k) for k in
+                       ("not_exists", "exists", "minus"))):
+            entry = dict(entry)
+            if entry.get("optional"):
+                entry["optional"] = _compile_optional_entries(
+                    triples, entry["optional"], cols,
+                    distinct_solutions)
+            # nested negation bodies may carry their own subqueries
+            for k in ("not_exists", "exists", "minus"):
+                if entry.get(k):
+                    entry[k] = _compile_negation_entries(
+                        triples, entry[k], cols, distinct_solutions)
+            sqs = entry.pop("subqueries", None)
+            if sqs:
+                sj = []
+                for sq in sqs:
+                    sdf, snul, scalar = _compile_select(
+                        triples, sq, cols, distinct_solutions)
+                    sj.append({"df": sdf, "nullable": snul,
+                               "allow_disjoint": scalar})
+                entry["solution_joins"] = sj
+        out.append(entry)
+    return out
+
+
 def _post_values_join(df: DataFrame, rows: list[dict],
                       nullable: set[str]) -> DataFrame:
     """Trailing VALUES clause (SPARQL 18.2.4.3): joined BEFORE
@@ -2110,8 +2170,13 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
                        optional=_compile_optional_entries(
                            triples, g.optional, cols,
                            distinct_solutions, meta_vars),
-                       not_exists=g.not_exists or None,
-                       exists=g.exists or None, minus=g.minus or None,
+                       not_exists=_compile_negation_entries(
+                           triples, g.not_exists, cols,
+                           distinct_solutions),
+                       exists=_compile_negation_entries(
+                           triples, g.exists, cols, distinct_solutions),
+                       minus=_compile_negation_entries(
+                           triples, g.minus, cols, distinct_solutions),
                        filters=g.filters or None, values=g.values or None,
                        binds=g.binds or None,
                        filter_exists=g.filter_exists or None,
@@ -2292,9 +2357,15 @@ def sparql_query(triples: DataFrame, query: str,
                             optional=_compile_optional_entries(
                                 triples, gg.optional, cols,
                                 distinct_solutions, meta_vars),
-                            not_exists=gg.not_exists or None,
-                            exists=gg.exists or None,
-                            minus=gg.minus or None,
+                            not_exists=_compile_negation_entries(
+                                triples, gg.not_exists, cols,
+                                distinct_solutions),
+                            exists=_compile_negation_entries(
+                                triples, gg.exists, cols,
+                                distinct_solutions),
+                            minus=_compile_negation_entries(
+                                triples, gg.minus, cols,
+                                distinct_solutions),
                             filters=gg.filters or None,
                             values=gg.values or None,
                             binds=gg.binds or None,
@@ -2348,8 +2419,13 @@ def sparql_query(triples: DataFrame, query: str,
                                 & _pattern_var_names(b)) or None,
                      **cols)
                 for b, bf in zip(g.union_branches, bfs))
-        return _ask(triples, g.patterns, not_exists=g.not_exists or None,
-                    exists=g.exists or None, minus=g.minus or None,
+        return _ask(triples, g.patterns,
+                    not_exists=_compile_negation_entries(
+                        triples, g.not_exists, cols, distinct_solutions),
+                    exists=_compile_negation_entries(
+                        triples, g.exists, cols, distinct_solutions),
+                    minus=_compile_negation_entries(
+                        triples, g.minus, cols, distinct_solutions),
                     filters=g.filters or None, values=g.values or None,
                     meta_vars=set(meta_vars) or None, **cols)
     if q.form == "construct":
@@ -2398,8 +2474,15 @@ def sparql_query(triples: DataFrame, query: str,
                          optional=_compile_optional_entries(
                              triples, g.optional, cols,
                              distinct_solutions, meta_vars),
-                         not_exists=g.not_exists or None,
-                         exists=g.exists or None, minus=g.minus or None,
+                         not_exists=_compile_negation_entries(
+                             triples, g.not_exists, cols,
+                             distinct_solutions),
+                         exists=_compile_negation_entries(
+                             triples, g.exists, cols,
+                             distinct_solutions),
+                         minus=_compile_negation_entries(
+                             triples, g.minus, cols,
+                             distinct_solutions),
                          filters=g.filters or None,
                          values=g.values or None, binds=g.binds or None,
                          filter_exists=g.filter_exists or None,

@@ -725,10 +725,12 @@ def test_exec_nested_not_exists(triples):
         sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
                      "FILTER NOT EXISTS { ?d ex:cites ?c "
                      "FILTER NOT EXISTS { ?c ex:lang ?l } } }").collect()
-    with pytest.raises(SparqlUnsupportedError, match="subqueries"):
-        _parse(PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
-               "FILTER EXISTS { ?d ex:author ?a "
-               "{ SELECT ?a WHERE { ?x ex:author ?a } } } }")
+    # a subquery inside an EXISTS body now compiles (part 21): the
+    # body joins its required pattern with the subquery's solutions
+    got = sparql_query(triples, PFX + "SELECT ?d WHERE { ?d ex:lang ?l "
+                       "FILTER EXISTS { ?d ex:author ?a "
+                       "{ SELECT ?a WHERE { ?x ex:author ?a } } } }")
+    assert _rows(got) == [("d1",), ("d2",), ("d3",)]
 
 
 def test_exec_graph_clause(triples):
@@ -1993,3 +1995,73 @@ def test_tz_refuses_with_reason(dt_triples):
         sparql_query(dt_triples, PFX +
                      "SELECT ?e WHERE { ?e ex:ts ?t "
                      "FILTER(TZ(?t) = 'Z') }")
+
+
+def test_exists_body_subquery(spark):
+    """Subquery inside FILTER EXISTS: keep docs citing a target that
+    is itself cited >= 2 times — the subquery (grouped HAVING) joins
+    the body's required pattern on ?c, then the whole body semi-joins
+    the outer solutions."""
+    t = spark.createDataFrame(
+        [("d1", EX + "cites", "c1"),
+         ("d2", EX + "cites", "c2"),
+         ("d3", EX + "cites", "c1"),
+         ("c1", EX + "kind", "paper"),
+         ("c2", EX + "kind", "paper")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?d WHERE {
+        ?d ex:cites ?c .
+        FILTER EXISTS { ?c ex:kind 'paper' .
+                        { SELECT ?c WHERE { ?x ex:cites ?c }
+                          GROUP BY ?c HAVING (COUNT(?x) >= 2) } }
+    }""")
+    assert _rows(got) == [("d1",), ("d3",)]
+
+
+def test_minus_body_scalar_subquery_argmax_removal(spark):
+    """MINUS whose body constrains a required pattern with a scalar
+    aggregate subquery — remove the doc(s) holding the maximum
+    score."""
+    t = spark.createDataFrame(
+        [("d1", EX + "score", "3"),
+         ("d2", EX + "score", "9"),
+         ("d3", EX + "score", "5")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?d WHERE {
+        ?d ex:score ?s
+        MINUS { ?d ex:score ?s .
+                { SELECT (MAX(?s2) AS ?mx) WHERE { ?x ex:score ?s2 } }
+                FILTER (?s = ?mx) }
+    }""")
+    assert _rows(got) == [("d1",), ("d3",)]
+
+
+def test_not_exists_subquery_only_shared_var_raises(spark):
+    """A variable shared with the outer solutions but bound inside
+    the negation body ONLY by a subquery refuses typed: substitution
+    does not descend into subqueries, so the outer binding would not
+    constrain it."""
+    t = spark.createDataFrame(
+        [("d1", EX + "score", "3"),
+         ("d1", EX + "tag", "x")],
+        "subj string, pred string, obj_value string")
+    with pytest.raises(ValueError, match="only by a subquery"):
+        sparql_query(t, PFX + """SELECT ?d ?s WHERE {
+            ?d ex:score ?s
+            FILTER NOT EXISTS { ?d ex:tag ?tg .
+                { SELECT ?s WHERE { ?x ex:score ?s } } }
+        }""").collect()
+
+
+def test_embedded_exists_subquery_refuses(spark):
+    from jsonld_spark.operators.sparql import SparqlUnsupportedError
+    t = spark.createDataFrame(
+        [("d1", EX + "score", "3")],
+        "subj string, pred string, obj_value string")
+    with pytest.raises(SparqlUnsupportedError,
+                       match="expression-embedded"):
+        sparql_query(t, PFX + """SELECT ?d WHERE {
+            ?d ex:score ?s
+            FILTER(?s = '3' || EXISTS { ?d ex:tag ?tg .
+                { SELECT ?tg WHERE { ?x ex:tag ?tg } } })
+        }""")
