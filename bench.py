@@ -120,6 +120,9 @@ EXTENDED = [
     "sparql_union_filter",
     "sparql_double_neg",
     "sparql_from",
+    "sparql_datetime",
+    "sparql_optional_correlated",
+    "sparql_exists_subquery",
 ]
 
 

@@ -645,3 +645,62 @@ def test_bgp_optional_correlated_filter_equals_naive(spark, triples,
     got = {tuple(r[c] for c in cols) for r in got_df.collect()}
     assert cols == vars_ + opt_only
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(triples=st.sets(triple_st, min_size=1, max_size=12),
+       req=pattern_st(2), body=pattern_st(3), sub=pattern_st(3))
+def test_not_exists_body_solution_join_equals_naive(spark, triples,
+                                                    req, body, sub):
+    """NOT EXISTS whose body is a required pattern JOINED with a
+    subquery solution set (bgp_match solution_joins inside the
+    negation entry): the naive model materializes the body as
+    join(body-pattern solutions, subquery solutions) on the shared
+    vars, then drops outer solutions with a compatible body row.
+    Subquery-only vars shared with the outer solutions refuse typed
+    (substitution does not descend into subqueries) — those sampled
+    shapes return early via the ValueError guard."""
+    vars_, sols = naive_solutions(triples, [req])
+    if not vars_:
+        return
+    bvars, bsols = naive_solutions(triples, [body])
+    svars, ssols = naive_solutions(triples, [sub])
+    if not svars:
+        return
+    subdf = spark.createDataFrame(
+        [tuple(s) for s in ssols] or [tuple(None for _ in svars)],
+        ", ".join(f"`{v}` string" for v in svars))
+    if not ssols:
+        subdf = subdf.limit(0)
+    df = spark.createDataFrame(
+        sorted(triples) * 2,
+        "subj string, pred string, obj_value string")
+    try:
+        got_df = bgp_match(
+            df, [req],
+            not_exists=[{"patterns": [body],
+                         "solution_joins": [{"df": subdf,
+                                             "nullable": set()}]}])
+    except ValueError:
+        return  # disconnected / subquery-only-shared shapes refuse
+    # naive: body rows = join(bsols, ssols) on shared body/sub vars
+    shared_bs = [v for v in bvars if v in svars]
+    brows = []
+    for bs in bsols:
+        bb = dict(zip(bvars, bs))
+        for ss in ssols:
+            sb = dict(zip(svars, ss))
+            if all(bb[v] == sb[v] for v in shared_bs):
+                brows.append({**bb, **sb})
+    shared_ob = [v for v in vars_ if v in set(bvars) | set(svars)]
+    want = set()
+    for sol in sols:
+        ob = dict(zip(vars_, sol))
+        if not any(all(ob[v] == br[v] for v in shared_ob)
+                   for br in brows):
+            want.add(sol)
+    got = {tuple(r[c] for c in got_df.columns)
+           for r in got_df.collect()}
+    assert got_df.columns == vars_
+    assert got == want
