@@ -2065,3 +2065,28 @@ def test_embedded_exists_subquery_refuses(spark):
             FILTER(?s = '3' || EXISTS { ?d ex:tag ?tg .
                 { SELECT ?tg WHERE { ?x ex:tag ?tg } } })
         }""")
+
+
+def test_nested_negation_subquery_depth_two(spark):
+    """A subquery at depth 2 (inside the inner of two stacked
+    NOT EXISTS bodies) compiles through the recursive negation-entry
+    compiler: keep docs with no cited doc lacking a senior-ranked
+    reviewer."""
+    t = spark.createDataFrame(
+        [("d1", EX + "cites", "c1"),
+         ("d2", EX + "cites", "c2"),
+         ("c1", EX + "reviewer", "r1"),
+         ("r1", EX + "level", "senior"),
+         ("c2", EX + "reviewer", "r2")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?d WHERE {
+        ?d ex:cites ?c
+        FILTER NOT EXISTS {
+            ?d ex:cites ?c2
+            FILTER NOT EXISTS {
+                ?c2 ex:reviewer ?r .
+                { SELECT ?r WHERE { ?r ex:level 'senior' } }
+            }
+        }
+    }""")
+    assert _rows(got) == [("d1",)]
