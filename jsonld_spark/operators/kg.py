@@ -28,6 +28,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# every key a group-entry dict (optional= / not_exists= / exists= /
+# minus= parameter forms) may carry; anything else raises. Without
+# this, a front-end compile gap — e.g. an un-compiled 'subqueries'
+# AST list riding in an entry — would be silently IGNORED, turning a
+# missing feature into wrong results instead of an error (exactly the
+# bug a review pass found in round 5).
+_GROUP_ENTRY_KEYS = frozenset((
+    "patterns", "filters", "union", "branch_filters", "binds",
+    "optional", "not_exists", "exists", "minus", "values",
+    "solution_joins"))
+
+
+def _check_entry_keys(entry, where: str) -> None:
+    if isinstance(entry, dict):
+        unknown = sorted(set(entry) - _GROUP_ENTRY_KEYS)
+        if unknown:
+            raise ValueError(
+                f"{where}: unknown group-entry key(s) {unknown} — "
+                "supported keys are "
+                f"{sorted(_GROUP_ENTRY_KEYS)}; an un-compiled "
+                "'subqueries' AST list must be compiled into "
+                "'solution_joins' first (the SPARQL front-end does "
+                "this; direct callers pass solution-join dicts)")
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 SUB_CLASS = RDFS + "subClassOf"
 SUB_PROP = RDFS + "subPropertyOf"
@@ -681,6 +705,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         return inner, gbound
 
     for i, pat in enumerate(optional or []):
+        _check_entry_keys(pat, f"optional entry {i}")
         if not _optional_entry_vars(pat):
             # an OPTIONAL entry binding NO variable (all-constant
             # pattern / group / union, in any entry form) is a legal
@@ -1067,6 +1092,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         to the group's solutions right here; the rest are returned
         for the caller's per-kind correlation semantics."""
         nested: dict = {}
+        _check_entry_keys(group, f"{kind} group {gi}")
         if isinstance(group, dict):
             pats, gfilters = group["patterns"], group.get("filters", [])
             nested = {k: group[k] for k in

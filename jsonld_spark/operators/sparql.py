@@ -133,7 +133,8 @@ so the compiled plan is identical to the hand-written call):
 
 Deviations / limits (all raise a clear error, never mis-execute):
 SERVICE, nested GRAPH, subqueries inside expression-embedded EXISTS
-or beside a UNION body inside a negation group,
+(and any body mixing UNION with other members, subqueries included,
+raises the UNION-mixed error),
 nondeterministic builtins (NOW / UUID / STRUUID / RAND / BNODE — a
 retried Spark task would re-evaluate them, breaking reproducibility),
 TZ / TIMEZONE (lexical forms carry no normalized offset), STRLANG /
@@ -961,13 +962,9 @@ class _Parser:
     def _group_entry(self, label: str) -> list | dict:
         b = self._filtered_body(label, allow_union=True,
                                 allow_optional=True)
-        if b.union is not None and (
-                b.subqueries or any(self._entry_has_subqueries(e)
-                                    for e in b.nested)):
-            raise SparqlUnsupportedError(
-                f"subqueries beside a UNION body inside {label} are "
-                "not supported — restructure with the subquery at "
-                "the outer level")
+        # (union + subqueries in one body is unreachable here:
+        # _filtered_body already raises "UNION mixed with other
+        # members" for that shape)
         if b.union is not None:
             entry: dict = {"union": b.union}
             if b.filters:
@@ -2023,73 +2020,47 @@ def _compile_subqueries(triples: DataFrame, g: _Group, cols: dict,
     return entries, nul
 
 
-def _compile_optional_entries(triples: DataFrame, optional: list,
-                              cols: dict, distinct_solutions: bool,
-                              meta_vars: frozenset = frozenset()
-                              ) -> list | None:
-    """Compile subquery ASTs inside OPTIONAL entry dicts (bottom-up,
-    SPARQL 1.1 §18.2.2) into bgp_match solution-join entries,
-    recursing through nested optionals. Entries without subqueries
-    pass through unchanged."""
-    if not optional:
-        return None
-    out = []
-    for entry in optional:
-        if isinstance(entry, dict) and (entry.get("subqueries")
-                                        or entry.get("optional")):
-            entry = dict(entry)
-            if entry.get("optional"):
-                entry["optional"] = _compile_optional_entries(
-                    triples, entry["optional"], cols,
-                    distinct_solutions, meta_vars)
-            sqs = entry.pop("subqueries", None)
-            if sqs:
-                sj = []
-                for sq in sqs:
-                    sdf, snul, scalar = _compile_select(
-                        triples, sq, cols, distinct_solutions,
-                        meta_vars=meta_vars)
-                    sj.append({"df": sdf, "nullable": snul,
-                               "allow_disjoint": scalar})
-                entry["solution_joins"] = sj
-        out.append(entry)
-    return out
-
-
-def _compile_negation_entries(triples: DataFrame, entries: list | None,
-                              cols: dict, distinct_solutions: bool
-                              ) -> list | None:
-    """Compile subquery ASTs inside [NOT] EXISTS / MINUS group-entry
-    dicts into bgp_match solution-join entries (bottom-up, SPARQL
-    §18.2.2 — substitution does not descend into subqueries, so each
-    compiles independently of the outer solutions; kg.bgp_match
-    refuses, typed, a subquery-only variable shared with the outer
-    query). Inner OPTIONAL members recurse through the optional-entry
-    compiler. Entries without subqueries pass through unchanged."""
+def _compile_body_entries(triples: DataFrame, entries: list | None,
+                          cols: dict, distinct_solutions: bool,
+                          meta_vars: frozenset = frozenset()
+                          ) -> list | None:
+    """ONE recursive compiler for every group-body entry list —
+    OPTIONAL entries and [NOT] EXISTS / MINUS entries alike. Each
+    dict entry's nested-body keys ('optional', 'not_exists',
+    'exists', 'minus') recurse through this same function, and an
+    un-compiled 'subqueries' AST list is popped and compiled
+    bottom-up (SPARQL §18.2.2 — substitution does not descend into
+    subqueries, so each compiles independently of the outer
+    solutions; kg.bgp_match refuses, typed, a subquery-only variable
+    shared with the outer query) into bgp_match solution-join
+    entries AT EVERY NESTING LEVEL. A single compiler, not one per
+    entry kind: a per-kind copy that misses a nested key silently
+    drops the subquery — wrong results, not an error (the bug a
+    review pass found in the two-compiler version). Entries without
+    subqueries or nested bodies pass through unchanged; kg.bgp_match
+    additionally raises on any dict entry still carrying an unknown
+    key, so a future compile gap fails loudly."""
     if not entries:
         return None
     out = []
     for entry in entries:
         if isinstance(entry, dict) and (
-                entry.get("subqueries") or entry.get("optional")
+                entry.get("subqueries")
                 or any(entry.get(k) for k in
-                       ("not_exists", "exists", "minus"))):
+                       ("optional", "not_exists", "exists", "minus"))):
             entry = dict(entry)
-            if entry.get("optional"):
-                entry["optional"] = _compile_optional_entries(
-                    triples, entry["optional"], cols,
-                    distinct_solutions)
-            # nested negation bodies may carry their own subqueries
-            for k in ("not_exists", "exists", "minus"):
+            for k in ("optional", "not_exists", "exists", "minus"):
                 if entry.get(k):
-                    entry[k] = _compile_negation_entries(
-                        triples, entry[k], cols, distinct_solutions)
+                    entry[k] = _compile_body_entries(
+                        triples, entry[k], cols, distinct_solutions,
+                        meta_vars)
             sqs = entry.pop("subqueries", None)
             if sqs:
-                sj = []
+                sj = list(entry.get("solution_joins") or [])
                 for sq in sqs:
                     sdf, snul, scalar = _compile_select(
-                        triples, sq, cols, distinct_solutions)
+                        triples, sq, cols, distinct_solutions,
+                        meta_vars=meta_vars)
                     sj.append({"df": sdf, "nullable": snul,
                                "allow_disjoint": scalar})
                 entry["solution_joins"] = sj
@@ -2167,15 +2138,15 @@ def _compile_select(triples: DataFrame, q: _Query, cols: dict,
     else:
         gvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         df = bgp_match(triples, g.patterns,
-                       optional=_compile_optional_entries(
+                       optional=_compile_body_entries(
                            triples, g.optional, cols,
                            distinct_solutions, meta_vars),
-                       not_exists=_compile_negation_entries(
+                       not_exists=_compile_body_entries(
                            triples, g.not_exists, cols,
                            distinct_solutions),
-                       exists=_compile_negation_entries(
+                       exists=_compile_body_entries(
                            triples, g.exists, cols, distinct_solutions),
-                       minus=_compile_negation_entries(
+                       minus=_compile_body_entries(
                            triples, g.minus, cols, distinct_solutions),
                        filters=g.filters or None, values=g.values or None,
                        binds=g.binds or None,
@@ -2354,16 +2325,16 @@ def sparql_query(triples: DataFrame, query: str,
                                          distinct_solutions, meta_vars)
             dvars = _pattern_var_names(gg.patterns) | _group_nullable(gg)
             sol = bgp_match(triples, gg.patterns,
-                            optional=_compile_optional_entries(
+                            optional=_compile_body_entries(
                                 triples, gg.optional, cols,
                                 distinct_solutions, meta_vars),
-                            not_exists=_compile_negation_entries(
+                            not_exists=_compile_body_entries(
                                 triples, gg.not_exists, cols,
                                 distinct_solutions),
-                            exists=_compile_negation_entries(
+                            exists=_compile_body_entries(
                                 triples, gg.exists, cols,
                                 distinct_solutions),
-                            minus=_compile_negation_entries(
+                            minus=_compile_body_entries(
                                 triples, gg.minus, cols,
                                 distinct_solutions),
                             filters=gg.filters or None,
@@ -2420,11 +2391,11 @@ def sparql_query(triples: DataFrame, query: str,
                      **cols)
                 for b, bf in zip(g.union_branches, bfs))
         return _ask(triples, g.patterns,
-                    not_exists=_compile_negation_entries(
+                    not_exists=_compile_body_entries(
                         triples, g.not_exists, cols, distinct_solutions),
-                    exists=_compile_negation_entries(
+                    exists=_compile_body_entries(
                         triples, g.exists, cols, distinct_solutions),
-                    minus=_compile_negation_entries(
+                    minus=_compile_body_entries(
                         triples, g.minus, cols, distinct_solutions),
                     filters=g.filters or None, values=g.values or None,
                     meta_vars=set(meta_vars) or None, **cols)
@@ -2471,16 +2442,16 @@ def sparql_query(triples: DataFrame, query: str,
                                      distinct_solutions, meta_vars)
         cvars = _pattern_var_names(g.patterns) | _group_nullable(g)
         return construct(triples, g.patterns, q.template,
-                         optional=_compile_optional_entries(
+                         optional=_compile_body_entries(
                              triples, g.optional, cols,
                              distinct_solutions, meta_vars),
-                         not_exists=_compile_negation_entries(
+                         not_exists=_compile_body_entries(
                              triples, g.not_exists, cols,
                              distinct_solutions),
-                         exists=_compile_negation_entries(
+                         exists=_compile_body_entries(
                              triples, g.exists, cols,
                              distinct_solutions),
-                         minus=_compile_negation_entries(
+                         minus=_compile_body_entries(
                              triples, g.minus, cols,
                              distinct_solutions),
                          filters=g.filters or None,

@@ -2090,3 +2090,45 @@ def test_nested_negation_subquery_depth_two(spark):
         }
     }""")
     assert _rows(got) == [("d1",)]
+
+
+def test_optional_body_negation_subquery_not_dropped(spark):
+    """Review regression: a subquery inside a FILTER EXISTS that is
+    nested in an OPTIONAL body must compile (one recursive entry
+    compiler) — the two-compiler version silently DROPPED the
+    subquery, binding d2's junior reviewer where SPARQL requires
+    unbound. 'senior' is the only level appearing twice."""
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en"),
+         ("d2", EX + "lang", "en"),
+         ("d1", EX + "reviewer", "r1"),
+         ("d2", EX + "reviewer", "r2"),
+         ("r1", EX + "level", "senior"),
+         ("r2", EX + "level", "junior"),
+         ("r3", EX + "level", "senior")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?d ?r WHERE {
+        ?d ex:lang ?l
+        OPTIONAL { ?d ex:reviewer ?r
+                   FILTER EXISTS { ?r ex:level ?lv .
+                       { SELECT ?lv WHERE { ?y ex:level ?lv }
+                         GROUP BY ?lv HAVING (COUNT(?y) >= 2) } } }
+    }""")
+    assert _rows(got) == [("d1", "r1"), ("d2", None)]
+
+
+def test_unknown_group_entry_key_raises(spark):
+    """A group-entry dict carrying an unrecognized key must raise —
+    a silently-ignored key turns a front-end compile gap into wrong
+    results (the exact failure mode of the dropped-subquery bug)."""
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en")],
+        "subj string, pred string, obj_value string")
+    with pytest.raises(ValueError, match="unknown group-entry key"):
+        bgp_match(t, [("?d", EX + "lang", "?l")],
+                  optional=[{"patterns": [("?d", EX + "r", "?r")],
+                             "subqueries": ["ast"]}])
+    with pytest.raises(ValueError, match="unknown group-entry key"):
+        bgp_match(t, [("?d", EX + "lang", "?l")],
+                  not_exists=[{"patterns": [("?d", EX + "r", "?r")],
+                               "bogus_key": 1}])
