@@ -41,6 +41,10 @@ _GROUP_ENTRY_KEYS = frozenset((
     "solution_joins"))
 
 
+_UNION_ENTRY_KEYS = frozenset(
+    ("union", "filters", "branch_filters", "binds"))
+
+
 def _check_entry_keys(entry, where: str) -> None:
     if isinstance(entry, dict):
         unknown = sorted(set(entry) - _GROUP_ENTRY_KEYS)
@@ -52,6 +56,32 @@ def _check_entry_keys(entry, where: str) -> None:
                 "'subqueries' AST list must be compiled into "
                 "'solution_joins' first (the SPARQL front-end does "
                 "this; direct callers pass solution-join dicts)")
+        if "union" in entry:
+            # a union-body entry takes only union-compatible keys —
+            # coexisting 'patterns'/'optional'/negation keys would be
+            # silently IGNORED by the union dispatch otherwise
+            extra = sorted(set(entry) - _UNION_ENTRY_KEYS)
+            if extra:
+                raise ValueError(
+                    f"{where}: a 'union' entry cannot also carry "
+                    f"{extra} — a union body takes only "
+                    f"{sorted(_UNION_ENTRY_KEYS)}; wrap the union in "
+                    "its own group or lift the other members")
+        if "branch_filters" in entry:
+            nb = len(entry.get("union") or [])
+            if len(entry["branch_filters"]) != nb:
+                raise ValueError(
+                    f"{where}: branch_filters has "
+                    f"{len(entry['branch_filters'])} entries for "
+                    f"{nb} union branches — they must parallel")
+        if "union" not in entry and "patterns" not in entry:
+            # every non-union dict entry needs the key, even as an
+            # empty list (solution_joins seeding a pattern-less
+            # group) — a bare KeyError here would be an untyped crash
+            raise ValueError(
+                f"{where}: a group-entry dict needs a 'patterns' key "
+                "(an empty list is legal when solution_joins seed "
+                "the group)")
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 SUB_CLASS = RDFS + "subClassOf"
 SUB_PROP = RDFS + "subPropertyOf"
@@ -303,6 +333,27 @@ def _rewrite_refs(expr: str, mapping: dict[str, str]) -> str:
         for old, new in mapping.items():
             s = s.replace(f"`{old}`", f"`{new}`")
             s = _re.sub(rf"(?<![\w`]){_re.escape(old)}(?![\w`])", new, s)
+        parts[j] = s
+    return "".join(parts)
+
+
+def _null_refs(expr: str, names: set[str]) -> str:
+    """Replace variable references with SQL ``NULL`` — backticked and
+    bare occurrences, leaving string literals alone. Used to evaluate
+    a MINUS group filter whose outer-shared variables are UNBOUND
+    inside the group (SPARQL §8.3.3 — MINUS does not substitute):
+    SQL's 3-valued logic then mirrors SPARQL's error algebra
+    (``error || true = true``, ``error && x`` never true,
+    ``COALESCE`` skips the error, ``BOUND`` is false), so
+    error-absorbing expressions keep their non-erroring branches."""
+    import re as _re
+    parts = _re.split(
+        r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", expr)
+    for j in range(0, len(parts), 2):
+        s = parts[j]
+        for n in names:
+            s = s.replace(f"`{n}`", "NULL")
+            s = _re.sub(rf"(?<![\w`]){_re.escape(n)}(?![\w`])", "NULL", s)
         parts[j] = s
     return "".join(parts)
 
@@ -769,6 +820,30 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                             "variables are supported inside OPTIONAL "
                             "group bodies (outer references would "
                             "need a conditional left join)")
+
+            # INNER-optional filters get the same typed pre-check:
+            # inside the recursion the top query's vars are not in
+            # scope, so an outer reference there would otherwise die
+            # in analysis as an opaque unresolved-column error (the
+            # conditional-left-join compilation only applies at THIS
+            # level's group filters, not inside the recursion)
+            def _walk_inner_opt(entries, depth_label):
+                for ie in entries:
+                    if not isinstance(ie, dict):
+                        continue
+                    for fexpr in ie.get("filters", []):
+                        outer_vs = {x for x in _expr_identifiers(fexpr)
+                                    if x in bound and x not in group_vs}
+                        if outer_vs:
+                            raise ValueError(
+                                f"optional group {i} {depth_label} "
+                                f"filter {fexpr!r} references outer "
+                                f"variables {sorted(outer_vs)} — a "
+                                "nested OPTIONAL's filter sees only "
+                                "the group's own variables")
+                    _walk_inner_opt(ie.get("optional", []),
+                                    "nested-OPTIONAL")
+            _walk_inner_opt(pat.get("optional", []), "inner-OPTIONAL")
             # group BINDs go INTO the recursion: bgp_match applies
             # binds before its negation joins, so a [NOT] EXISTS /
             # MINUS member referencing a bind variable correlates on
@@ -1243,6 +1318,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
         distributed into a branch that does not bind the variable
         the filter would be a type error → false, silently emptying
         just that branch."""
+        _check_entry_keys(group, f"{kind} group {gi}")
         branches = group["union"]
         fs = group.get("filters", [])
         per = [{t[1:] for p3 in b for t in p3
@@ -1355,14 +1431,33 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             mn_groups.append(group)
     for gi, group in enumerate(mn_groups):
         inner, gbound, cfil = _prep_group(group, gi, "minus")
-        if cfil:
-            # SPARQL MINUS does NOT substitute outer bindings (§8.3.3):
-            # a group filter referencing a variable unbound inside the
-            # group is an expression error, the error makes the filter
-            # false for every group row, the group is empty, and an
-            # empty MINUS removes nothing — the famous spec example
-            # distinguishing MINUS from NOT EXISTS. Faithfully a no-op.
-            continue
+        for fexpr in cfil:
+            # SPARQL MINUS does NOT substitute outer bindings
+            # (§8.3.3): the referenced variables are simply UNBOUND
+            # inside the group. Evaluate the filter with those
+            # references replaced by NULL — SQL's 3-valued logic
+            # mirrors SPARQL's error algebra (error||true=true,
+            # error&&x never true, COALESCE skips the error, BOUND
+            # is false), so error-absorbing expressions keep their
+            # non-erroring branches: FILTER(?outer > 5 || ?y > 0)
+            # still removes the ?y>0 rows (the earlier blanket
+            # empty-group no-op silently skipped those removals).
+            # For a plain comparison the NULL makes every row false
+            # — the famous spec example distinguishing MINUS from
+            # NOT EXISTS stays a no-op. IF()/CASE diverge (SPARQL:
+            # erroring condition = error; SQL: else branch), so
+            # those refuse rather than mis-execute.
+            outer_refs = {x for x in _expr_identifiers(fexpr)
+                          if x in bound and x not in set(gbound)}
+            import re as _re2
+            if _re2.search(r"(?i)(?<!\w)(?:if\s*\(|case\b)", fexpr):
+                raise ValueError(
+                    f"minus group {gi}: filter {fexpr!r} references "
+                    f"outer variables {sorted(outer_refs)} inside an "
+                    "IF()/CASE — SQL's null-condition semantics "
+                    "diverge from SPARQL's error propagation there; "
+                    "rewrite with &&/||/COALESCE")
+            inner = inner.where(F.expr(_null_refs(fexpr, outer_refs)))
         anti_on = [v for v in gbound if v in bound]
         if anti_on:
             out = _compat_join(out, inner, anti_on, "minus", gi, "anti")
@@ -1615,7 +1710,14 @@ def _driver_closure(edges: list[tuple[str, str]]) -> set[tuple[str, str]]:
         stack = list(adj[start])
         while stack:
             n = stack.pop()
-            if n in seen or n == start:
+            if n == start:
+                # start reachable from itself: A lies on a cycle
+                # (e.g. A⊑B, B⊑A — the class-equivalence idiom), so
+                # the closure includes the reflexive pair (rdfs5/11
+                # entail A⊑A there); acyclic nodes get no diagonal
+                seen.add(n)
+                continue
+            if n in seen:
                 continue
             seen.add(n)
             stack.extend(adj.get(n, ()))
@@ -2080,6 +2182,7 @@ def shacl_validate(triples: DataFrame, shapes: list[Shape],
                    s_col: str = "subj", p_col: str = "pred",
                    o_col: str = "obj_value", kind_col: str = "obj_kind",
                    dt_col: str = "obj_datatype",
+                   lang_col: str = "obj_lang",
                    type_pred: str = RDF_TYPE) -> DataFrame:
     """Validate the triples table against SHACL-style shapes, returning
     violation rows (shape_id, focus, constraint_kind, value) — empty
@@ -2117,7 +2220,12 @@ def shacl_validate(triples: DataFrame, shapes: list[Shape],
         else:
             focus = triples
         focus = focus.select(F.col(s_col).alias("focus")).distinct()
-        lang_col = "obj_lang" if "obj_lang" in triples.columns else None
+        # lang participates in term distinctness for cardinality
+        # counts ("chat"@en and "chat"@fr are two terms); the column
+        # name is a parameter like kind/dt — a custom layout passing
+        # only kind_col/dt_col would otherwise silently lose language
+        # distinctness
+        lang_col = lang_col if lang_col in triples.columns else None
         vals = (triples.where(F.col(p_col) == sh.path)
                 .select(F.col(s_col).alias("focus"),
                         F.col(o_col).alias("value"),
@@ -2314,7 +2422,14 @@ def ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
         pos = (s_col, p_col, o_col, g_col)
         for i, pat in enumerate(patterns):
             if "<" in pat[1]:       # constant property-path pattern
-                rel = kg_path(triples, pat[1], s_col=s_col,
+                # a 4-tuple carries a constant GRAPH term: the
+                # closure must run over THAT graph's edges only —
+                # dropping the scope would answer True for a path
+                # that exists only in another graph
+                scoped = triples
+                if len(pat) == 4:
+                    scoped = triples.where(F.col(g_col) == pat[3])
+                rel = kg_path(scoped, pat[1], s_col=s_col,
                               p_col=p_col, o_col=o_col)
                 probe = rel.where((F.col("src") == pat[0])
                                   & (F.col("dst") == pat[2]))

@@ -1121,3 +1121,35 @@ def test_shacl_cardinality_counts_distinct_terms(spark):
     viols = shacl_validate(t, [sh])
     # "chat" plain and "chat"@fr are TWO value nodes — no violation
     assert viols.count() == 0
+
+
+def test_group_entry_guard_rejects_malformed_dicts(spark):
+    """Review regressions: union entries carrying coexisting body
+    keys, mismatched branch_filters arity, and pattern-less dicts all
+    refuse typed instead of silently ignoring keys or crashing."""
+    t = spark.createDataFrame(
+        [("d1", "http://example.org/p", "x")],
+        "subj string, pred string, obj_value string")
+    P = "http://example.org/p"
+    with pytest.raises(ValueError, match="cannot also carry"):
+        bgp_match(t, [("?d", P, "?x")],
+                  optional=[{"union": [[("?d", P, "?y")]],
+                             "not_exists": [[("?d", P, "?z")]]}])
+    with pytest.raises(ValueError, match="must parallel"):
+        bgp_match(t, [("?d", P, "?x")],
+                  not_exists=[{"union": [[("?d", P, "?y")],
+                                         [("?d", P, "?z")]],
+                               "branch_filters": [["`y` = 'a'"]]}])
+    with pytest.raises(ValueError, match="'patterns' key"):
+        bgp_match(t, [("?d", P, "?x")],
+                  not_exists=[{"filters": ["`x` = 'a'"]}])
+
+
+def test_driver_closure_reflexive_on_cycles():
+    """rdfs5/11 on a subClassOf cycle (the class-equivalence idiom):
+    A and B each entail the reflexive pair; acyclic nodes get none."""
+    from jsonld_spark.operators.kg import _driver_closure
+    got = _driver_closure([("A", "B"), ("B", "A"), ("C", "A")])
+    assert ("A", "A") in got and ("B", "B") in got
+    assert ("C", "C") not in got
+    assert ("C", "B") in got and ("A", "B") in got

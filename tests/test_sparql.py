@@ -2206,3 +2206,40 @@ def test_compile_fuzz_typed_or_runs(spark):
                 res.collect()
         except (SparqlSyntaxError, SparqlUnsupportedError, ValueError):
             pass
+
+
+def test_ask_constant_path_respects_graph_scope(spark):
+    """Review regression: ASK { GRAPH <g1> { <a> ex:p+ <b> } } where
+    the a->b path exists only in g2 must be False — the all-constant
+    shortcut previously ran the closure over ALL graphs."""
+    t = spark.createDataFrame(
+        [("a", EX + "p", "b", "g2")],
+        "subj string, pred string, obj_value string, graph string")
+    q_tmpl = (PFX + "ASK { GRAPH <%s> { <a> <" + EX + "p>+ <b> } }")
+    assert sparql_query(t, q_tmpl % "g1") is False
+    assert sparql_query(t, q_tmpl % "g2") is True
+
+
+def test_minus_error_absorbing_filter_removes(spark):
+    """Review regression: MINUS does not substitute (§8.3.3), so an
+    outer-shared variable is unbound inside the group — but an
+    error-ABSORBING filter (|| with a group-side disjunct) keeps its
+    non-erroring branch and must still remove rows. The previous
+    blanket empty-group no-op silently skipped the removal."""
+    t = spark.createDataFrame(
+        [("s1", EX + "p", "o1"), ("s2", EX + "p", "o2"),
+         ("s1", EX + "q", "keep"), ("s2", EX + "q", "drop")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?s ?o WHERE {
+        ?s ex:p ?o
+        MINUS { ?s ex:q ?y FILTER (?o = 'zzz' || ?y = 'drop') }
+    }""")
+    # s2's group row passes via the ?y disjunct (error||true=true)
+    assert _rows(got) == [("s1", "o1")]
+    # and the famous spec no-op stays a no-op: a PLAIN comparison on
+    # the unbound var errors for every row -> nothing removed
+    got = sparql_query(t, PFX + """SELECT ?s ?o WHERE {
+        ?s ex:p ?o
+        MINUS { ?s ex:q ?y FILTER (?o = 'zzz') }
+    }""")
+    assert _rows(got) == [("s1", "o1"), ("s2", "o2")]
