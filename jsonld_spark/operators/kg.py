@@ -1176,6 +1176,38 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
                       if group.get(k)}
         else:
             pats, gfilters = group, []
+        # term-metadata builtins in body FILTERs (LANG/DATATYPE/
+        # isIRI over a body-bound var) reference {var}__kind/... —
+        # the body must be compiled with meta_vars so those columns
+        # exist. Detected from the filter text; a meta reference to
+        # a var the body does NOT bind stays unresolved and raises
+        # the usual typed never-bound error downstream.
+        meta_needed = set()
+        for fexpr in gfilters:
+            for ident in _expr_identifiers(fexpr):
+                for sfx in META_SUFFIXES:
+                    if ident.endswith(sfx):
+                        meta_needed.add(ident[: -len(sfx)])
+        meta_needed &= _pattern_tuple_vars(pats)
+        if meta_needed and not nested:
+            # route the plain pattern list through bgp_match — the
+            # only compiler that emits metadata columns
+            nested = {}
+            inner = bgp_match(triples, pats,
+                              distinct_solutions=False,
+                              meta_vars=meta_needed,
+                              s_col=s_col, p_col=p_col,
+                              o_col=o_col, g_col=g_col)
+            gbound = list(inner.columns)
+            gset = set(gbound)
+            correlated: list[str] = []
+            for fexpr in gfilters:
+                if any(x in bound and x not in gset
+                       for x in _expr_identifiers(fexpr)):
+                    correlated.append(fexpr)
+                else:
+                    inner = inner.where(F.expr(fexpr))
+            return inner, gbound, correlated
         if nested:
             # a FULL group body inside [NOT] EXISTS / MINUS (nested
             # negation, BIND, VALUES, inner OPTIONAL): compile it
@@ -1261,6 +1293,7 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             # distinct/semi-join the group's solutions themselves
             inner = bgp_match(triples, pats,
                               distinct_solutions=False,
+                              meta_vars=meta_needed or None,
                               s_col=s_col, p_col=p_col,
                               o_col=o_col, g_col=g_col, **nested)
             gbound = list(inner.columns)

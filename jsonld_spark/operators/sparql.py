@@ -229,10 +229,10 @@ _TOKEN_RE = re.compile(r"""
       |'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-  | (?P<NUMBER>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<NUMBER>(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:
       (?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)?
-      |:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)
+      |:(?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)?)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];.,*/|^+?!=<>-])
 """, re.VERBOSE)
@@ -1189,11 +1189,15 @@ class _Parser:
             op = self._next().value
             right, rkind = self._expr_add()
             # SPARQL compares typed values; the frame stores lexical
-            # strings — cast the var side when the other side is numeric
+            # strings — cast the var side when the other side is
+            # numeric. try_cast, not cast: the session runs ANSI
+            # mode, where a malformed lexical value would THROW and
+            # fail the whole (retried) task; SPARQL calls it a type
+            # error and drops the solution (NULL comparison → false)
             if lkind == "var" and rkind == "num":
-                left = f"cast({left} as double)"
+                left = f"try_cast({left} as double)"
             elif rkind == "var" and lkind == "num":
-                right = f"cast({right} as double)"
+                right = f"try_cast({right} as double)"
             return f"({left} {op} {right})"
         if self._at_kw("in") or (self._at_kw("not")
                                  and self._peek(1).kind == "KW"
@@ -1204,10 +1208,15 @@ class _Parser:
             items = []
             while not (self._peek().kind == "OP"
                        and self._peek().value == ")"):
+                if items:
+                    self._expect("OP", ",")
                 items.append(self._expr_add()[0])
-                if self._peek().kind == "OP" and self._peek().value == ",":
-                    self._next()
             self._next()
+            if not items:
+                # legal SPARQL: IN with an empty ExpressionList is
+                # false (NOT IN true) — Spark SQL's `IN ()` is a
+                # parse error, so emit the constant directly
+                return "true" if neg else "false"
             kw = "NOT IN" if neg else "IN"
             return f"({left} {kw} ({', '.join(items)}))"
         return left
@@ -1307,7 +1316,11 @@ class _Parser:
         # url_encode is form-encoding (space → '+'); ENCODE_FOR_URI
         # wants %20 — literal '+' is already %2B-escaped, so the
         # replace is unambiguous
-        "encode_for_uri": "replace(url_encode({0}), '+', '%20')",
+        # url_encode is java.net form-encoding; fn:encode-for-uri
+        # differs on three code points: space ('+' vs %20), '~'
+        # (unreserved, must stay raw) and '*' (reserved, must encode)
+        "encode_for_uri": "replace(replace(replace(url_encode({0}), "
+                          "'+', '%20'), '%7E', '~'), '*', '%2A')",
         "md5": None, "sha1": None,
         "sha256": "sha2({0}, 256)", "sha384": "sha2({0}, 384)",
         "sha512": "sha2({0}, 512)",
@@ -1365,7 +1378,10 @@ class _Parser:
                 self._next()
                 arg = self._expression()
                 self._expect("OP", ")")
-                return f"cast({arg} as {sqlt})", "expr"
+                # a failed constructor cast is a SPARQL type
+                # error (solution drops) — under ANSI a plain cast
+                # would throw and fail the task
+                return f"try_cast({arg} as {sqlt})", "expr"
             return "'" + iri.replace("'", "\\'") + "'", "str"
         if t.kind == "KW" and t.value in ("true", "false"):
             return t.value, "expr"
@@ -1878,9 +1894,19 @@ def _agg_column(spec: tuple, alias: str, all_cols: list[str]) -> Any:
     col = F.expr(arg) if arg is not None else None
     if name == "count":
         if col is None:
-            if distinct:     # COUNT(DISTINCT *) = distinct solutions
+            if distinct:
+                # COUNT(DISTINCT *) = distinct SOLUTIONS: the struct
+                # must cover only distinguished variables — a
+                # non-distinguished blank-node column (_bn_*) or a
+                # {var}__kind/__lang/__datatype metadata column would
+                # overcount (two rows differing only there are ONE
+                # solution)
+                sol_cols = [c for c in all_cols
+                            if not c.startswith(_BNODE_VAR_PREFIX)
+                            and not any(c.endswith(sfx)
+                                        for sfx in _META_SUFFIXES)]
                 return F.countDistinct(
-                    F.struct(*[F.col(c) for c in all_cols])).alias(alias)
+                    F.struct(*[F.col(c) for c in sol_cols])).alias(alias)
             return F.count(F.lit(1)).alias(alias)
         return (F.countDistinct(col) if distinct
                 else F.count(col)).alias(alias)
@@ -1890,9 +1916,17 @@ def _agg_column(spec: tuple, alias: str, all_cols: list[str]) -> Any:
         if distinct:
             # SUM/AVG(DISTINCT expr) — aggregate over the distinct
             # VALUE multiset per SPARQL 18.5.1
-            col = F.expr(f"{name}(DISTINCT cast(({arg}) as double))")
+            col = F.expr(
+                f"{name}(DISTINCT try_cast(({arg}) as double))")
         else:
-            col = getattr(F, name)(col.cast("double"))
+            # try_cast: one dirty literal must not fail the whole
+            # aggregate job under ANSI. Documented deviation: strict
+            # SPARQL errors the WHOLE aggregate when any value
+            # errors (unbound result); this engine skips the dirty
+            # value (SQL NULL-skip), the behavior every SQL oracle
+            # shares and the one a 100 TB corpus needs
+            col = getattr(F, name)(F.expr(
+                f"try_cast(({arg}) as double)"))
     elif name in ("min", "max"):
         col = getattr(F, name)(col)   # DISTINCT is a no-op for MIN/MAX
     elif name == "sample":
@@ -2438,7 +2472,15 @@ def _sparql_dispatch(triples: DataFrame, query: str,
                     minus=_compile_body_entries(
                         triples, g.minus, cols, distinct_solutions),
                     filters=g.filters or None, values=g.values or None,
-                    meta_vars=set(meta_vars) or None, **cols)
+                    # intersect with the outer group's own vars: a
+                    # meta var referenced only inside a negation BODY
+                    # is served by the body's compile, and passing it
+                    # here would raise never-bound (same rule as the
+                    # SELECT path)
+                    meta_vars=(set(meta_vars)
+                               & (_pattern_var_names(g.patterns)
+                                  | _group_nullable(g))) or None,
+                    **cols)
     if q.form == "construct":
         # blank-node labels in the template (SPARQL §16.2): minted as
         # a fresh deterministic node per solution by construct().

@@ -122,14 +122,14 @@ def test_parse_aggregates_and_modifiers():
     assert q.group_by == ["l"]
     assert q.select[1][:2] == ("agg", ("count", "`d`", True, " "))
     assert q.select[2][1] == ("group_concat", "`a`", False, "|")
-    assert q.having == ["(cast(`n` as double) > 1)"]
+    assert q.having == ["(try_cast(`n` as double) > 1)"]
     assert q.order_by == [("`n`", True), ("`l`", False)]
     assert q.limit == 5 and q.offset == 2
 
 
 def test_parse_numeric_comparison_casts_var_side():
     q = _parse(PFX + "SELECT * WHERE { ?d ex:n ?n FILTER (?n >= 300) }")
-    assert q.where.filters == ["(cast(`n` as double) >= 300)"]
+    assert q.where.filters == ["(try_cast(`n` as double) >= 300)"]
 
 
 def test_parse_regex_and_in():
@@ -155,7 +155,7 @@ def test_review_fixes_parse_level():
     assert "- 1" in q.where.filters[0] or "-1" in q.where.filters[0]
     # negative literal keeps the cast heuristic
     q = _parse(PFX + "SELECT * WHERE { ?d ex:n ?x FILTER (?x > -5) }")
-    assert q.where.filters == ["(cast(`x` as double) > -5)"]
+    assert q.where.filters == ["(try_cast(`x` as double) > -5)"]
     # SPARQL REPLACE is regex-based
     q = _parse(PFX + "SELECT * WHERE { ?d ex:t ?t "
                "FILTER (REPLACE(?t, '[0-9]+', '') = 'doc') }")
@@ -199,7 +199,7 @@ def test_parse_xsd_cast_constructor():
                "SELECT * WHERE { ?d <p> ?n "
                "FILTER (xsd:integer(?n) > xsd:integer('42')) }")
     assert q.where.filters == [
-        "(cast(`n` as bigint) > cast('42' as bigint))"]
+        "(try_cast(`n` as bigint) > try_cast('42' as bigint))"]
     with pytest.raises(SparqlUnsupportedError):
         _parse("SELECT * WHERE { ?d <p> ?n "
                "FILTER (<http://e.org/myFunc>(?n) = 'x') }")
@@ -2243,3 +2243,90 @@ def test_minus_error_absorbing_filter_removes(spark):
         MINUS { ?s ex:q ?y FILTER (?o = 'zzz') }
     }""")
     assert _rows(got) == [("s1", "o1"), ("s2", "o2")]
+
+
+def test_review_tokenizer_fixes():
+    """Trailing-dot integers split into NUMBER + terminator (SPARQL
+    DECIMAL needs digits after the dot), and the empty-prefix
+    declaration PREFIX : <iri> tokenizes."""
+    q = _parse("PREFIX : <http://e/> SELECT ?s WHERE { ?s :p ?o }")
+    assert q.where.patterns == [("?s", "http://e/p", "?o")]
+    q = _parse("SELECT ?x WHERE { ?x <http://e/p> 10. "
+               "?x <http://e/q> ?y }")
+    assert q.where.patterns == [("?x", "http://e/p", "10"),
+                                ("?x", "http://e/q", "?y")]
+
+
+def test_review_dirty_lexicals_are_type_errors_not_crashes(spark):
+    """ANSI mode: numeric FILTER comparisons, SUM/AVG, and XSD cast
+    constructors over a malformed lexical value drop the solution /
+    skip the value (try_cast) instead of failing the task."""
+    t = spark.createDataFrame(
+        [("a", EX + "n", "10"), ("b", EX + "n", "oops")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX +
+                       "SELECT ?x WHERE { ?x ex:n ?v FILTER(?v > 5) }")
+    assert _rows(got) == [("a",)]
+    got = sparql_query(t, PFX +
+                       "SELECT (SUM(?v) AS ?t) WHERE { ?x ex:n ?v }")
+    assert got.collect()[0][0] == 10.0
+    got = sparql_query(
+        t, "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + PFX +
+        "SELECT ?x WHERE { ?x ex:n ?v FILTER(xsd:integer(?v) > 5) }")
+    assert _rows(got) == [("a",)]
+
+
+def test_review_count_distinct_star_excludes_bnode_and_meta(spark):
+    """COUNT(DISTINCT *) counts distinct SOLUTIONS — two rows
+    differing only in a non-distinguished [] variable are one."""
+    t = spark.createDataFrame(
+        [("a", EX + "p", "x"), ("a", EX + "p", "y")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX +
+                       "SELECT (COUNT(DISTINCT *) AS ?n) "
+                       "WHERE { ?s ex:p [] }")
+    assert got.collect()[0][0] == 1
+
+
+def test_review_empty_in_list(spark):
+    """?v IN () is legal SPARQL (false); NOT IN () is true — Spark's
+    `IN ()` is a parse error, so the constant compiles directly."""
+    t = spark.createDataFrame(
+        [("a", EX + "n", "1")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX +
+                       "SELECT ?x WHERE { ?x ex:n ?v FILTER(?v IN ()) }")
+    assert _rows(got) == []
+    got = sparql_query(t, PFX + "SELECT ?x WHERE "
+                       "{ ?x ex:n ?v FILTER(?v NOT IN ()) }")
+    assert _rows(got) == [("a",)]
+
+
+def test_review_encode_for_uri_unreserved(spark):
+    """fn:encode-for-uri keeps '~' raw and encodes '*' — the
+    java form-encoding defaults diverge on both."""
+    t = spark.createDataFrame(
+        [("a", EX + "s", "~user a*b")],
+        "subj string, pred string, obj_value string")
+    got = sparql_query(t, PFX + """SELECT ?e WHERE {
+        ?x ex:s ?v BIND(ENCODE_FOR_URI(?v) AS ?e) }""")
+    assert _rows(got) == [("~user%20a%2Ab",)]
+
+
+def test_review_lang_inside_negation_body(spark):
+    """LANG()/term-metadata builtins inside [NOT] EXISTS / MINUS body
+    FILTERs compile (the body routes through bgp_match with
+    meta_vars) — previously died claiming a never-bound variable."""
+    t = spark.createDataFrame(
+        [("s1", EX + "p", "o1", "literal", None, None),
+         ("s2", EX + "p", "o2", "literal", None, None),
+         ("s1", EX + "q", "hello", "literal", "en", None),
+         ("s2", EX + "q", "salut", "literal", "fr", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string, obj_datatype string")
+    got = sparql_query(t, PFX + """SELECT ?s WHERE { ?s ex:p ?o
+        FILTER NOT EXISTS { ?s ex:q ?v FILTER(LANG(?v) = 'en') } }""")
+    assert _rows(got) == [("s2",)]
+    assert sparql_query(t, PFX + """ASK { ?s ex:p ?o
+        FILTER EXISTS { ?s ex:q ?v FILTER(LANG(?v) = 'fr') } }""") \
+        is True
