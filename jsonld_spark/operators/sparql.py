@@ -2378,46 +2378,16 @@ def _sparql_dispatch(triples: DataFrame, query: str,
         triples = _apply_dataset_clause(triples, q, g_col)
     if q.form == "describe":
         if q.describe_var is not None:
-            gg = q.where
-            if gg.union_branches is not None:
-                duv = set().union(*[_pattern_var_names(b)
-                                    for b in gg.union_branches])
-                sol = bgp_union(triples, gg.union_branches,
-                                branch_filters=gg.union_branch_filters,
-                                meta_vars=(set(meta_vars) & duv) or None,
-                                **cols)
-                if q.describe_var not in sol.columns:
-                    raise SparqlSyntaxError(
-                        f"DESCRIBE ?{q.describe_var}: variable is not "
-                        "bound by the WHERE clause")
-                return describe_nodes(
-                    triples, sol.select(q.describe_var).where(
-                        F.col(q.describe_var).isNotNull()),
-                    node_col=q.describe_var,
-                    s_col=s_col, p_col=p_col, o_col=o_col)
-            dsj, _ = _compile_subqueries(triples, gg, cols,
-                                         distinct_solutions, meta_vars)
-            dvars = _pattern_var_names(gg.patterns) | _group_nullable(gg)
-            sol = bgp_match(triples, gg.patterns,
-                            optional=_compile_body_entries(
-                                triples, gg.optional, cols,
-                                distinct_solutions, meta_vars),
-                            not_exists=_compile_body_entries(
-                                triples, gg.not_exists, cols,
-                                distinct_solutions),
-                            exists=_compile_body_entries(
-                                triples, gg.exists, cols,
-                                distinct_solutions),
-                            minus=_compile_body_entries(
-                                triples, gg.minus, cols,
-                                distinct_solutions),
-                            filters=gg.filters or None,
-                            values=gg.values or None,
-                            binds=gg.binds or None,
-                            filter_exists=gg.filter_exists or None,
-                            solution_joins=dsj,
-                            meta_vars=(set(meta_vars) & dvars) or None,
-                            **cols)
+            # one group compiler for every WHERE shape (union,
+            # subqueries, body entries, filter_exists, meta): wrap
+            # the group in a select-star query exactly like the ASK
+            # path — a hand copy of _compile_select's bgp_match call
+            # here drifted behind it repeatedly (review finding)
+            sq = _Query(form="select", where=q.where,
+                        select_star=True, distinct=False)
+            sol, _, _ = _compile_select(triples, sq, cols,
+                                        distinct_solutions,
+                                        meta_vars=meta_vars)
             if q.describe_var not in sol.columns:
                 raise SparqlSyntaxError(
                     f"DESCRIBE ?{q.describe_var}: variable is not "
