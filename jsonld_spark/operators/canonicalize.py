@@ -84,10 +84,47 @@ def bnode_components(triples: DataFrame, max_iter: int = 50) -> DataFrame:
     return cc.unionByName(singles)
 
 
+def _shield_c14n_labels(quads: list[Quad]) -> list[Quad]:
+    """Bijectively rename input bnode labels that already sit in the
+    ``_:c14n`` namespace (re-canonicalizing previously-canonicalized
+    data) to a reserved prefix BEFORE running the namer:
+    ``rename_quads``' reference-parity guard skips ``_:c14n*`` labels,
+    so without this a stale ``_:c14n5`` would survive verbatim while
+    still being counted in ``n_labels`` — and the global renumber
+    would then silently MERGE it with another component's fresh
+    ``_:c14n5`` (review finding, confirmed by repro). Deterministic:
+    the replacement depends only on the component's own label set."""
+    labels = set()
+    for q in quads:
+        for v, is_b in ((q.subj, q.subj.startswith("_:")),
+                        (q.obj_value, q.obj_kind == "bnode"),
+                        (q.graph, q.graph is not None
+                         and q.graph.startswith("_:"))):
+            if is_b:
+                labels.add(v)
+    shield: dict[str, str] = {}
+    for lab in sorted(labels):
+        if lab.startswith("_:c14n"):
+            cand = "_:s" + lab[2:]
+            while cand in labels or cand in shield.values():
+                cand = "_:s" + cand[2:]
+            shield[lab] = cand
+    if not shield:
+        return quads
+    def sh(v):
+        return shield.get(v, v)
+    return [Quad(
+        sh(q.graph) if q.graph else q.graph, sh(q.subj), q.pred,
+        q.obj_kind,
+        sh(q.obj_value) if q.obj_kind == "bnode" else q.obj_value,
+        q.obj_datatype, q.obj_lang) for q in quads]
+
+
 def _canonize_group(doc_ids: list, quads: list[Quad], component: str,
                     out: dict) -> None:
     """Canonicalize one component's quads into the output column lists."""
     import hashlib
+    quads = _shield_c14n_labels(quads)
     namer = canonical_namer(quads)
     renamed = rename_quads(quads, namer)
     # sha256 (not the algorithm's SHA-1): this hash only orders components

@@ -147,7 +147,8 @@ def label_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
 
 def link_triples(triples: DataFrame, components: DataFrame,
                  broadcast_max_rows: int = 1_000_000,
-                 rewrite_kinds: tuple[str, ...] = ("iri",)) -> DataFrame:
+                 rewrite_kinds: tuple[str, ...] = ("iri",),
+                 prefer_iri_reps: bool = True) -> DataFrame:
     """Rewrite subj/obj IRIs to their component-canonical IRI.
     ``components``: (node, component) — broadcast when small (probed with
     a bounded count, same scale-adaptivity as ``connected_components``),
@@ -160,7 +161,16 @@ def link_triples(triples: DataFrame, components: DataFrame,
     ``rewrite_kinds`` — object kinds eligible for rewriting (subjects
     always rewrite). Default ('iri',) preserves the original contract;
     pass ('iri', 'bnode') when blank nodes participate in equivalence
-    (e.g. owl:sameAs fusion — bnodes are mergeable coreferents too)."""
+    (e.g. owl:sameAs fusion — bnodes are mergeable coreferents too).
+
+    ``prefer_iri_reps`` — connected_components elects the
+    lexicographic-min node, and ``_:`` sorts before ``http``, so a
+    component containing any blank node would elect the BNODE as
+    canonical and rewrite real IRIs to a blank-node label (review
+    finding). When True (default) each component re-elects the min
+    IRI member as its representative, falling back to the min node
+    only for all-bnode components (one aggregate over the component
+    map, skipped entirely when no node is a bnode)."""
     small = False
     if broadcast_max_rows:
         # materialize once so the bounded probe and the two joins share
@@ -170,18 +180,45 @@ def link_triples(triples: DataFrame, components: DataFrame,
         components = cut_lineage(components)
         small = (components.limit(broadcast_max_rows + 1).count()
                  <= broadcast_max_rows)
+    if prefer_iri_reps and components.where(
+            F.col("node").startswith("_:")).limit(1).take(1):
+        reps = (components.groupBy("component")
+                .agg(F.min(F.when(~F.col("node").startswith("_:"),
+                                  F.col("node"))).alias("_iri_rep")))
+        components = (components.join(reps, "component")
+                      .select("node",
+                              F.coalesce("_iri_rep", "component")
+                               .alias("component")))
+        if small:
+            components = cut_lineage(components)
     hint = F.broadcast if small else (lambda df: df)
     c_subj = components.select(F.col("node").alias("subj"),
                                F.col("component").alias("_subj_canon"))
     c_obj = components.select(F.col("node").alias("obj_value"),
                               F.col("component").alias("_obj_canon"))
-    out = (triples
-           .join(hint(c_subj), "subj", "left")
-           .join(hint(c_obj), "obj_value", "left"))
+    kinds = list(rewrite_kinds)
+    joined = triples.join(hint(c_subj), "subj", "left")
+    if small:
+        # broadcast path: one pass, the `when` guards ineligible kinds
+        out = (joined.join(hint(c_obj), "obj_value", "left")
+               .withColumn("obj_value",
+                           F.when(F.col("obj_kind").isin(kinds),
+                                  F.coalesce("_obj_canon", "obj_value"))
+                           .otherwise(F.col("obj_value")))
+               .drop("_obj_canon"))
+    else:
+        # shuffled path: only rewrite-eligible rows join on obj_value —
+        # shuffling every LITERAL row by its (long, skewed) text for a
+        # join the `when` could never apply was pure waste at scale
+        joined = cut_lineage(joined)
+        elig = joined.where(F.col("obj_kind").isin(kinds))
+        rest = joined.where(~F.col("obj_kind").isin(kinds)
+                            | F.col("obj_kind").isNull())
+        elig = (elig.join(c_obj, "obj_value", "left")
+                .withColumn("obj_value",
+                            F.coalesce("_obj_canon", "obj_value"))
+                .drop("_obj_canon"))
+        out = elig.unionByName(rest)
     return (out
             .withColumn("subj", F.coalesce("_subj_canon", "subj"))
-            .withColumn("obj_value",
-                        F.when(F.col("obj_kind").isin(list(rewrite_kinds)),
-                               F.coalesce("_obj_canon", "obj_value"))
-                        .otherwise(F.col("obj_value")))
-            .drop("_subj_canon", "_obj_canon"))
+            .drop("_subj_canon"))

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -160,7 +161,11 @@ def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(
             _manifest_path(out_dir))
-    except Exception:  # first run: no manifest table yet
+    except AnalysisException:  # first run: no manifest table yet.
+        # ONLY path-not-found-class analysis errors: a transient read
+        # failure (throttle, credentials, FS blip) must PROPAGATE —
+        # swallowing it here would make resume/upsert treat a
+        # readable graph as empty and silently drop data
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
@@ -218,6 +223,22 @@ def materialize_graph(triples: DataFrame, out_dir: str,
     if not resume:
         done = done.limit(0)
     n_done = done.count()
+    if resume and n_done and input_id is None:
+        # without an input identity the resume CANNOT tell a crash
+        # re-run (same input — skip completed buckets, the intended
+        # use) from a re-run against grown/changed input, where
+        # skipping silently drops every new row that hashes to a
+        # manifested bucket. Warn loudly; callers with evolving
+        # inputs must pass input_id (mismatch then refuses above) or
+        # use upsert_documents.
+        import warnings
+        warnings.warn(
+            f"materialize_graph: resuming {out_dir!r} with "
+            f"{n_done} manifested bucket(s) and no input_id — if the "
+            "input changed since the prior run, rows hashing to those "
+            "buckets are SKIPPED; pass input_id to pin the input, "
+            "resume=False to rebuild, or upsert_documents for "
+            "incremental updates", stacklevel=2)
 
     t0 = time.time()
     pending = parted.join(F.broadcast(done), "part", "left_anti")
@@ -263,9 +284,12 @@ _GRAPH_SCHEMA = T.StructType(
 def read_graph(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(_data_path(out_dir))
-    except Exception:
+    except AnalysisException:
         # every bucket deleted (or nothing materialized yet): an empty
-        # typed table, not an unreadable path
+        # typed table. ONLY the path-not-found analysis error — a
+        # transient read failure must propagate, else upsert's `keep`
+        # set would be empty and the overwrite would silently delete
+        # every unchanged document's rows in the affected buckets
         return spark.createDataFrame([], _GRAPH_SCHEMA)
 
 
@@ -276,7 +300,7 @@ def read_doc_index(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(_index_path(out_dir)) \
             .select("part", "doc_id")
-    except Exception:
+    except AnalysisException:
         return read_graph(spark, out_dir).select("part", "doc_id").distinct()
 
 

@@ -205,3 +205,30 @@ def test_giant_component_raises_named_error(spark, monkeypatch):
     from jsonld_spark.operators.canonicalize import _canonicalize_reference
     with pytest.raises(Exception, match="bnode component .* quads"):
         _canonicalize_reference(df, max_iter=50).collect()
+
+
+def test_recanonicalize_does_not_merge_c14n_labels(spark):
+    """Review regression (confirmed by repro): input labels already in
+    the _:c14n namespace were kept verbatim by rename_quads' parity
+    guard while still being counted, so the global renumber merged
+    them with another component's fresh labels. Distinct input bnodes
+    must stay distinct."""
+    from jsonld_spark.operators.canonicalize import canonicalize_triples
+    rows = [
+        ("d1", None, "_:b0", "http://p", "bnode", "_:c14n5", None, None),
+        ("d2", None, "_:x1", "http://p", "bnode", "_:x2", None, None),
+        ("d2", None, "_:x2", "http://p", "bnode", "_:x3", None, None),
+        ("d2", None, "_:x3", "http://p", "bnode", "_:x4", None, None),
+        ("d2", None, "_:x4", "http://p", "bnode", "_:x5", None, None),
+        ("d2", None, "_:x5", "http://p", "bnode", "_:x6", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "doc_id string, graph string, subj string, pred string, "
+              "obj_kind string, obj_value string, obj_datatype string, "
+              "obj_lang string")
+    out = canonicalize_triples(t).collect()
+    labels = {r["subj"] for r in out} | {
+        r["obj_value"] for r in out if r["obj_kind"] == "bnode"}
+    # 8 distinct input bnodes -> 8 distinct canonical labels
+    assert len(labels) == 8, sorted(labels)
+    assert all(lab.startswith("_:c14n") for lab in labels)

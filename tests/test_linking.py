@@ -35,3 +35,49 @@ def test_paths_agree_on_string_ids(spark):
     fast = connected_components(edges).collect()
     dist = connected_components(edges, small_graph_edges=0).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, dist))
+
+
+def test_link_triples_prefers_iri_rep_over_bnode(spark):
+    """Review regression: '_:' sorts before 'http', so a component
+    containing a blank node elected the bnode as canonical and
+    rewrote real IRIs to a blank-node label. The min IRI member now
+    represents; all-bnode components keep the min bnode."""
+    from jsonld_spark.operators.linking import link_triples
+    comps = spark.createDataFrame(
+        [("_:b1", "_:b1"), ("http://x", "_:b1"), ("http://y", "_:b1"),
+         ("_:c1", "_:c0"), ("_:c0", "_:c0")],
+        "node string, component string")
+    t = spark.createDataFrame(
+        [("http://y", "http://p", "iri", "http://x"),
+         ("http://other", "http://p", "iri", "_:b1"),
+         ("_:c1", "http://p", "literal", "v")],
+        "subj string, pred string, obj_kind string, obj_value string")
+    got = {(r["subj"], r["obj_value"])
+           for r in link_triples(
+               t, comps, rewrite_kinds=("iri", "bnode")).collect()}
+    # http://x (min IRI) represents the bnode-containing component
+    assert ("http://x", "http://x") in got
+    assert ("http://other", "http://x") in got
+    # all-bnode component keeps its min bnode rep
+    assert ("_:c0", "v") in got
+
+
+def test_link_triples_shuffled_path_skips_literal_obj_join(spark):
+    """Review perf fix: in the non-broadcast path only rewrite-
+    eligible rows join on obj_value — literal rows must survive
+    unchanged and the result must equal the broadcast path."""
+    from jsonld_spark.operators.linking import link_triples
+    comps = spark.createDataFrame(
+        [("http://a", "http://a"), ("http://b", "http://a")],
+        "node string, component string")
+    t = spark.createDataFrame(
+        [("http://b", "http://p", "iri", "http://b"),
+         ("http://b", "http://q", "literal", "http://b")],
+        "subj string, pred string, obj_kind string, obj_value string")
+    want = {("http://a", "http://p", "http://a"),
+            ("http://a", "http://q", "http://b")}
+    for bmax in (1_000_000, 0):
+        got = {(r["subj"], r["pred"], r["obj_value"])
+               for r in link_triples(t, comps,
+                                     broadcast_max_rows=bmax).collect()}
+        assert got == want, bmax
