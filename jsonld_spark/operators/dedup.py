@@ -55,6 +55,15 @@ def _minhash_sig(text_col: str, shingle_len: int, num_hashes: int,
     updated with cheap affine integer rehashes of that base value, so
     the expensive string hash is evaluated exactly once per shingle no
     matter how the optimizer rewrites the projection."""
+    if not 1 <= num_hashes <= len(_A):
+        raise ValueError(
+            f"num_hashes must be in [1, {len(_A)}] (the affine rehash "
+            f"table size), got {num_hashes}")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r} — "
+            "a silently-defaulted typo would break the SQL-oracle "
+            "reproducibility contract")
     t = F.col(text_col)
     if shingle == "word":
         shingles = word_ngrams(text_col, shingle_len)
@@ -95,11 +104,14 @@ def band_signatures(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
     hash of that band's signature slice. Equal (band, band_hash) ⇒
     LSH candidate. Shared by in-corpus and incremental dedup so both
     produce identical buckets for identical signatures."""
-    rows_per_band = num_hashes // bands
-    if bands < 1 or rows_per_band < 1:
+    if bands < 1 or num_hashes // max(bands, 1) < 1:
         raise ValueError(
             f"band_signatures needs at least one hash per band "
             f"(got {num_hashes} hashes, {bands} bands)")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    rows_per_band = num_hashes // bands
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must divide evenly into "
@@ -148,15 +160,49 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(docs, text_col, id_col, shingle_len,
                               num_hashes, hash_fn, shingle).persist()
     try:
-        banded = band_signatures(sigs, num_hashes, bands, hash_fn, id_col)
+        # COLLAPSE-FIRST (the simhash path's fix, ported): a corpus
+        # where one boilerplate text occurs m times puts m identical
+        # rows in every one of its band buckets, making the band
+        # self-join emit O(bands·m²) rows before dedup — the measured
+        # 47× blowup BENCH/SF1.md records for pre-fix simhash. Band
+        # and join over DISTINCT signatures only (the signature ARRAY
+        # itself is the group key — exact, no hash-collision risk),
+        # then expand representative pairs back to id pairs through
+        # the membership table. The OUTPUT is still quadratic in
+        # duplicate-group size — that is the id-pair contract's
+        # answer size — but the band join and its shuffle stay linear
+        # in DISTINCT signatures.
+        members = sigs.select(F.col(id_col), "sig")
+        reps = (members.groupBy("sig")
+                .agg(F.min(id_col).alias(id_col)))
+        banded = band_signatures(reps, num_hashes, bands, hash_fn,
+                                 id_col)
         a = banded.alias("a")
         b = banded.alias("b")
-        pairs = (a.join(b, [F.col("a.band") == F.col("b.band"),
-                            F.col("a.band_hash") == F.col("b.band_hash"),
-                            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-                 .select(F.col(f"a.{id_col}").alias("id_a"),
-                         F.col(f"b.{id_col}").alias("id_b"))
-                 .dropDuplicates())
+        rep_pairs = (a.join(b, [
+                        F.col("a.band") == F.col("b.band"),
+                        F.col("a.band_hash") == F.col("b.band_hash"),
+                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+                     .select(F.col(f"a.{id_col}").alias("_ra"),
+                             F.col(f"b.{id_col}").alias("_rb"))
+                     .dropDuplicates())
+        mem = members.join(reps.select(F.col("sig"),
+                                       F.col(id_col).alias("_rep")),
+                           "sig").select(id_col, "_rep")
+        cross = (rep_pairs
+                 .join(mem.select(F.col(id_col).alias("_ia"),
+                                  F.col("_rep").alias("_ra")), "_ra")
+                 .join(mem.select(F.col(id_col).alias("_ib"),
+                                  F.col("_rep").alias("_rb")), "_rb")
+                 .select(F.least("_ia", "_ib").alias("id_a"),
+                         F.greatest("_ia", "_ib").alias("id_b")))
+        within = (mem.alias("ma").join(
+                      mem.alias("mb"),
+                      [F.col("ma._rep") == F.col("mb._rep"),
+                       F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}")])
+                  .select(F.col(f"ma.{id_col}").alias("id_a"),
+                          F.col(f"mb.{id_col}").alias("id_b")))
+        pairs = cross.unionByName(within).dropDuplicates()
     except BaseException:
         sigs.unpersist()  # never leak the cache on a failed build
         raise
@@ -244,15 +290,26 @@ def word_ngrams(text_col: str, n: int = 3):
 
 def ngram_jaccard_pairs(queries: DataFrame, corpus: DataFrame, n: int = 3,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        ordered_pairs: bool = True) -> DataFrame:
     """Jaccard similarity over word n-gram sets between a (small,
     broadcast) query side and the corpus: |A∩B| / |A∪B|.
-    Pure array built-ins — no Python, no shuffle on the corpus side."""
+    Pure array built-ins — no Python, no shuffle on the corpus side.
+
+    ``ordered_pairs=True`` (the default, for the common case where
+    queries ARE a corpus subset sharing one id space) keeps only
+    ``id_a < id_b``, the canonical half of a symmetric relation.
+    **With DISJOINT id spaces this silently drops pairs whose query
+    id is not less than the corpus id** (review finding) — pass
+    ``ordered_pairs=False`` then, which keeps every cross pair and
+    drops only the self pair ``id_a == id_b``."""
     q = queries.select(F.col(id_col).alias("id_a"),
                        word_ngrams(text_col, n).alias("g_a"))
     c = corpus.select(F.col(id_col).alias("id_b"),
                       word_ngrams(text_col, n).alias("g_b"))
-    j = c.crossJoin(F.broadcast(q)).where(F.col("id_a") < F.col("id_b"))
+    keep = (F.col("id_a") < F.col("id_b")) if ordered_pairs \
+        else (F.col("id_a") != F.col("id_b"))
+    j = c.crossJoin(F.broadcast(q)).where(keep)
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     union = F.size(F.array_union("g_a", "g_b")).cast("double")
     return j.select("id_a", "id_b", (inter / union).alias("jaccard"))

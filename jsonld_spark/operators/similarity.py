@@ -32,7 +32,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector (failed encoder / padding artifact)
+    # must yield NULL, not NaN — Spark orders NaN ABOVE every number,
+    # so a NaN similarity would pass every `>= threshold` filter and
+    # rank first in every descending top-k; NULL drops from filters
+    # and sorts last (review finding)
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -56,6 +61,9 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim"))
+    # a NULL sim (zero-norm vector) is not a neighbor — without the
+    # filter it would still occupy a top-k slot at the tail
+    scored = scored.where(F.col("sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -187,10 +195,15 @@ def lsh_geometry(threshold: float, target_recall: float = 0.9,
     import warnings
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0,1), got {target_recall} — "
+            "recall 1.0 needs brute force, not LSH")
     prob = 1.0 - math.acos(threshold) / math.pi
 
     def _geom(p: int, b: int) -> LshGeometry:
-        return LshGeometry(p, b, 1.0 - (1.0 - prob ** p) ** b,
+        # recall via the module's own lsh_recall — one formula, not two
+        return LshGeometry(p, b, lsh_recall(threshold, p, b),
                            b * 0.5 ** p)
 
     best = None
@@ -201,12 +214,19 @@ def lsh_geometry(threshold: float, target_recall: float = 0.9,
         b = max(1, math.ceil(math.log(1.0 - target_recall)
                              / math.log(miss)))
         if b > max_bands:
-            if best is None:
-                best = _geom(p, min(b, max_bands))
+            # capped fallback candidate: KEEP THE BEST BY ACHIEVED
+            # RECALL, not the first tried — at the same capped band
+            # budget a smaller p can have orders-of-magnitude higher
+            # recall (review finding: p=16 at 4 bands ~0.25% recall
+            # was returned while p=1 at 4 bands ~98% sat unexamined)
+            cand = _geom(p, min(b, max_bands))
+            if best is None or cand.achieved_recall > best.achieved_recall:
+                best = cand
             continue
         if b * 0.5 ** p <= candidate_budget:
             return _geom(p, b)
-        if best is None:
+        if best is None or _geom(p, b).achieved_recall \
+                > best.achieved_recall:
             best = _geom(p, b)
     out = best if best else _geom(1, max_bands)
     if out.achieved_recall < target_recall:
@@ -223,7 +243,7 @@ def _lsh_buckets_expr(planes: list[list[float]], bands: int,
                       vec_col: str) -> Column:
     """The banded-bucket ARRAY expression (one long per band) shared by
     ``banded_lsh_buckets`` and ``lsh_bucket_arrays``."""
-    per = len(planes) // bands
+    per = len(planes) // max(bands, 1)
     if bands < 1 or per < 1:
         # per == 0 would make every bucket the constant 0 → the candidate
         # join degenerates to the full O(n²) cross product, silently
@@ -325,6 +345,9 @@ def ann_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), 4)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim"))
+    # a NULL sim (zero-norm vector) is not a neighbor — without the
+    # filter it would still occupy a top-k slot at the tail
+    scored = scored.where(F.col("sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -493,9 +516,15 @@ def embedding_neardup_incremental(spark, index_dir: str,
                    F.col(vec_col).alias("_nv"), "list_id"))
     small = False
     if broadcast_max_rows:
+        # the broadcast rows carry the FULL-PRECISION vector (~8·dim
+        # bytes each), and nprobe multiplies the row count — a
+        # row-count-only bound would happily force-broadcast multi-GB
+        # payloads past Spark's size threshold (review finding).
+        # Scale the bound to a 64-dim baseline so the byte budget,
+        # not the row count, stays constant across vector widths.
+        eff_rows = max(1, int(broadcast_max_rows * 64 / max(dim, 64)))
         n_l = cut_lineage(n_l)
-        small = (n_l.limit(broadcast_max_rows + 1).count()
-                 <= broadcast_max_rows)
+        small = (n_l.limit(eff_rows + 1).count() <= eff_rows)
     hint = F.broadcast if small else (lambda df: df)
     probed = sorted({r["list_id"] for r in
                      n_l.select("list_id").distinct().collect()})

@@ -6,6 +6,7 @@ docs with fewer than n tokens yield the whole token list as one gram)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from jsonld_spark.operators.dedup import ngram_jaccard_pairs, word_ngrams
@@ -258,3 +259,55 @@ def test_span_dedup_giant_dup_group_and_partial_tail(spark):
     # doc 1000: first span is the dup, tail span "plus tail" survives
     assert got[1000].n_spans == 2 and got[1000].clean_text == "plus tail"
     assert out.count() == 501
+
+
+def test_minhash_validation_errors(spark):
+    """Review regressions: num_hashes beyond the rehash table, a
+    hash_fn typo, and bands=0 all refuse typed instead of IndexError /
+    silent xxhash64 fallback / ZeroDivisionError."""
+    from jsonld_spark.operators.dedup import (band_signatures,
+                                              minhash_signatures)
+    docs = spark.createDataFrame([("d1", "hello world")],
+                                 "doc_id string, text string")
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_signatures(docs, num_hashes=128)
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(docs, hash_fn="md-5")
+    sigs = minhash_signatures(docs)
+    with pytest.raises(ValueError, match="at least one hash per band"):
+        band_signatures(sigs, num_hashes=16, bands=0)
+
+
+def test_ngram_jaccard_disjoint_id_spaces(spark):
+    """Review regression: with ordered_pairs=False disjoint-id-space
+    query/corpus comparisons keep every cross pair (the default
+    id_a < id_b canonical half silently drops them)."""
+    from jsonld_spark.operators.dedup import ngram_jaccard_pairs
+    q = spark.createDataFrame([("q1", "the quick brown fox jumps")],
+                              "doc_id string, text string")
+    c = spark.createDataFrame([("doc1", "the quick brown fox jumps")],
+                              "doc_id string, text string")
+    assert ngram_jaccard_pairs(q, c).count() == 0  # documented trap
+    got = ngram_jaccard_pairs(q, c, ordered_pairs=False).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == 1.0
+
+
+def test_minhash_pairs_collapse_first_giant_dup_group(spark):
+    """Adversarial: 60 copies of one text + 2 distinct docs. The
+    band join runs over DISTINCT signatures (3 rows), and the output
+    is exactly the within-group pairs plus cross-group collisions —
+    identical to the naive per-id banding."""
+    from jsonld_spark.operators.dedup import minhash_candidate_pairs
+    rows = [(f"c{i:02d}", "same text repeated many times here")
+            for i in range(60)]
+    rows += [("x1", "a completely different document body"),
+             ("x2", "same text repeated many times here!")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_candidate_pairs(docs).collect()}
+    # all 60*59/2 within-group pairs present
+    within = {(f"c{i:02d}", f"c{j:02d}")
+              for i in range(60) for j in range(i + 1, 60)}
+    assert within <= pairs
+    # canonical ordering holds for every pair
+    assert all(a < b for a, b in pairs)

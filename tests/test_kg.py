@@ -891,8 +891,11 @@ def test_same_as_fuse_bnodes_merge(spark):
          ("y", "q", "_:b1", "bnode")],
         "subj string, pred string, obj_value string, obj_kind string")
     got = {(r.subj, r.pred, r.obj_value) for r in same_as_fuse(t).collect()}
-    # canonical = min("_:b1", "http://x/e") = "_:b1"
-    assert got == {("_:b1", "p", "v"), ("y", "q", "_:b1")}
+    # the IRI member represents the component (prefer_iri_reps): the
+    # whole point of sameAs fusion is folding the bnode INTO its IRI
+    # identity — electing the bnode ('_:' sorts before 'http') would
+    # rewrite a real IRI to a blank-node label (review fix)
+    assert got == {("http://x/e", "p", "v"), ("y", "q", "http://x/e")}
 
 
 def test_shape_accepts_bnode_and_legacy_blank():

@@ -214,3 +214,35 @@ def test_embedding_neardup_hi_regime_selective_and_complete(spark):
             .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
             .first()[0])
     assert cand < 0.02 * (n * (n - 1) / 2)
+
+
+def test_cosine_zero_vector_yields_null_not_nan(spark):
+    """Review regression: a zero-norm vector (failed encoder) must
+    yield NULL similarity — Spark orders NaN above every number, so a
+    NaN would pass every threshold filter and rank first in top-k."""
+    from jsonld_spark.operators.similarity import cosine_topk
+    emb = spark.createDataFrame(
+        [("z", [0.0, 0.0]), ("a", [1.0, 0.0]), ("b", [0.9, 0.1])],
+        "vec_id string, embedding array<double>")
+    q = spark.createDataFrame([("a", [1.0, 0.0])],
+                              "query_id string, query_vec array<double>")
+    got = cosine_topk(emb, q, k=2)
+    rows = [(r["neighbor_id"], r["sim"]) for r in got.collect()]
+    # the zero vector must NOT appear as a neighbor
+    assert all(v != "z" for v, _ in rows), rows
+    assert rows[0][0] in ("a", "b")
+
+
+def test_lsh_geometry_capped_fallback_picks_best_recall():
+    """Review regression: under a band cap the fallback must keep the
+    best-achieved-recall geometry, not the first tried — p=1 at 4
+    bands has ~98% recall where p=16 at 4 bands has ~0.25%."""
+    from jsonld_spark.operators.similarity import lsh_geometry
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        g = lsh_geometry(0.4, target_recall=0.99, max_bands=4)
+    assert g.achieved_recall > 0.5, g
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_recall"):
+        lsh_geometry(0.9, target_recall=1.0)
