@@ -2519,7 +2519,8 @@ FROM hp JOIN g ga ON ga.simhash = hp.hash_a
 _DOC_REPETITION_ORACLE = """
 WITH base AS (
   SELECT doc_id, string_split(text, chr(10)) AS rawlines,
-         string_split(text, ' ') AS words
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS words
   FROM documents),
 fr AS (
   SELECT doc_id,
@@ -3695,7 +3696,8 @@ t AS (
   FROM s)
 SELECT doc_id,
        0.4 * least(n_chars / 500.0, 1.0)
-         + 0.3 * (1.0 - non_alnum / CAST(n_chars AS DOUBLE))
+         + 0.3 * (CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE 1.0 - non_alnum / CAST(n_chars AS DOUBLE) END)
          + 0.3 * least(stop_hits / n_tokens * 5.0, 1.0) AS quality
 FROM t
 """
@@ -3847,11 +3849,16 @@ freq AS (
   FROM lines WHERE length(trim(line)) >= 10 GROUP BY md5(trim(line))),
 boiler AS (SELECT h FROM freq WHERE n_docs > 10),
 keep AS (SELECT doc_id, pos, line FROM lines
-         WHERE md5(trim(line)) NOT IN (SELECT h FROM boiler))
-SELECT doc_id,
-       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-       CAST(count(*) AS BIGINT) AS n_lines_kept
-FROM keep GROUP BY doc_id
+         WHERE md5(trim(line)) NOT IN (SELECT h FROM boiler)),
+agg AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines_kept
+        FROM keep GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(agg.n_lines_kept, 0) AS n_lines_kept
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
  '''
 
 

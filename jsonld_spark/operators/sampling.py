@@ -118,7 +118,19 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
 
     Returns (doc_id, lang_pred, quality) for the kept documents. Every
     stage is an existing oracle-checked operator, so the whole funnel
-    is SQL-reproducible end to end."""
+    is SQL-reproducible end to end.
+
+    LANGUAGE BIAS WARNING: the default quality gate is ENGLISH-TUNED —
+    ``quality_score``'s cleanliness term counts every non-[a-z0-9 ]
+    character (so every Cyrillic/CJK/Arabic char scores as "dirty")
+    and its stopword term probes English function words. At the
+    default ``min_quality=0.5`` a non-Latin-script document can
+    rarely pass, so a multilingual corpus curated with defaults keeps
+    essentially no ru/zh/ja/ar/... docs regardless of
+    ``lang_fractions``. For multilingual curation lower
+    ``min_quality`` to ~0.25 (the length term alone can clear it) or
+    gate on a language-aware score upstream and skip the built-in
+    gate with ``min_quality=0.0``."""
     from .dedup import dedup_clusters
     from .textstats import fingerprint, lang_id, quality_score
 

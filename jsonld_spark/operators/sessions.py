@@ -24,8 +24,12 @@ from pyspark.sql import functions as F
 
 def _ts_double(ts_col: str):
     # NTZ sources cast through the session zone (pinned UTC in
-    # session.py) — a naive timestamp cannot cast to double directly
-    return F.col(ts_col).cast("timestamp").cast("double")
+    # session.py) — a naive timestamp cannot cast to double directly.
+    # try_cast, not cast: the session runs ANSI mode, where one
+    # malformed string timestamp would THROW and fail the whole job;
+    # the documented null-ts handling downstream expects NULL instead
+    # (review finding, verified)
+    return F.expr(f"try_cast(`{ts_col}` as timestamp)").cast("double")
 
 
 def sessionize(events: DataFrame, gap_s: int = 1800,

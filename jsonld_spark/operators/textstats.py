@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 # whole words, scored by membership of the space-split tokens (one
 # shared tokenize pass); bare probes (CJK — no word spacing in those
 # scripts) score by substring occurrences. The argmax is a standard
-# stopword-profile language identifier. 27 languages; ties broken by
+# stopword-profile language identifier. 26 languages; ties broken by
 # language-code order, all-zero → 'und'. Every probe is a plain string,
 # so the identical formula is expressible in any SQL dialect (the
 # CORRECTNESS oracle is generated from this dict — keep them literal).
@@ -59,7 +59,8 @@ def occurrences(col: Column, needle: str) -> Column:
 def doc_stats(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics: char count, whitespace-token count,
-    mean token length, uppercase ratio proxy."""
+    mean token length (the exact output schema: n_chars_actual,
+    n_tokens, mean_token_len)."""
     t = F.col(text_col)
     n_tokens = F.size(F.split(t, " "))
     return docs.select(
@@ -84,7 +85,7 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     language over a shared token array) get re-inlined by
     CollapseProject into every one of the ~3×27 references the argmax
     makes, and higher-order lambdas are neither codegen'd nor
-    subexpression-eliminated (measured 10-100× blowup at 27 languages).
+    subexpression-eliminated (measured 10-100× blowup at 26 languages).
     The shuffle is (id, lang, partial count) rows, map-side combined —
     at most #langs rows per doc. CJK probes (bare substrings, no word
     boundaries) stay as occurrence expressions: 18 probes over 3
@@ -169,7 +170,14 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     n_tokens = F.size(F.split(t, " ")).cast("double")
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     non_alnum = F.length(F.regexp_replace(t, r"[a-z0-9 ]", ""))
-    clean_score = F.lit(1.0) - non_alnum / n_chars.cast("double")
+    # try_divide + coalesce: an EMPTY document (n_chars = 0, common in
+    # web scrapes) must score clean = 0, not throw — the session runs
+    # ANSI mode, where a plain double division by zero FAILS the whole
+    # job (review finding, verified). The SQL oracle mirrors the
+    # zero-chars case explicitly.
+    clean_score = F.coalesce(
+        F.lit(1.0) - F.try_divide(non_alnum, n_chars.cast("double")),
+        F.lit(0.0))
     padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     stop_hits = sum((occurrences(padded, f" {w} ")
                      for w in ("the", "a", "and", "of")),
@@ -294,7 +302,13 @@ def doc_repetition(docs: DataFrame, text_col: str = "text",
     per-doc max/sum) — partial aggregation keeps the shuffle at one row
     per distinct (doc, word), never a hot single reducer."""
     lines = F.transform(F.split(F.col(text_col), r"\n"), F.trim)
-    words = F.split(F.col(text_col), " ")
+    # tokenize on WHITESPACE runs (filtering empty tokens), not single
+    # spaces: words joined across newlines/tabs fused into one token,
+    # systematically undercounting repetition in multiline pages —
+    # 'buy now\nbuy now\nbuy now' measured dup_word_frac 0.25 where
+    # the true word stream gives 0.667 (review finding)
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda x: x != "")
     base = docs.select(
         F.col(id_col),
         (1.0 - F.size(F.array_distinct(lines))
@@ -308,7 +322,10 @@ def doc_repetition(docs: DataFrame, text_col: str = "text",
     top = (per_word.groupBy(id_col)
            .agg((F.max("n") / F.sum("n").cast("double"))
                 .alias("top_word_frac")))
-    return base.join(top, id_col)
+    # left join: a null-text doc has no exploded words — an inner join
+    # would silently DROP it from the output (one row per input doc,
+    # like doc_stats/lang_id)
+    return base.join(top, id_col, "left")
 
 
 def line_frequencies(docs: DataFrame, text_col: str = "text",
@@ -363,10 +380,24 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
     keep = (lines.withColumn("line_hash", F.md5(F.trim(F.col("line"))))
             .join(hint(boiler), "line_hash", "left_anti"))
-    return (keep.groupBy(id_col)
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"]),
-                "\n").alias("clean_text"),
-                 F.count(F.lit(1)).cast("long").alias("n_lines_kept")))
+    cleaned = (keep.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos",
+                                                            "line"))),
+                       lambda s: s["line"]),
+                   "\n").alias("clean_text"),
+                    F.count(F.lit(1)).cast("long")
+                    .alias("n_lines_kept")))
+    # LEFT join back to the input doc set: a document whose EVERY
+    # line is boilerplate (or whose text is null) must come back with
+    # an empty clean_text, not silently vanish from the output — the
+    # same silent-loss class the materialize read paths were fixed
+    # for (one row per input doc, like doc_stats)
+    return (docs.select(id_col).distinct()
+            .join(cleaned, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text"),
+                    F.coalesce("n_lines_kept", F.lit(0).cast("long"))
+                    .alias("n_lines_kept")))

@@ -43,6 +43,15 @@ def stream_exact_dedup(docs: DataFrame, text_col: str = "text",
     """First occurrence of each distinct text survives; engine dedup
     state persists across micro-batches (and restarts, via the
     checkpoint)."""
+    if bool(within_watermark) != bool(watermark_col):
+        # a silently ignored half of the pair falls back to UNBOUNDED
+        # dedup state — the exact failure the parameters exist to
+        # prevent (state grows until executors OOM)
+        raise ValueError(
+            "stream_exact_dedup: watermark_col and within_watermark "
+            "must be passed together (got "
+            f"watermark_col={watermark_col!r}, "
+            f"within_watermark={within_watermark!r})")
     hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
     if within_watermark and watermark_col:
         return (hashed.withWatermark(watermark_col, within_watermark)
@@ -92,7 +101,9 @@ _SESSION_STATE_SCHEMA = T.StructType([
 
 
 def stream_sessionize(events: DataFrame, gap_s: int = 1800,
-                      ts_col: str = "ts") -> DataFrame:
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      value_col: str = "value",
+                      order_tiebreak: str = "event_id") -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     — the per-user open session lives in explicit GroupState across
     micro-batches; a CLOSED session row (same shape as the batch
@@ -108,6 +119,16 @@ def stream_sessionize(events: DataFrame, gap_s: int = 1800,
     event-time-timeout flush is one ``GroupStateTimeout`` away if the
     feed should force-close idle sessions."""
     gap = float(gap_s)
+
+    def _r(x: float, nd: int) -> float:
+        # Spark/DuckDB round() is HALF_UP (away from zero); Python's
+        # built-in round is HALF_EVEN — a session total landing on an
+        # exact binary half (e.g. 0.125 at 2 dp) would diverge from
+        # the batch session_stats rollup the stream contracts to
+        # equal (review finding)
+        import math
+        f = 10.0 ** nd
+        return math.copysign(math.floor(abs(x) * f + 0.5) / f, x)
 
     def update(key, pdfs: Iterator, state: GroupState):
         import pandas as pd
@@ -126,8 +147,8 @@ def stream_sessionize(events: DataFrame, gap_s: int = 1800,
                     start, last, n, total = t, t, 1, v
                 elif t - last > gap:
                     closed.append((user_id, idx, n,
-                                   round(last - start, 6),
-                                   round(total, 2)))
+                                   _r(last - start, 6),
+                                   _r(total, 2)))
                     idx += 1
                     start, last, n, total = t, t, 1, v
                 else:
@@ -138,9 +159,16 @@ def stream_sessionize(events: DataFrame, gap_s: int = 1800,
                 "user_id", "session_idx", "n_events", "duration_s",
                 "total_value"])
 
+    # column names are parameters like the batch session_stats API
+    # (review finding: hardcoded names made the stream operator
+    # unusable on batch-API-shaped inputs); try_cast — a malformed
+    # string timestamp is NULL (dropped below), never an ANSI crash
     prepared = events.select(
-        "user_id", "event_id", "value",
-        F.col(ts_col).cast("timestamp").cast("double").alias("_t"))
+        F.col(user_col).alias("user_id"),
+        F.col(order_tiebreak).alias("event_id"),
+        F.col(value_col).alias("value"),
+        F.expr(f"try_cast(`{ts_col}` as timestamp)")
+         .cast("double").alias("_t"))
     # null/unparseable timestamps cast to null → NaN in pandas, and a
     # NaN poisons the open-session state (NaN - last > gap is always
     # False, so the session never closes and emits NaN durations).

@@ -51,4 +51,49 @@ def test_doc_repetition_hand_computed(spark):
     assert abs(got[1].top_word_frac - 0.75) < 1e-9
     assert abs(got[1].dup_line_frac - 0.0) < 1e-9
     assert abs(got[2].dup_line_frac - (1 - 2 / 3)) < 1e-9
-    assert abs(got[2].dup_word_frac - 0.0) < 1e-9
+    # whitespace-run tokenization (review fix): the word stream is
+    # [x y x y z w] -> 4 distinct of 6, not the newline-fused 4-of-4
+    assert abs(got[2].dup_word_frac - (1 - 4 / 6)) < 1e-9
+
+
+def test_quality_score_empty_text_no_crash(spark):
+    """Review regression: an empty document must score (clean term 0),
+    not throw ANSI DIVIDE_BY_ZERO and kill the job."""
+    from jsonld_spark.operators.textstats import quality_score
+    docs = spark.createDataFrame(
+        [("d1", ""), ("d2", "the quick brown fox and the lazy dog "
+                            "of the farm again and again" * 3)],
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r["quality"] for r in
+            quality_score(docs).collect()}
+    assert rows["d1"] == 0.0
+    assert rows["d2"] > 0.3
+
+
+def test_strip_boilerplate_keeps_all_boilerplate_docs(spark):
+    """Review regression: a doc whose EVERY line is boilerplate comes
+    back with empty clean_text instead of vanishing."""
+    from jsonld_spark.operators.textstats import strip_boilerplate
+    chrome = "cookie banner accept all cookies now"
+    rows = [(f"d{i}", chrome + "\ncontent line for doc %d" % i)
+            for i in range(12)]
+    rows.append(("dd", chrome))  # only the chrome line
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+           for r in strip_boilerplate(docs, max_docs=10).collect()}
+    assert len(out) == 13
+    assert out["dd"] == ("", 0)
+    assert out["d3"][1] == 1 and "content line" in out["d3"][0]
+
+
+def test_doc_repetition_multiline_and_null(spark):
+    """Review regressions: words tokenize on whitespace runs (newlines
+    fused words before), and a null-text doc keeps its row."""
+    from jsonld_spark.operators.textstats import doc_repetition
+    docs = spark.createDataFrame(
+        [("d1", "buy now\nbuy now\nbuy now"), ("d2", None)],
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in doc_repetition(docs).collect()}
+    assert len(rows) == 2
+    assert abs(rows["d1"]["dup_word_frac"] - (1 - 2 / 6)) < 1e-6
+    assert abs(rows["d1"]["top_word_frac"] - 0.5) < 1e-6
