@@ -32,6 +32,25 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _cut(df: DataFrame) -> DataFrame:
+    """Materialize a derived triples frame consumed by MULTIPLE plan
+    branches (pattern joins / unions / rule branches over the same
+    mapInArrow extraction subtree). Constants pushed below the
+    extraction's dedup exchange make each branch's exchange differ, so
+    ReuseExchange never fires and every branch re-executes the Python
+    extraction — the cut runs it exactly once (guide §2.4/§5). Results
+    are unchanged; the cut happens inside the timed query body."""
+    from jsonld_spark.session import cut_lineage
+    return cut_lineage(df)
+
+
+def _doc_triples3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj_value) doc-triples projection, materialized once
+    — the shared input shape of the BGP/SPARQL query rows."""
+    return _cut(q_jsonld_doc_triples(spark, sf_dir)
+                .select("subj", "pred", "obj_value"))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -243,7 +262,7 @@ def q_subject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase subject rollup over the doc triples (salted
     partial agg for hub subjects, final merge per subject)."""
     from jsonld_spark.operators.materialize import subject_stats
-    triples = q_jsonld_doc_triples(spark, sf_dir)
+    triples = _cut(q_jsonld_doc_triples(spark, sf_dir))
     stats = subject_stats(triples, heavy_threshold=100, sample_fraction=1.0,
                           n_salts=8)
     return stats.select(
@@ -273,7 +292,7 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node in/out degree over the extracted KG (skew-safe salted
     two-phase counts; literals never count as nodes)."""
     from jsonld_spark.operators.graphstats import node_degrees
-    return node_degrees(q_jsonld_doc_triples(spark, sf_dir)) \
+    return node_degrees(_cut(q_jsonld_doc_triples(spark, sf_dir))) \
         .select("node",
                 F.col("out_degree").cast("long").alias("out_degree"),
                 F.col("in_degree").cast("long").alias("in_degree"))
@@ -284,7 +303,8 @@ def q_predicate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct runs on the well-spread (pred, subj) pair, never funneling
     a popular predicate through one reducer)."""
     from jsonld_spark.operators.graphstats import predicate_histogram
-    return predicate_histogram(q_jsonld_doc_triples(spark, sf_dir)) \
+    return predicate_histogram(
+        _cut(q_jsonld_doc_triples(spark, sf_dir))) \
         .select("pred",
                 F.col("n_triples").cast("long").alias("n_triples"),
                 F.col("n_subjects").cast("long").alias("n_subjects"))
@@ -293,7 +313,7 @@ def q_predicate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k highest-degree nodes, deterministic tie-break by node id."""
     from jsonld_spark.operators.graphstats import top_hubs
-    return top_hubs(q_jsonld_doc_triples(spark, sf_dir), k=10) \
+    return top_hubs(_cut(q_jsonld_doc_triples(spark, sf_dir)), k=10) \
         .select("node",
                 F.col("out_degree").cast("long").alias("out_degree"),
                 F.col("in_degree").cast("long").alias("in_degree"),
@@ -311,9 +331,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a true value within 1e-12 of a half-way point, p≈1e-7 per node."""
     from jsonld_spark.operators.graphstats import pagerank
     t = q_jsonld_doc_triples(spark, sf_dir)
-    edges = t.where(F.col("obj_kind") == "iri") \
-             .select(F.col("subj").alias("src"),
-                     F.col("obj_value").alias("dst"))
+    edges = _cut(t.where(F.col("obj_kind") == "iri")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj_value").alias("dst")))
     pr = pagerank(edges, max_iter=10, tol=None)
     # pagerank's result is lineage-cut, so the double read (rows + the
     # 1-row count) never recomputes the iterations
@@ -753,7 +773,9 @@ def _kg_data_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(_KG_EX + "class/C"),
                  (F.col("doc_id") % 8).cast("string")).alias("obj_value"),
         F.lit("iri").alias("obj_kind"))
-    return triples.unionByName(types)
+    # materialized once: rdfs_closure's rule branches (ent7/2/3/9) each
+    # read the fact table — uncut, each branch re-runs the extraction
+    return _cut(triples.unionByName(types))
 
 
 def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,7 +794,7 @@ def q_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the triples table (constants → pushed-down filters, shared
     variable ?d → equi-joins; order/broadcast left to Catalyst+AQE)."""
     from jsonld_spark.operators.kg import bgp_match
-    return bgp_match(q_jsonld_doc_triples(spark, sf_dir), [
+    return bgp_match(_cut(q_jsonld_doc_triples(spark, sf_dir)), [
         ("?d", "http://schema.org/associatedMedia", "?media"),
         ("?d", "http://schema.org/inLanguage", "?lang"),
         ("?d", "http://purl.org/dc/terms/source", "?src"),
@@ -793,8 +815,7 @@ def q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "reviewedBy").alias("pred"),
         F.concat(F.lit(_KG_EX + "reviewer/"),
                  (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value").unionByName(reviews)
+    triples = _doc_triples3(spark, sf_dir).unionByName(reviews)
     return sparql_query(triples, f"""
         PREFIX schema: <http://schema.org/>
         PREFIX ex: <{_KG_EX}>
@@ -827,8 +848,7 @@ def q_sparql_optional_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"{_KG_EX}reviewer/{i}", _KG_EX + "level",
           "senior" if i % 2 == 0 else "junior") for i in range(3)],
         "subj string, pred string, obj_value string")
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value") \
+    triples = _doc_triples3(spark, sf_dir) \
         .unionByName(reviews).unionByName(levels)
     return sparql_query(triples, f"""
         PREFIX schema: <http://schema.org/>
@@ -851,8 +871,7 @@ def q_sparql_not_exists_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     the numeric comparison as the residual condition — hash/SMJ
     plannable at any scale (no cartesian)."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX ex: <http://example.org/>
@@ -878,8 +897,7 @@ def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SPARQL §18.2.2) and planned as an ordinary join — grouped side
     shuffles once on src, scalar side is a 1-row broadcast."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         SELECT ?src ?d ?nd
@@ -923,8 +941,7 @@ def q_construct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch, one union, one distinct — no joins beyond the bnode
     existence join."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX schema: <http://schema.org/>
@@ -947,8 +964,7 @@ def q_sparql_union_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key ?d is bound by every branch, so no
     unbound-compatibility branching is needed."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX schema: <http://schema.org/>
@@ -970,8 +986,7 @@ def q_sparql_union_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sparql.py:_union_branch, kg.py:bgp_union
     branch_filters)."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX schema: <http://schema.org/>
@@ -996,8 +1011,7 @@ def q_sparql_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key ?d is bound by every branch (the engine raises
     otherwise), so no unbound-compatibility branching is needed."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX schema: <http://schema.org/>
@@ -1036,8 +1050,7 @@ def q_sparql_nested_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"{_KG_EX}reviewer/{k}", _KG_EX + "worksFor",
           f"{_KG_EX}org/{k % 2}") for k in range(3)],
         "subj string, pred string, obj_value string")
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value") \
+    triples = _doc_triples3(spark, sf_dir) \
         .unionByName(reviews).unionByName(works)
     return sparql_query(triples, f"""
         PREFIX schema: <http://schema.org/>
@@ -1060,8 +1073,7 @@ def q_sparql_optional_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive bgp_match on the optional side: anti join + projection
     under the left join, no correlated subplan."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX schema: <http://schema.org/>
@@ -1085,8 +1097,7 @@ def q_sparql_optional_subquery(spark: SparkSession, sf_dir: str
     subquery), so the outer left join is a plain equi join; the
     aggregate compiles bottom-up per SPARQL §18.2.2."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX schema: <http://schema.org/>
@@ -1122,8 +1133,7 @@ def q_sparql_optional_correlated(spark: SparkSession, sf_dir: str
         [(f"{_KG_EX}reviewer/{i}", _KG_EX + "minChars", str(i * 300))
          for i in range(5)],
         "subj string, pred string, obj_value string")
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value") \
+    triples = _doc_triples3(spark, sf_dir) \
         .unionByName(reviews).unionByName(caps)
     return sparql_query(triples, f"""
         PREFIX ex: <{_KG_EX}>
@@ -1153,8 +1163,7 @@ def q_sparql_exists_subquery(spark: SparkSession, sf_dir: str
         iri(F.col("doc_id")).alias("subj"),
         F.lit(_KG_EX + "under").alias("pred"),
         iri(F.floor(F.col("doc_id") / 2)).alias("obj_value"))
-    triples = (q_jsonld_doc_triples(spark, sf_dir)
-               .select("subj", "pred", "obj_value").unionByName(under))
+    triples = _doc_triples3(spark, sf_dir).unionByName(under)
     return sparql_query(triples, f"""
         PREFIX ex: <{_KG_EX}>
         SELECT ?d ?p
@@ -1179,8 +1188,7 @@ def q_sparql_filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests the marker. One scan per EXISTS group, no row
     multiplication, no correlated subplan."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX schema: <http://schema.org/>
@@ -1206,8 +1214,7 @@ def q_sparql_double_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "reviewedBy").alias("pred"),
         F.concat(F.lit(_KG_EX + "reviewer/"),
                  (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value").unionByName(reviews)
+    triples = _doc_triples3(spark, sf_dir).unionByName(reviews)
     return sparql_query(triples, """
         PREFIX ex: <http://example.org/>
         PREFIX schema: <http://schema.org/>
@@ -1294,8 +1301,7 @@ def q_construct_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the exact ids; zero extra shuffles (the mint is a
     projection over the match)."""
     from jsonld_spark.operators.sparql import sparql_query
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return sparql_query(triples, """
         PREFIX dct: <http://purl.org/dc/terms/>
         PREFIX ex: <http://example.org/>
@@ -1315,8 +1321,7 @@ def q_bgp_star_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.encode import (bgp_match_encoded,
                                                encode_triples,
                                                term_dictionary)
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     enc = encode_triples(triples)
     d = term_dictionary(triples)
     return bgp_match_encoded(enc, [
@@ -1337,8 +1342,7 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "reviewedBy").alias("pred"),
         F.concat(F.lit(_KG_EX + "reviewer/"),
                  (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value").unionByName(reviews)
+    triples = _doc_triples3(spark, sf_dir).unionByName(reviews)
     return bgp_match(triples, [
         ("?d", "http://schema.org/associatedMedia", "?media"),
     ], optional=[
@@ -1350,8 +1354,7 @@ def q_bgp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a SPARQL FILTER: docs with their size and language,
     restricted to nChars >= 300 (a value filter over a bound var)."""
     from jsonld_spark.operators.kg import bgp_match
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return bgp_match(triples, [
         ("?d", "http://example.org/nChars", "?nc"),
         ("?d", "http://schema.org/inLanguage", "?lang"),
@@ -1363,8 +1366,7 @@ def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from source src1 (src unbound/null) union German docs with their
     source bound."""
     from jsonld_spark.operators.kg import bgp_union
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return bgp_union(triples, [
         [("?d", "http://purl.org/dc/terms/source", "src1")],
         [("?d", "http://schema.org/inLanguage", "de"),
@@ -1384,8 +1386,7 @@ def q_describe_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         iri(F.col("doc_id")).alias("subj"),
         F.lit(_KG_EX + "under").alias("pred"),
         iri(F.floor(F.col("doc_id") / 2)).alias("obj_value"))
-    triples = (q_jsonld_doc_triples(spark, sf_dir)
-               .select("subj", "pred", "obj_value").unionByName(under))
+    triples = _doc_triples3(spark, sf_dir).unionByName(under)
     return describe(triples, _KG_EX + "doc/21")
 
 
@@ -1394,8 +1395,7 @@ def q_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain DataFrame, so aggregation is ordinary Spark — docs and media
     per language, largest first."""
     from jsonld_spark.operators.kg import bgp_match
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     sol = bgp_match(triples, [
         ("?d", "http://schema.org/inLanguage", "?lang"),
         ("?d", "http://schema.org/associatedMedia", "?m"),
@@ -1414,13 +1414,13 @@ def q_bgp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.kg import bgp_match
     docs = _read(spark, sf_dir, "documents")
     src = docs.select(F.col("doc_id").cast("long").alias("_n"), "source")
-    t = (q_jsonld_doc_triples(spark, sf_dir)
-         .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
-                     .cast("long"))
-         .join(src, "_n")
-         .withColumn("graph", F.concat(F.lit(_KG_EX + "g/"),
-                                       F.col("source")))
-         .select("subj", "pred", "obj_value", "graph"))
+    t = _cut(q_jsonld_doc_triples(spark, sf_dir)
+             .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
+                         .cast("long"))
+             .join(src, "_n")
+             .withColumn("graph", F.concat(F.lit(_KG_EX + "g/"),
+                                           F.col("source")))
+             .select("subj", "pred", "obj_value", "graph"))
     return bgp_match(t, [
         ("?d", "http://schema.org/associatedMedia", "?media",
          _KG_EX + "g/src1"),
@@ -1440,8 +1440,7 @@ def q_construct_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "reviewedBy").alias("pred"),
         F.concat(F.lit(_KG_EX + "reviewer/"),
                  (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value").unionByName(reviews)
+    triples = _doc_triples3(spark, sf_dir).unionByName(reviews)
     return construct(
         triples,
         [("?d", "http://schema.org/associatedMedia", "?m")],
@@ -1467,9 +1466,9 @@ def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     upsert_documents)
     cols = ["doc_id", "graph", "subj", "pred", "obj_kind", "obj_value",
             "obj_datatype", "obj_lang"]
-    t = (q_jsonld_doc_triples(spark, sf_dir)
-         .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
-                     .cast("long")))
+    t = _cut(q_jsonld_doc_triples(spark, sf_dir)
+             .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
+                         .cast("long")))
     out = os.path.join(tempfile.mkdtemp(prefix="kg_incr_q_"), "graph")
     materialize_graph(t.where(F.col("_n") % 10 != 0).select(*cols),
                       out, n_buckets=8, run_id="r1")
@@ -1491,8 +1490,7 @@ def q_bgp_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "reviewedBy").alias("pred"),
         F.concat(F.lit(_KG_EX + "reviewer/"),
                  (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value").unionByName(reviews)
+    triples = _doc_triples3(spark, sf_dir).unionByName(reviews)
     return bgp_match(triples, [
         ("?d", "http://schema.org/associatedMedia", "?media"),
     ], not_exists=[
@@ -1512,8 +1510,7 @@ def q_bgp_exists_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "reviewedBy").alias("pred"),
         F.concat(F.lit(_KG_EX + "reviewer/"),
                  (F.col("doc_id") % 5).cast("string")).alias("obj_value"))
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value").unionByName(reviews)
+    triples = _doc_triples3(spark, sf_dir).unionByName(reviews)
     return bgp_match(triples, [
         ("?d", "http://schema.org/associatedMedia", "?media"),
     ], exists=[
@@ -1546,8 +1543,7 @@ def q_bgp_optional_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     susp = spark.createDataFrame(
         [(_KG_EX + "reviewer/0", _KG_EX + "suspended", "true")],
         "subj string, pred string, obj_value string")
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value") \
+    triples = _doc_triples3(spark, sf_dir) \
         .unionByName(reviews).unionByName(works).unionByName(susp)
     return bgp_match(triples, [
         ("?d", "http://schema.org/associatedMedia", "?media"),
@@ -1575,8 +1571,7 @@ def q_bgp_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(_KG_EX + "doc/"),
                  F.floor(F.col("doc_id") / 2).cast("long"))
         .alias("obj_value"))
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value").unionByName(parent)
+    triples = _doc_triples3(spark, sf_dir).unionByName(parent)
     return bgp_match(triples, [
         ("?a", f"<{_KG_EX}parent>+", _KG_EX + "doc/1"),
         ("?a", "http://schema.org/associatedMedia", "?m"),
@@ -1604,9 +1599,9 @@ def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "sharesTopicWith").alias("pred"),
         iri(F.col("doc_id") + 1).alias("obj_value"),
         F.lit("iri").alias("obj_kind"))
-    triples = (q_jsonld_doc_triples(spark, sf_dir)
-               .select("subj", "pred", "obj_value", "obj_kind")
-               .unionByName(under).unionByName(topic))
+    triples = _cut(q_jsonld_doc_triples(spark, sf_dir)
+                   .select("subj", "pred", "obj_value", "obj_kind")
+                   .unionByName(under).unionByName(topic))
     schema = spark.createDataFrame([
         (_KG_EX + "under", RDF_TYPE, TRANSITIVE_PROPERTY),
         ("http://schema.org/associatedMedia", INVERSE_OF,
@@ -1625,9 +1620,9 @@ def q_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASSOC = "http://schema.org/associatedMedia"
     LANGP = "http://schema.org/inLanguage"
     TEXT = "http://schema.org/text"
-    t = (q_jsonld_doc_triples(spark, sf_dir)
-         .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
-                     .cast("long")))
+    t = _cut(q_jsonld_doc_triples(spark, sf_dir)
+             .withColumn("_n", F.regexp_replace("doc_id", "^doc-", "")
+                         .cast("long")))
     base = (t.where(~((F.col("pred") == ASSOC) & (F.col("_n") % 7 == 0)))
             .withColumn("obj_value",
                         F.when((F.col("pred") == ASSOC)
@@ -1750,8 +1745,7 @@ def q_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule) constrains and extends the solutions; BIND computes a new
     column. VALUES plans as a broadcast join, BIND a pure projection."""
     from jsonld_spark.operators.kg import bgp_match
-    triples = q_jsonld_doc_triples(spark, sf_dir) \
-        .select("subj", "pred", "obj_value")
+    triples = _doc_triples3(spark, sf_dir)
     return bgp_match(
         triples, [("?d", "http://schema.org/inLanguage", "?l")],
         values=[{"l": "en", "tier": "tier1"},
@@ -1786,9 +1780,9 @@ def q_same_as_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KG_EX + "citedBy").alias("pred"),
         iri("doc/", F.col("doc_id") + 1).alias("obj_value"),
         F.lit("iri").alias("obj_kind"))
-    triples = (q_jsonld_doc_triples(spark, sf_dir)
-               .select("subj", "pred", "obj_value", "obj_kind")
-               .unionByName(chain).unionByName(far_fact))
+    triples = _cut(q_jsonld_doc_triples(spark, sf_dir)
+                   .select("subj", "pred", "obj_value", "obj_kind")
+                   .unionByName(chain).unionByName(far_fact))
     return same_as_fuse(triples) \
         .select("subj", "pred", "obj_value", "obj_kind")
 

@@ -189,11 +189,20 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
         mem = members.join(reps.select(F.col("sig"),
                                        F.col(id_col).alias("_rep")),
                            "sig").select(id_col, "_rep")
+        # ``cross`` and ``within`` are each duplicate-free and mutually
+        # disjoint (ids are unique per the function's contract, so every
+        # id has exactly ONE rep: an unordered id pair determines its
+        # rep pair — unique in rep_pairs — and within-pairs share a rep
+        # while cross-pairs never do), so no final dropDuplicates pass
+        # is needed — removing it drops a full-output exchange+agg. The
+        # `_ia != _ib` guard keeps a malformed corpus (same id, two
+        # texts) from emitting a self pair (advice finding).
         cross = (rep_pairs
                  .join(mem.select(F.col(id_col).alias("_ia"),
                                   F.col("_rep").alias("_ra")), "_ra")
                  .join(mem.select(F.col(id_col).alias("_ib"),
                                   F.col("_rep").alias("_rb")), "_rb")
+                 .where(F.col("_ia") != F.col("_ib"))
                  .select(F.least("_ia", "_ib").alias("id_a"),
                          F.greatest("_ia", "_ib").alias("id_b")))
         within = (mem.alias("ma").join(
@@ -202,7 +211,7 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                        F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}")])
                   .select(F.col(f"ma.{id_col}").alias("id_a"),
                           F.col(f"mb.{id_col}").alias("id_b")))
-        pairs = cross.unionByName(within).dropDuplicates()
+        pairs = cross.unionByName(within)
     except BaseException:
         sigs.unpersist()  # never leak the cache on a failed build
         raise
@@ -435,13 +444,18 @@ def simhash_hash_pairs(hashes: DataFrame, max_hamming: int = 3,
         sim_col, F.posexplode(F.array(*vals)).alias("band", "val"))
     a = banded.select(F.col(sim_col).alias("hash_a"), "band", "val")
     b = banded.select(F.col(sim_col).alias("hash_b"), "band", "val")
-    cand = (a.join(b, ["band", "val"])
-            .where(F.col("hash_a") < F.col("hash_b"))
-            .dropDuplicates(["hash_a", "hash_b"]))
+    # Hamming-verify BEFORE the pair dedup: bit_count(xor) is a cheap
+    # per-row expression on columns already in the join output, and
+    # filter-then-dedup equals dedup-then-filter (hamming is a pure
+    # function of the pair), so the dropDuplicates exchange carries
+    # only true pairs instead of the whole candidate superset.
     hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
-    return (cand.select("hash_a", "hash_b",
-                        hamming.cast("long").alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+    cand = (a.join(b, ["band", "val"])
+            .where((F.col("hash_a") < F.col("hash_b"))
+                   & (hamming <= max_hamming))
+            .dropDuplicates(["hash_a", "hash_b"]))
+    return cand.select("hash_a", "hash_b",
+                       hamming.cast("long").alias("hamming"))
 
 
 def simhash_neardup_groups(sims: DataFrame, max_hamming: int = 3,

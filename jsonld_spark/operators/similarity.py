@@ -55,10 +55,15 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     a separate id space, else an id collision silently drops a genuine
     neighbor.
     """
-    j = embeddings.crossJoin(F.broadcast(queries))
+    # corpus-vector norm once per row (not once per query), query norm
+    # once per broadcast row — bit-identical to the per-pair evaluation
+    j = embeddings.withColumn("_vn", _norm(F.col(vec_col))) \
+        .crossJoin(F.broadcast(
+            queries.withColumn("_qn", _norm(F.col("query_vec")))))
     if exclude_self:
         j = j.where(F.col(id_col) != F.col("query_id"))
-    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
+    sim = F.round(F.try_divide(_dot(F.col(vec_col), F.col("query_vec")),
+                               F.col("_vn") * F.col("_qn")), round_to)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim"))
     # a NULL sim (zero-norm vector) is not a neighbor — without the
@@ -86,13 +91,20 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
     Without ``planes``: the O(n²) all-pairs self-join — the exact recall
     baseline, for tests and small inputs only.
     """
+    # Norms are computed ONCE PER VECTOR in the pre-join projections
+    # (below the exchange), not per candidate pair: same expression over
+    # the same values ⇒ bit-identical doubles, ~2/3 less arithmetic per
+    # verified pair (guide §2.3 — move work off the post-shuffle rows).
     if planes is None:
         a = embeddings.select(F.col(id_col).alias("id_a"),
-                              F.col(vec_col).alias("v_a"))
+                              F.col(vec_col).alias("v_a"),
+                              _norm(F.col(vec_col)).alias("_na"))
         b = embeddings.select(F.col(id_col).alias("id_b"),
-                              F.col(vec_col).alias("v_b"))
+                              F.col(vec_col).alias("v_b"),
+                              _norm(F.col(vec_col)).alias("_nb"))
         j = a.join(b, F.col("id_a") < F.col("id_b"))
-        sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
+        sim = F.round(F.try_divide(_dot(F.col("v_a"), F.col("v_b")),
+                                   F.col("_na") * F.col("_nb")), round_to)
         return (j.select("id_a", "id_b", sim.alias("sim"))
                 .where(F.col("sim") >= threshold))
     # The bucket ARRAYS are materialized once (lineage cut) before the
@@ -118,10 +130,13 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
     va = embeddings.select(F.col(id_col).alias("id_a"),
-                           F.col(vec_col).alias("v_a"))
+                           F.col(vec_col).alias("v_a"),
+                           _norm(F.col(vec_col)).alias("_na"))
     vb = embeddings.select(F.col(id_col).alias("id_b"),
-                           F.col(vec_col).alias("v_b"))
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_to)
+                           F.col(vec_col).alias("v_b"),
+                           _norm(F.col(vec_col)).alias("_nb"))
+    sim = F.round(F.try_divide(_dot(F.col("v_a"), F.col("v_b")),
+                               F.col("_na") * F.col("_nb")), round_to)
     return (cand.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b", sim.alias("sim"))
             .where(F.col("sim") >= threshold))
@@ -339,10 +354,13 @@ def ann_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                       planes, id_col, vec_col) \
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("query_vec"), "bucket")
-    j = e_b.join(F.broadcast(q_b), "bucket")
+    j = e_b.withColumn("_vn", _norm(F.col(vec_col))) \
+        .join(F.broadcast(q_b.withColumn("_qn", _norm(F.col("query_vec")))),
+              "bucket")
     if exclude_self:
         j = j.where(F.col(id_col) != F.col("query_id"))
-    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), 4)
+    sim = F.round(F.try_divide(_dot(F.col(vec_col), F.col("query_vec")),
+                               F.col("_vn") * F.col("_qn")), 4)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim"))
     # a NULL sim (zero-norm vector) is not a neighbor — without the
@@ -452,12 +470,15 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
         centroids, id_col, vec_col, nprobe=nprobe)
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("query_vec"), "list_id"))
-    j = e_l.join(F.broadcast(q_l), "list_id")
+    j = e_l.withColumn("_vn", _norm(F.col(vec_col))) \
+        .join(F.broadcast(q_l.withColumn("_qn", _norm(F.col("query_vec")))),
+              "list_id")
     if exclude_self:
         # assumes query ids share the corpus id space; pass False for an
         # external query table, else an id collision drops a neighbor
         j = j.where(F.col(id_col) != F.col("query_id"))
-    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
+    sim = F.round(F.try_divide(_dot(F.col(vec_col), F.col("query_vec")),
+                               F.col("_vn") * F.col("_qn")), round_to)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim")).dropDuplicates(
                           ["query_id", "neighbor_id"])
@@ -537,10 +558,13 @@ def embedding_neardup_incremental(spark, index_dir: str,
             .select("new_id", F.col("vec_id").alias("corpus_id"))
             .dropDuplicates(["new_id", "corpus_id"]))
     cv = corpus.select(F.col(id_col).alias("corpus_id"),
-                       F.col(vec_col).alias("_cv"))
+                       F.col(vec_col).alias("_cv"),
+                       _norm(F.col(vec_col)).alias("_cn"))
     nv = new_batch.select(F.col(id_col).alias("new_id"),
-                          F.col(vec_col).alias("_nv2"))
-    sim = F.round(cosine(F.col("_cv"), F.col("_nv2")), round_to)
+                          F.col(vec_col).alias("_nv2"),
+                          _norm(F.col(vec_col)).alias("_nn"))
+    sim = F.round(F.try_divide(_dot(F.col("_cv"), F.col("_nv2")),
+                               F.col("_cn") * F.col("_nn")), round_to)
     return (cand.join(cv, "corpus_id").join(nv, "new_id")
             .select("new_id", "corpus_id", sim.alias("sim"))
             .where(F.col("sim") >= threshold))
