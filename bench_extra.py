@@ -54,9 +54,12 @@ def main() -> None:
         samples = []
         n = None
         for _ in range(args.reps):
-            df = qs[name](spark, args.sf)
+            # timer starts BEFORE query construction, exactly like
+            # bench.py — eager lineage cuts inside the query body are
+            # part of the measured work
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
             t0 = time.perf_counter()
+            df = qs[name](spark, args.sf)
             if args.noop:
                 df.write.format("noop").mode("overwrite").save()
             else:

@@ -477,7 +477,11 @@ def simhash_neardup_groups(sims: DataFrame, max_hamming: int = 3,
     Everything is linear in DISTINCT hashes (band join included) — the
     id-level pair expansion (``simhash_neardup_pairs``) is the only
     quadratic object, and it is opt-in output, not plan."""
-    groups = simhash_groups(sims, id_col, sim_col)
+    # groups is consumed by THREE branches (the band join and both
+    # group-info joins); uncut, each branch re-runs the upstream
+    # simhash aggregate over the whole corpus (guide §2.4) — the cut
+    # materializes the tiny (hash, rep, n) table once
+    groups = cut_lineage(simhash_groups(sims, id_col, sim_col))
     hp = simhash_hash_pairs(groups.select(sim_col), max_hamming, bits,
                             sim_col)
     ga = groups.select(F.col(sim_col).alias("hash_a"),
@@ -509,7 +513,11 @@ def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3,
     per-band duplication of duplicate groups and no dropDuplicates over
     a group-size-squared candidate blowup (round-3 measured 47× wall at
     10× data from that; post-collapse the sf1 ratio is ~output-bound)."""
-    member = sims.select(id_col, sim_col)
+    # member feeds FIVE branches (distinct hashes, both sides of the
+    # in-group join, both membership expansions) — materialize the
+    # narrow (id, hash) table once instead of re-running the upstream
+    # simhash aggregate per branch
+    member = cut_lineage(sims.select(id_col, sim_col))
     hashes = member.select(sim_col).distinct()
     hp = simhash_hash_pairs(hashes, max_hamming, bits, sim_col)
     in_group = (member.alias("x")
