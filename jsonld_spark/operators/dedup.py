@@ -173,8 +173,12 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
         # answer size — but the band join and its shuffle stay linear
         # in DISTINCT signatures.
         members = sigs.select(F.col(id_col), "sig")
-        reps = (members.groupBy("sig")
-                .agg(F.min(id_col).alias(id_col)))
+        # spread: the groupBy output is AQE-coalesced to few partitions,
+        # and the band self-join below multiplies rows — unspread, its
+        # enumeration would serialize onto those few cores
+        from ..session import spread_partitions
+        reps = spread_partitions(members.groupBy("sig")
+                                 .agg(F.min(id_col).alias(id_col)))
         banded = band_signatures(reps, num_hashes, bands, hash_fn,
                                  id_col)
         a = banded.alias("a")
@@ -440,7 +444,15 @@ def simhash_hash_pairs(hashes: DataFrame, max_hamming: int = 3,
     mask = (1 << width) - 1
     vals = [F.shiftright(F.col(sim_col), b * width)
             .bitwiseAND(F.lit(mask).cast("long")) for b in range(bands)]
-    banded = hashes.select(
+    # spread the probe side: ``hashes`` typically arrives as an AQE-
+    # coalesced (often single-partition) aggregate/checkpoint, and the
+    # band join's output is O(Σ bucket²) rows — orders of magnitude
+    # larger than its input — so an unspread probe side runs the whole
+    # enumeration on ONE core (measured 13 s single-task at sf1 vs
+    # ~1 s spread; guide §2.5 — skew lives in join OUTPUT, which AQE's
+    # byte-based splitting never sees)
+    from ..session import spread_partitions
+    banded = spread_partitions(hashes).select(
         sim_col, F.posexplode(F.array(*vals)).alias("band", "val"))
     a = banded.select(F.col(sim_col).alias("hash_a"), "band", "val")
     b = banded.select(F.col(sim_col).alias("hash_b"), "band", "val")

@@ -1903,6 +1903,11 @@ def _path_closure(edges: DataFrame, max_rounds: int = 20,
     a single fixpoint over all named graphs at once."""
     from ..session import cut_lineage
     cols = ["src", "dst", *extra]
+    # NOT spread_partitions'd: unlike the LSH band joins (output ≫
+    # input), a closure round's join output is ~the path table's size,
+    # so forcing extra exchanges per round costs more than the added
+    # parallelism buys (measured: owl_entail 9.0 s → 11.9 s with a
+    # spread here)
     paths = cut_lineage(edges.select(*cols).distinct())
     n = paths.count()
     for _ in range(max_rounds):

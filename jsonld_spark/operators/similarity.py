@@ -366,24 +366,36 @@ def lsh_bucket_arrays(embeddings: DataFrame, planes: list[list[float]],
                 continue
             offs = np.asarray(col.offsets)
             widths = np.diff(offs)
-            if (widths == widths[0]).all() and widths[0] == P.shape[1]:
+            bad = None  # rows whose dot is NULL on the JVM path
+            if ((widths == widths[0]).all() and widths[0] == P.shape[1]
+                    and col.null_count == 0
+                    and col.flatten().null_count == 0):
                 flat = col.flatten().to_numpy(zero_copy_only=False)
                 V = np.asarray(flat, dtype=np.float64).reshape(
                     n, int(widths[0]))
             else:
                 # ragged / null rows: the JVM form zip_withs the vector
-                # against a length-d plane — any length mismatch or
-                # null element makes the whole dot NULL and the sign 0,
-                # which a NaN row reproduces exactly (NaN > 0 is false)
-                V = np.full((n, P.shape[1]), np.nan, dtype=np.float64)
+                # against a length-d plane — a length mismatch or a
+                # null ELEMENT nulls the whole dot and the sign is 0
+                # (NULL > 0 is false). A NaN element, by contrast, is a
+                # NaN dot and Spark's NaN > 0 is TRUE — so NaN rows go
+                # through the normal arithmetic below, null rows get
+                # their signs zeroed explicitly.
+                V = np.zeros((n, P.shape[1]), dtype=np.float64)
+                bad = np.ones(n, dtype=bool)
                 for i, v in enumerate(col.to_pylist()):
                     if (v is not None and len(v) == P.shape[1]
                             and not any(x is None for x in v)):
                         V[i] = np.asarray(v, dtype=np.float64)
+                        bad[i] = False
             acc = np.zeros((n, P.shape[0]), dtype=np.float64)
             for k in range(P.shape[1]):   # sequential k: JVM fold order
                 acc += V[:, k:k + 1] * P[:, k]
-            signs = (acc > 0.0).astype(np.int64)
+            # Spark comparison semantics: NaN sorts above every number,
+            # so a NaN dot yields sign 1 on the JVM path
+            signs = ((acc > 0.0) | np.isnan(acc)).astype(np.int64)
+            if bad is not None:
+                signs[bad] = 0
             buckets = np.empty((n, n_bands), dtype=np.int64)
             for b in range(n_bands):
                 buckets[:, b] = signs[:, b * per:(b + 1) * per] @ weights

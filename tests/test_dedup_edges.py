@@ -311,3 +311,24 @@ def test_minhash_pairs_collapse_first_giant_dup_group(spark):
     assert within <= pairs
     # canonical ordering holds for every pair
     assert all(a < b for a, b in pairs)
+
+
+def test_minhash_pairs_unique_without_final_dedup(spark):
+    """The collapse-first pair generator emits each unordered id pair
+    exactly ONCE without a final dropDuplicates (cross/within are
+    disjoint and internally unique), and a duplicate doc_id with two
+    different texts never produces a self pair (advice finding)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.dedup import minhash_candidate_pairs
+    rows = ([(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3))
+             for i in range(30)]
+            + [(99, "completely different text one"),
+               (99, "another unrelated corpus text")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidate_pairs(docs, shingle_len=5, num_hashes=16,
+                                    bands=4, hash_fn="md5")
+    rows = pairs.collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    as_set = {(r["id_a"], r["id_b"]) for r in rows}
+    assert len(as_set) == len(rows)  # no duplicate pair rows

@@ -81,3 +81,25 @@ def test_link_triples_shuffled_path_skips_literal_obj_join(spark):
                for r in link_triples(t, comps,
                                      broadcast_max_rows=bmax).collect()}
         assert got == want, bmax
+
+
+def test_driver_cc_numpy_chains_strings_and_dups(spark):
+    """The vectorized driver union-find (numpy min-label fixpoint) must
+    label long chains, string node ids, duplicate and reversed edges
+    identically to the contract: component = min reachable id."""
+    from jsonld_spark.operators.linking import connected_components
+    # 0-1-2-...-40 chain (tests pointer-doubling convergence), plus a
+    # reversed/duplicated edge pair and an isolated 2-cycle
+    edges = [(i, i + 1) for i in range(40)]
+    edges += [(1, 0), (5, 4), (100, 101), (101, 100)]
+    cc = connected_components(
+        spark.createDataFrame(edges, "src long, dst long"))
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert all(got[i] == 0 for i in range(41))
+    assert got[100] == 100 and got[101] == 100
+    # string ids: lexicographic min is the representative
+    s_edges = [("b", "a"), ("c", "b"), ("zz", "z")]
+    cc2 = connected_components(
+        spark.createDataFrame(s_edges, "src string, dst string"))
+    got2 = {r["node"]: r["component"] for r in cc2.collect()}
+    assert got2 == {"a": "a", "b": "a", "c": "a", "z": "z", "zz": "z"}

@@ -246,3 +246,33 @@ def test_lsh_geometry_capped_fallback_picks_best_recall():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="target_recall"):
         lsh_geometry(0.9, target_recall=1.0)
+
+
+def test_lsh_bucket_arrays_numpy_matches_expr_form(spark):
+    """The mapInArrow numpy bucket kernel must be BIT-identical to the
+    JVM expression form — including null vectors, null elements,
+    ragged lengths, and NaN components (all of which null the dot and
+    zero the sign in the expression form)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.similarity import (_lsh_buckets_expr,
+                                                   lsh_bucket_arrays)
+    rs = np.random.RandomState(3)
+    planes = [[round(float(x), 6) for x in row]
+              for row in rs.normal(size=(8, 4))]
+    rows = [(i, [float(x) for x in rs.normal(size=4)]) for i in range(50)]
+    rows += [(100, None), (101, [1.0, 2.0]),             # null / short
+             (102, [1.0, 2.0, 3.0, 4.0, 5.0]),           # long
+             (103, [float("nan"), 1.0, 1.0, 1.0]),       # NaN component
+             (104, [None, 1.0, 1.0, 1.0]),               # null element
+             (105, [0.0, 0.0, 0.0, 0.0])]                # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["buckets"]
+           for r in lsh_bucket_arrays(df, planes, 2).collect()}
+    want = {r["vec_id"]: r["buckets"]
+            for r in df.select(
+                "vec_id",
+                _lsh_buckets_expr(planes, 2, "embedding").alias("buckets"))
+            .collect()}
+    assert got == want
