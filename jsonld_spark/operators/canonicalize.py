@@ -77,6 +77,13 @@ def bnode_components(triples: DataFrame, max_iter: int = 50) -> DataFrame:
     multi = mentions.where(F.size("bs") > 1)
     edges = multi.select(F.element_at("bs", 1).alias("src"),
                          F.explode(F.slice("bs", 2, 1 << 30)).alias("dst"))
+    if edges.isEmpty():
+        # flat corpora (≤1 bnode per quad — every doc-local pipeline
+        # output) have no co-occurrence edges at all: every bnode is
+        # its own component, and the CC probe/collect/anti-join
+        # machinery is pure overhead (one limit(1) probe replaces it)
+        return (mentions.select(F.explode("bs").alias("node")).distinct()
+                .withColumn("component", F.col("node")))
     cc = connected_components(edges, max_iter=max_iter)
     singles = (mentions.select(F.explode("bs").alias("node")).distinct()
                .join(cc, "node", "left_anti")

@@ -117,8 +117,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                                      F.col("src").alias("dst"))) \
                .dropDuplicates()
         sym = cut_lineage(sym)
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("component", F.col("node"))
+    # init fuses the first relaxation round: label(node) = min(node,
+    # neighbors) from ONE groupBy over the symmetric edges (the same
+    # rows the old distinct scanned) — one fewer 3-join round through
+    # the fixpoint, identical fixpoint result
+    labels = (sym.groupBy(F.col("src").alias("node"))
+              .agg(F.least(F.min("dst"), F.col("src")).alias("component"))
               .persist())
     for i in range(max_iter):
         # message passing: each node offers its label to its neighbors
@@ -168,8 +172,13 @@ def label_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
     clustering — "keep iff id == rep" is the downstream filter."""
     cc = connected_components(pairs, src=src, dst=dst) \
         .select(F.col("node").alias(id_col), F.col("component").alias("rep"))
-    labeled = (ids.select(id_col).join(cc, id_col, "left")
-               .withColumn("rep", F.coalesce("rep", F.col(id_col))))
+    # labeled feeds both the size aggregate and the final join —
+    # materialize the narrow (id, rep) table once so the ids frame
+    # (often an expensive derived funnel, e.g. curate_corpus' quality/
+    # dedup joins) is not re-derived per branch
+    labeled = cut_lineage(ids.select(id_col).join(cc, id_col, "left")
+                          .withColumn("rep",
+                                      F.coalesce("rep", F.col(id_col))))
     sizes = labeled.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_n"))
     return labeled.join(sizes, "rep").select(id_col, "rep", "cluster_n")
 

@@ -628,9 +628,13 @@ def embedding_neardup_incremental(spark, index_dir: str,
     dim = len(centroids[0])
     if prefilter_margin is None:
         prefilter_margin = math.sqrt(dim) / 254.0 + 10.0 ** (-round_to)
+    # the new-batch norm rides the (broadcast) probe rows: computed once
+    # per batch vector instead of once per candidate pair in the approx
+    # filter below (bit-identical — same expression, same values)
     n_l = (ivf_assign(new_batch, centroids, id_col, vec_col, nprobe=nprobe)
            .select(F.col(id_col).alias("new_id"),
-                   F.col(vec_col).alias("_nv"), "list_id"))
+                   F.col(vec_col).alias("_nv"),
+                   _norm(F.col(vec_col)).alias("_nvn"), "list_id"))
     small = False
     if broadcast_max_rows:
         # the broadcast rows carry the FULL-PRECISION vector (~8·dim
@@ -649,7 +653,7 @@ def embedding_neardup_incremental(spark, index_dir: str,
     j = (idx.join(hint(n_l), "list_id")
          .where(F.col("vec_id") != F.col("new_id")))
     approx = _approx_cos(F.col("qvec"), F.col("scale"), F.col("vnorm"),
-                         F.col("_nv"), _norm(F.col("_nv")))
+                         F.col("_nv"), F.col("_nvn"))
     cand = (j.where(approx >= threshold - prefilter_margin)
             .select("new_id", F.col("vec_id").alias("corpus_id"))
             .dropDuplicates(["new_id", "corpus_id"]))
@@ -769,16 +773,18 @@ def search_ivf_index(spark, index_dir: str, embeddings: DataFrame,
                .withColumnRenamed("query_vec", vec_col),
         centroids, id_col, vec_col, nprobe=nprobe)
         .select(F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("query_vec"), "list_id"))
+                F.col(vec_col).alias("query_vec"),
+                _norm(F.col(vec_col)).alias("_qn"), "list_id"))
     probed = sorted({r["list_id"] for r in
                      q_l.select("list_id").distinct().collect()})
     idx = spark.read.parquet(index_dir).where(F.col("list_id").isin(probed))
     j = idx.join(F.broadcast(q_l), "list_id")
     if exclude_self:
         j = j.where(F.col("vec_id") != F.col("query_id"))
-    qnorm = _norm(F.col("query_vec"))
+    # query norm computed once per broadcast probe row, not per
+    # (index row × query) pair — bit-identical doubles
     approx = _approx_cos(F.col("qvec"), F.col("scale"), F.col("vnorm"),
-                         F.col("query_vec"), qnorm)
+                         F.col("query_vec"), F.col("_qn"))
     scored = (j.select("query_id", "vec_id", approx.alias("_a"))
               .dropDuplicates(["query_id", "vec_id"]))
     w = Window.partitionBy("query_id").orderBy(F.desc("_a"),
