@@ -95,9 +95,14 @@ def bgp_match_encoded(triples_enc: DataFrame,
     8-byte id columns; constant subject/object terms are hashed
     JVM-side and compared as longs (constant-folded → still pushed to
     the scan); predicates/graphs match as strings as usual. With a
-    ``dictionary``, every variable column in the result is decoded
-    back to terms — output is then identical to the string-side
-    ``bgp_match``, which is exactly what the driver row pins."""
+    ``dictionary``, every PATTERN-BOUND subject/object variable in the
+    result is decoded back to terms — output is then identical to the
+    string-side ``bgp_match``, which is exactly what the driver row
+    pins. Computed columns forwarded via ``**kwargs`` (binds,
+    aggregates) are never decoded; note that a bind expression
+    referencing a term variable evaluates over the 8-byte id (binds
+    run before decode) — decode first via ``decode_column`` when the
+    bind needs the term text."""
     from .kg import bgp_match
     spark = triples_enc.sparkSession
     consts = [t for pat in patterns for i, t in enumerate(pat)
@@ -117,7 +122,15 @@ def bgp_match_encoded(triples_enc: DataFrame,
                     p_col=p_col, o_col=o_col + _ID, g_col=g_col,
                     **kwargs)
     if dictionary is not None:
+        # decode ONLY the variables bound in subject/object term
+        # position — the columns that actually hold term ids. A blanket
+        # every-bigint loop would dictionary-miss computed numeric
+        # columns (a BIND expression, a COUNT forwarded via **kwargs)
+        # and silently null them (round-5 verdict finding).
+        term_vars = {t[1:] for pat in patterns for i, t in enumerate(pat)
+                     if i in (0, 2) and t.startswith("?")}
+        types = dict(out.dtypes)
         for c in out.columns:
-            if dict(out.dtypes)[c] == "bigint":
+            if c in term_vars and types[c] == "bigint":
                 out = decode_column(out, dictionary, c)
     return out

@@ -353,7 +353,13 @@ def _null_refs(expr: str, names: set[str]) -> str:
         s = parts[j]
         for n in names:
             s = s.replace(f"`{n}`", "NULL")
-            s = _re.sub(rf"(?<![\w`]){_re.escape(n)}(?![\w`])", "NULL", s)
+            # skip function-call position: a bare identifier followed
+            # by '(' is a SQL function whose name happens to equal the
+            # variable (e.g. outer var ?abs vs abs(...)) — backticked
+            # references already disambiguate the variable case
+            s = _re.sub(
+                rf"(?<![\w`]){_re.escape(n)}(?![\w`])(?!\s*\()",
+                "NULL", s)
         parts[j] = s
     return "".join(parts)
 
@@ -1483,7 +1489,13 @@ def bgp_match(triples: DataFrame, patterns: list[tuple[str, str, str]],
             outer_refs = {x for x in _expr_identifiers(fexpr)
                           if x in bound and x not in set(gbound)}
             import re as _re2
-            if _re2.search(r"(?i)(?<!\w)(?:if\s*\(|case\b)", fexpr):
+            # search only CODE segments — an if/case inside a string
+            # literal (e.g. ?g = 'case study') must not trip the
+            # refusal (advice finding)
+            _code = "".join(_re2.split(
+                r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")",
+                fexpr)[0::2])
+            if _re2.search(r"(?i)(?<!\w)(?:if\s*\(|case\b)", _code):
                 raise ValueError(
                     f"minus group {gi}: filter {fexpr!r} references "
                     f"outer variables {sorted(outer_refs)} inside an "

@@ -157,15 +157,37 @@ def _delete_path(spark: SparkSession, path: str) -> None:
         fs.delete(p, True)
 
 
+def _is_missing_table(exc: AnalysisException) -> bool:
+    """True only for the two analysis conditions that mean "nothing
+    materialized yet": PATH_NOT_FOUND and UNABLE_TO_INFER_SCHEMA (an
+    empty directory). Every other AnalysisException — corrupt footer,
+    ambiguous schema, access failure surfacing as analysis — must
+    PROPAGATE: treating it as an empty graph re-opens the silent-
+    data-loss path the round-5 fix closed (advice finding)."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:  # noqa: BLE001 - introspection best-effort
+                cond = None
+            if cond:
+                break
+    if cond:
+        return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    msg = str(exc)
+    return ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg)
+
+
 def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(
             _manifest_path(out_dir))
-    except AnalysisException:  # first run: no manifest table yet.
-        # ONLY path-not-found-class analysis errors: a transient read
-        # failure (throttle, credentials, FS blip) must PROPAGATE —
-        # swallowing it here would make resume/upsert treat a
-        # readable graph as empty and silently drop data
+    except AnalysisException as e:  # first run: no manifest table yet.
+        if not _is_missing_table(e):
+            raise
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
@@ -284,12 +306,14 @@ _GRAPH_SCHEMA = T.StructType(
 def read_graph(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(_data_path(out_dir))
-    except AnalysisException:
+    except AnalysisException as e:
         # every bucket deleted (or nothing materialized yet): an empty
-        # typed table. ONLY the path-not-found analysis error — a
+        # typed table. ONLY the missing-table analysis conditions — a
         # transient read failure must propagate, else upsert's `keep`
         # set would be empty and the overwrite would silently delete
         # every unchanged document's rows in the affected buckets
+        if not _is_missing_table(e):
+            raise
         return spark.createDataFrame([], _GRAPH_SCHEMA)
 
 
@@ -300,7 +324,9 @@ def read_doc_index(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(_index_path(out_dir)) \
             .select("part", "doc_id")
-    except AnalysisException:
+    except AnalysisException as e:
+        if not _is_missing_table(e):
+            raise
         return read_graph(spark, out_dir).select("part", "doc_id").distinct()
 
 

@@ -82,3 +82,20 @@ def test_encoded_rejects_paths(triples):
     enc = encode_triples(triples)
     with pytest.raises(ValueError, match="encoded"):
         bgp_match_encoded(enc, [("?x", f"<{EX}cites>+", "?y")])
+
+
+def test_encoded_binds_bigint_survives_decode(triples):
+    """Round-5 verdict fix: a computed BIGINT column forwarded through
+    ``**kwargs`` (a BIND expression) must NOT be dictionary-decoded —
+    the old every-bigint loop left-join-missed it to NULL. Only
+    pattern-bound subject/object variables decode. (A bind referencing
+    a term variable evaluates over the 8-byte id — binds run before
+    decode — so this test binds a term-independent expression.)"""
+    enc = encode_triples(triples)
+    d = term_dictionary(triples)
+    out = bgp_match_encoded(
+        enc, [("?d", EX + "author", "?who")], dictionary=d,
+        binds=[("flag", "cast(7 as bigint) * 6")])
+    rows = {(r["d"], r["who"], r["flag"]) for r in out.collect()}
+    assert rows == {("d1", "alice", 42), ("d2", "alice", 42),
+                    ("d3", "bob", 42)}

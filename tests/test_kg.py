@@ -1156,3 +1156,31 @@ def test_driver_closure_reflexive_on_cycles():
     assert ("A", "A") in got and ("B", "B") in got
     assert ("C", "C") not in got
     assert ("C", "B") in got and ("A", "B") in got
+
+
+def test_minus_correlated_filter_literal_with_case_word(spark):
+    """Advice fix: the IF()/CASE refusal must not trip on the word
+    'case' inside a STRING LITERAL of a correlated MINUS filter."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.kg import bgp_match
+    t = spark.createDataFrame(
+        [("a", "http://p", "x"), ("b", "http://p", "case study")],
+        "subj string, pred string, obj_value string")
+    out = bgp_match(t, [("?s", "http://p", "?g")],
+                    minus=[{"patterns": [("?s", "http://p", "?g2")],
+                            "filters": ["g = 'case study'"]}])
+    # outer ?g stays UNBOUND inside the MINUS group (§8.3.3 — no
+    # substitution), so the filter errors, the group is empty and the
+    # MINUS is a no-op — the point here is that the 'case' WORD inside
+    # the string literal never trips the IF()/CASE refusal (ValueError)
+    got = {(r["s"], r["g"]) for r in out.collect()}
+    assert got == {("a", "x"), ("b", "case study")}
+
+
+def test_null_refs_keeps_function_call_named_like_var():
+    """Advice fix: an outer variable named like a SQL function (e.g.
+    ?abs) must not clobber abs(...) calls over group variables."""
+    from jsonld_spark.operators.kg import _null_refs
+    out = _null_refs("abs(x) > 2 || abs > 1", {"abs"})
+    assert out == "abs(x) > 2 || NULL > 1"

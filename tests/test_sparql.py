@@ -2330,3 +2330,18 @@ def test_review_lang_inside_negation_body(spark):
     assert sparql_query(t, PFX + """ASK { ?s ex:p ?o
         FILTER EXISTS { ?s ex:q ?v FILTER(LANG(?v) = 'fr') } }""") \
         is True
+
+
+def test_double_with_empty_fraction_and_exponent_lexes(spark):
+    """Advice fix: '1.e3' is a legal SPARQL DOUBLE ([0-9]+ '.' [0-9]*
+    EXPONENT) and must lex as one number, not '1' '.' 'e3'."""
+    from jsonld_spark.operators.sparql import sparql_query
+    t = spark.createDataFrame(
+        [("http://s", "http://p", "1000")],
+        "subj string, pred string, obj_value string")
+    out = sparql_query(t, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s <http://p> ?v
+            FILTER (xsd:double(?v) >= 1.e3) }
+    """)
+    assert [r["s"] for r in out.collect()] == ["http://s"]
