@@ -566,15 +566,17 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
         centroids, id_col, vec_col, nprobe=nprobe)
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("query_vec"), "list_id"))
-    j = e_l.withColumn("_vn", _norm(F.col(vec_col))) \
-        .join(F.broadcast(q_l.withColumn("_qn", _norm(F.col("query_vec")))),
-              "list_id")
+    # NOT norm-precomputed: A/B at sf1 measured the extra projection
+    # over the ivf_assign Generate slightly SLOWER than the per-pair
+    # cosine here (2.14 s vs 1.88 s) — the probed-pair count is small
+    # (nprobe/k of the corpus × queries-per-list), unlike the neardup
+    # verify joins where precomputed norms win
+    j = e_l.join(F.broadcast(q_l), "list_id")
     if exclude_self:
         # assumes query ids share the corpus id space; pass False for an
         # external query table, else an id collision drops a neighbor
         j = j.where(F.col(id_col) != F.col("query_id"))
-    sim = F.round(F.try_divide(_dot(F.col(vec_col), F.col("query_vec")),
-                               F.col("_vn") * F.col("_qn")), round_to)
+    sim = F.round(cosine(F.col(vec_col), F.col("query_vec")), round_to)
     scored = j.select("query_id", F.col(id_col).alias("neighbor_id"),
                       sim.alias("sim")).dropDuplicates(
                           ["query_id", "neighbor_id"])
