@@ -1698,6 +1698,13 @@ def construct(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     s_col=s_col, p_col=p_col, o_col=o_col, g_col=g_col,
                     solution_joins=solution_joins, meta_vars=meta_vars,
                     filter_exists=filter_exists)
+    if len(template) > 1:
+        # each template triple projects the solution set with its own
+        # null filters, so a k-triple template re-plans (and re-joins)
+        # the WHERE clause k times — materialize the solutions once;
+        # single-template constructs skip the cut (nothing re-used)
+        from ..session import cut_lineage
+        sol = cut_lineage(sol)
     bound = set(sol.columns)
     mint = set(mint_vars or ())
     mint_key = None
