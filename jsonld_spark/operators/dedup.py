@@ -281,9 +281,20 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     (A≈B≈C with A,C never colliding) land in ONE cluster — pairwise
     dedup alone would keep both A and C."""
     from .linking import label_clusters
-    pairs = minhash_candidate_pairs(docs, text_col, id_col, shingle_len,
-                                    num_hashes, bands, hash_fn)
-    return label_clusters(docs, pairs, id_col)
+    # eager_cut=False: the pairs are consumed exactly once — connected
+    # components persists its own edge table before the probe — so the
+    # eager 4M-row checkpoint of the default mode is a wasted write
+    # (~2 s at sf1). label_clusters is eager through the CC probe and
+    # the labeled-table cut, so the signature cache can be released as
+    # soon as it returns.
+    pairs, sigs = minhash_candidate_pairs(docs, text_col, id_col,
+                                          shingle_len, num_hashes, bands,
+                                          hash_fn, eager_cut=False)
+    try:
+        # pairs are provably duplicate-free (see minhash_candidate_pairs)
+        return label_clusters(docs, pairs, id_col, assume_distinct=True)
+    finally:
+        sigs.unpersist()
 
 
 def word_ngrams(text_col: str, n: int = 3):

@@ -81,7 +81,8 @@ def _driver_union_find(rows, spark, schema):
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 50,
                          checkpoint_every: int = 5,
-                         small_graph_edges: int | None = None) -> DataFrame:
+                         small_graph_edges: int | None = None,
+                         assume_distinct: bool = False) -> DataFrame:
     """edges(src,dst) → (node, component) where component = min node id
     reachable. Node ids must be orderable (long or string).
 
@@ -94,8 +95,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     if small_graph_edges is None:
         small_graph_edges = DRIVER_CC_MAX_EDGES
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-             .where(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
-             .dropDuplicates()
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if not assume_distinct:
+        # callers that PROVE uniqueness (the collapse-first pair
+        # generators) skip this exchange; the numpy fixpoint tolerates
+        # duplicate edges either way
+        e = e.dropDuplicates()
     if small_graph_edges:
         e = e.persist()
         try:
@@ -164,13 +169,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def label_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
-                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                   src: str = "id_a", dst: str = "id_b",
+                   assume_distinct: bool = False) -> DataFrame:
     """(id) universe + pair edges → (id, rep, cluster_n): every id
     labeled with the min id reachable through the pairs (connected
     components; singletons are their own rep) plus the cluster size.
     The shared resolution step behind text and embedding dedup
     clustering — "keep iff id == rep" is the downstream filter."""
-    cc = connected_components(pairs, src=src, dst=dst) \
+    cc = connected_components(pairs, src=src, dst=dst,
+                              assume_distinct=assume_distinct) \
         .select(F.col("node").alias(id_col), F.col("component").alias("rep"))
     # labeled feeds both the size aggregate and the final join —
     # materialize the narrow (id, rep) table once so the ids frame

@@ -160,7 +160,8 @@ def embedding_clusters(embeddings: DataFrame, threshold: float = 0.95,
     from .linking import label_clusters
     pairs = cut_lineage(embedding_neardup(embeddings, threshold, id_col,
                                           vec_col, round_to, planes, bands))
-    return label_clusters(embeddings, pairs, id_col)
+    # verified pairs are already deduplicated on (id_a, id_b)
+    return label_clusters(embeddings, pairs, id_col, assume_distinct=True)
 
 
 class LshGeometry(NamedTuple):
