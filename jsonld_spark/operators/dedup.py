@@ -173,12 +173,17 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
         # answer size — but the band join and its shuffle stay linear
         # in DISTINCT signatures.
         members = sigs.select(F.col(id_col), "sig")
-        # spread: the groupBy output is AQE-coalesced to few partitions,
-        # and the band self-join below multiplies rows — unspread, its
-        # enumeration would serialize onto those few cores
+        # cut + spread: the groupBy output is AQE-coalesced to few
+        # partitions, and the band self-join below multiplies rows —
+        # unspread, its enumeration would serialize onto those few
+        # cores. The cut matters twice over: reps feeds BOTH the band
+        # join and the membership join (one compute instead of two),
+        # and spread_partitions' partition probe on a LAZY aggregate
+        # would itself execute the aggregate once more (df.rdd
+        # finalizes AQE stages); on the checkpoint it is free.
         from ..session import spread_partitions
-        reps = spread_partitions(members.groupBy("sig")
-                                 .agg(F.min(id_col).alias(id_col)))
+        reps = spread_partitions(cut_lineage(
+            members.groupBy("sig").agg(F.min(id_col).alias(id_col))))
         banded = band_signatures(reps, num_hashes, bands, hash_fn,
                                  id_col)
         a = banded.alias("a")

@@ -24,15 +24,18 @@ from pyspark.sql import functions as F
 
 from ..session import cut_lineage
 
-# Driver-CC threshold (distinct edges). An edge row is two longs (16 B)
-# or two short strings; the vectorized numpy fixpoint below handles tens
-# of millions of edges in seconds within a few hundred MB of driver
-# memory, where the distributed fixpoint pays 3 shuffles + one action
-# PER ROUND. Parameterised for clusters whose driver is smaller (or
-# graphs that are bigger): beyond the bound the distributed min-label
-# fixpoint takes over, exactly as before.
+# Driver-CC threshold (distinct edges). An edge row is two longs (16 B),
+# so 32 M edges is ~0.5 GB of driver arrays; the vectorized numpy
+# fixpoint below handles that in seconds, where the distributed fixpoint
+# pays 3 shuffles + one action PER ROUND. STRING-node graphs (IRIs,
+# 40–120 B per term) are capped lower — the same edge count costs an
+# order of magnitude more driver memory as Python objects. Both bounds
+# are memory budgets, env-parameterised for other driver sizes; beyond
+# them the distributed min-label fixpoint takes over, exactly as before.
 DRIVER_CC_MAX_EDGES = int(os.environ.get("JSONLD_CC_DRIVER_MAX_EDGES",
                                          32_000_000))
+DRIVER_CC_MAX_STRING_EDGES = int(os.environ.get(
+    "JSONLD_CC_DRIVER_MAX_STRING_EDGES", "4000000"))
 
 
 def _driver_union_find(rows, spark, schema):
@@ -93,7 +96,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     when it broadcasts a small join side. Set to 0 to force the
     distributed path."""
     if small_graph_edges is None:
-        small_graph_edges = DRIVER_CC_MAX_EDGES
+        from pyspark.sql.types import LongType, IntegerType
+        numeric = isinstance(edges.schema[src].dataType,
+                             (LongType, IntegerType))
+        small_graph_edges = (DRIVER_CC_MAX_EDGES if numeric
+                             else DRIVER_CC_MAX_STRING_EDGES)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if not assume_distinct:
