@@ -342,7 +342,12 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
     # — the prefix sum is fully distributed (no single-partition window)
     # and the offset join is a plain shuffled join (AQE may still pick a
     # broadcast at small scale; never forced)
-    per_comp = (canon.select("component", "comp_hash", "n_labels").distinct())
+    # cut: prefix_offsets probes the input's partition count (df.rdd —
+    # on a lazy distinct that executes it once extra under AQE) and
+    # then range-repartitions it; a checkpointed per-component table
+    # makes the probe free and the distinct run once
+    per_comp = cut_lineage(
+        canon.select("component", "comp_hash", "n_labels").distinct())
     offsets = prefix_offsets(per_comp, ["comp_hash", "component"],
                              "n_labels").select("component", "_offset")
 

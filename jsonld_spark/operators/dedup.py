@@ -546,7 +546,10 @@ def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3,
     # narrow (id, hash) table once instead of re-running the upstream
     # simhash aggregate per branch
     member = cut_lineage(sims.select(id_col, sim_col))
-    hashes = member.select(sim_col).distinct()
+    # cut: the band join spreads this frame (the partition probe on a
+    # lazy distinct would execute it once extra) and consumes it on
+    # both join sides — a ~|distinct hashes| checkpoint is cheaper
+    hashes = cut_lineage(member.select(sim_col).distinct())
     hp = simhash_hash_pairs(hashes, max_hamming, bits, sim_col)
     in_group = (member.alias("x")
                 .join(member.alias("y"), [
