@@ -164,16 +164,17 @@ def _is_missing_table(exc: AnalysisException) -> bool:
     ambiguous schema, access failure surfacing as analysis — must
     PROPAGATE: treating it as an empty graph re-opens the silent-
     data-loss path the round-5 fix closed (advice finding)."""
+    # getCondition is the 4.x API; getErrorClass only exists as its
+    # deprecated alias, so it is consulted ONLY when getCondition is
+    # absent (3.x) — calling both would warn per exception
+    fn = getattr(exc, "getCondition", None) \
+        or getattr(exc, "getErrorClass", None)
     cond = None
-    for attr in ("getCondition", "getErrorClass"):
-        fn = getattr(exc, attr, None)
-        if fn is not None:
-            try:
-                cond = fn()
-            except Exception:  # noqa: BLE001 - introspection best-effort
-                cond = None
-            if cond:
-                break
+    if fn is not None:
+        try:
+            cond = fn()
+        except Exception:  # noqa: BLE001 - introspection best-effort
+            cond = None
     if cond:
         return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
     msg = str(exc)

@@ -266,3 +266,17 @@ def test_upsert_leaves_unaffected_bucket_files_untouched(spark, tmp_path):
     m = upsert_documents(new, out, run_id="u1")
     assert m["affected"] == 1
     assert snapshot(untouched) == before
+
+
+def test_is_missing_table_classification():
+    """Advice fix: only the two missing-table analysis conditions are
+    swallowed by the read paths; anything else must propagate."""
+    from pyspark.errors import AnalysisException
+
+    from jsonld_spark.operators.materialize import _is_missing_table
+    assert _is_missing_table(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: /x"))
+    assert _is_missing_table(
+        AnalysisException("[UNABLE_TO_INFER_SCHEMA] empty directory"))
+    assert not _is_missing_table(
+        AnalysisException("[AMBIGUOUS_REFERENCE] column x is ambiguous"))
